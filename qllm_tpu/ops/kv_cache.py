@@ -1,0 +1,115 @@
+"""Quantized (INT8) KV cache.
+
+The capability the reference's bundled-but-never-built ft_attention
+extension promised (csrc/ft_attention/*, excluded from setup.py:173-194)
+— delivered TPU-natively: an int8 per-(token, head) symmetric-scaled KV
+cache stored as a pytree, updated functionally inside the jitted decode
+step, consumed by the decode attention kernel (pallas_attention.py) or
+the XLA reference path.
+
+Layout: k/v ``int8 [L, B, S_max, H_kv, D]``, scales ``[L, B, S_max, H_kv]``
+float32. S (time) is a leading-ish dim so a decode-step write is one
+dynamic_update_slice per layer; D=head_dim sits in lanes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["QuantizedKVCache"]
+
+
+def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """x [..., D] float -> (int8 [..., D], scale [...]) symmetric per-vector."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["k", "v", "k_scale", "v_scale"],
+    meta_fields=["quantized"],
+)
+@dataclasses.dataclass(frozen=True)
+class QuantizedKVCache:
+    """KV cache for all layers. When quantized=False, k/v hold bf16 and
+    the scale arrays are size-1 placeholders."""
+
+    k: jax.Array  # [L, B, S, H_kv, D] int8 or bf16
+    v: jax.Array
+    k_scale: jax.Array  # [L, B, S, H_kv] f32 (placeholder if not quantized)
+    v_scale: jax.Array
+    quantized: bool
+
+    @classmethod
+    def create(
+        cls,
+        n_layers: int,
+        batch: int,
+        max_seq: int,
+        n_kv_heads: int,
+        head_dim: int,
+        quantized: bool = True,
+        dtype=jnp.bfloat16,
+    ) -> "QuantizedKVCache":
+        shape = (n_layers, batch, max_seq, n_kv_heads, head_dim)
+        if quantized:
+            kv_dtype = jnp.int8
+            sshape = (n_layers, batch, max_seq, n_kv_heads)
+        else:
+            kv_dtype = dtype
+            sshape = (1,)
+        return cls(
+            k=jnp.zeros(shape, kv_dtype),
+            v=jnp.zeros(shape, kv_dtype),
+            k_scale=jnp.ones(sshape, jnp.float32),
+            v_scale=jnp.ones(sshape, jnp.float32),
+            quantized=quantized,
+        )
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+    def update(
+        self, layer: int, k_new: jax.Array, v_new: jax.Array, pos: jax.Array
+    ) -> "QuantizedKVCache":
+        """Write k_new/v_new [B, T, H_kv, D] at time offset ``pos`` (scalar)."""
+        B, T = k_new.shape[0], k_new.shape[1]
+        if self.quantized:
+            kq, ks = _quantize_kv(k_new)
+            vq, vs = _quantize_kv(v_new)
+            k = jax.lax.dynamic_update_slice(self.k, kq[None], (layer, 0, pos, 0, 0))
+            v = jax.lax.dynamic_update_slice(self.v, vq[None], (layer, 0, pos, 0, 0))
+            k_scale = jax.lax.dynamic_update_slice(
+                self.k_scale, ks[None], (layer, 0, pos, 0)
+            )
+            v_scale = jax.lax.dynamic_update_slice(
+                self.v_scale, vs[None], (layer, 0, pos, 0)
+            )
+            return dataclasses.replace(
+                self, k=k, v=v, k_scale=k_scale, v_scale=v_scale
+            )
+        k = jax.lax.dynamic_update_slice(
+            self.k, k_new.astype(self.k.dtype)[None], (layer, 0, pos, 0, 0)
+        )
+        v = jax.lax.dynamic_update_slice(
+            self.v, v_new.astype(self.v.dtype)[None], (layer, 0, pos, 0, 0)
+        )
+        return dataclasses.replace(self, k=k, v=v)
+
+    def layer_kv(self, layer: int, dtype=jnp.bfloat16):
+        """Dequantized (k, v) [B, S, H_kv, D] for the XLA reference path."""
+        k = self.k[layer]
+        v = self.v[layer]
+        if self.quantized:
+            k = k.astype(jnp.float32) * self.k_scale[layer][..., None]
+            v = v.astype(jnp.float32) * self.v_scale[layer][..., None]
+        return k.astype(dtype), v.astype(dtype)
