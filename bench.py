@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Headline benchmark: Llama-2-7B-shaped W4 g128 greedy decode on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": tokens/s, "unit": "tokens/s", "vs_baseline": ...}
+
+vs_baseline = achieved / (0.8 * roofline) — BASELINE.md's target is decode
+at >=80% of the HBM-bandwidth roofline, so vs_baseline >= 1.0 means the
+target is met. roofline = HBM_BW / bytes_touched_per_token (packed weights
++ scales/zeros + dense embed/lm_head + KV-cache read at the measured
+sequence position).
+
+Env knobs: QLLM_BENCH_MODEL=7b|1b|tiny, QLLM_BENCH_STEPS, QLLM_BENCH_BATCH.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# per-chip HBM bandwidth (bytes/s) by TPU generation
+HBM_BW = {
+    "v5 lite": 819e9,  # v5e
+    "v5e": 819e9,
+    "v4": 1228e9,
+    "v5": 2765e9,  # v5p
+    "v5p": 2765e9,
+    "v6 lite": 1640e9,  # v6e (Trillium)
+    "v6e": 1640e9,
+}
+
+
+def chip_bw() -> float:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return 819e9
+    for key, bw in HBM_BW.items():
+        if key in kind:
+            return bw
+    return 819e9
+
+
+MODEL_SHAPES = {
+    # llama-2-7b
+    "7b": dict(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=11008,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=32,
+    ),
+    # tinyllama-1.1b
+    "1b": dict(
+        vocab_size=32000,
+        hidden_size=2048,
+        intermediate_size=5632,
+        num_hidden_layers=22,
+        num_attention_heads=32,
+        num_key_value_heads=4,
+        head_dim=64,
+    ),
+    "tiny": dict(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+    ),
+}
+
+
+def model_bytes_per_token(params, cfg, seq_pos, batch) -> int:
+    """HBM bytes that must be touched to decode one token (per batch-1;
+    weight reads amortize across batch)."""
+    from qllm_tpu.quant.qtensor import QuantizedTensor
+
+    total = 0
+    for lp in params["layers"]:
+        for w in lp.values():
+            if isinstance(w, QuantizedTensor):
+                total += w.nbytes()
+            elif hasattr(w, "nbytes"):
+                total += int(w.nbytes)
+    # lm_head read fully; embed: one row per token
+    total += int(params["lm_head"].nbytes)
+    total += cfg.hidden_size * params["embed_tokens"].dtype.itemsize
+    # KV read: int8 k+v over current seq per layer (per sequence => *batch)
+    kv = (
+        cfg.num_hidden_layers
+        * seq_pos
+        * cfg.num_key_value_heads
+        * cfg.hd
+        * 2
+        * batch
+    )
+    total += kv
+    return total
+
+
+def main():
+    t_start = time.time()
+    model = os.environ.get("QLLM_BENCH_MODEL", "7b")
+    steps = int(os.environ.get("QLLM_BENCH_STEPS", "64"))
+    batch = int(os.environ.get("QLLM_BENCH_BATCH", "1"))
+    backend = jax.default_backend()
+    if backend == "cpu" and "QLLM_BENCH_MODEL" not in os.environ:
+        model = "tiny"
+    log(f"[bench] backend={backend} model={model} steps={steps} batch={batch}")
+
+    from qllm_tpu.models.decode_loop import decode_loop
+    from qllm_tpu.models.generate import make_cache
+    from qllm_tpu.models.llama import ModelConfig
+    from qllm_tpu.utils.testing import random_quantized_params
+
+    cfg = ModelConfig(max_position_embeddings=2048, **MODEL_SHAPES[model])
+    t0 = time.time()
+    params = random_quantized_params(cfg, jax.random.key(0), bits=4, group_size=128)
+    jax.block_until_ready(params["layers"][-1]["down_proj"].qweight)
+    log(f"[bench] params materialized in {time.time() - t0:.1f}s")
+
+    max_seq = 256
+    prefill_len = 128
+    cache = make_cache(cfg, batch, max_seq, quantized_kv=True)
+    token = jnp.ones((batch, 1), jnp.int32)
+    pos0 = jnp.int32(prefill_len)
+
+    # warmup (compile)
+    t0 = time.time()
+    toks, cache2 = decode_loop(params, cfg, token, cache, pos0, steps)
+    jax.block_until_ready(toks)
+    log(f"[bench] compile+first run {time.time() - t0:.1f}s")
+
+    # timed runs
+    best = float("inf")
+    for i in range(3):
+        t0 = time.time()
+        toks, _ = decode_loop(params, cfg, token, cache, pos0, steps)
+        jax.block_until_ready(toks)
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"[bench] run {i}: {dt:.3f}s -> {steps * batch / dt:.1f} tok/s")
+
+    tokens_per_s = steps * batch / best
+    bpt = model_bytes_per_token(params, cfg, prefill_len + steps // 2, batch)
+    roofline = chip_bw() / bpt * batch  # batch amortizes weight reads
+    target = 0.8 * roofline
+    result = {
+        "metric": f"decode_tokens_per_sec_per_chip_llama2_{model}_w4g128",
+        "value": round(tokens_per_s, 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_s / target, 4),
+        "detail": {
+            "backend": backend,
+            "batch": batch,
+            "steps": steps,
+            "bytes_per_token": bpt,
+            "roofline_tokens_per_s": round(roofline, 1),
+            "hbm_bw_GBps": chip_bw() / 1e9,
+            "wall_s": round(time.time() - t_start, 1),
+        },
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Generation: jitted prefill + decode with the quantized KV cache.
+
+The analog of the reference chat generation loop
+(plugin/chatcli/generation.py:5-115: greedy DynamicCache decode) —
+redesigned for XLA: static shapes, one compiled prefill, one compiled
+decode step re-used every token.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.kv_cache import QuantizedKVCache
+from .llama import ModelConfig, forward
+
+__all__ = ["prefill", "decode_step", "greedy_generate", "make_cache"]
+
+
+def make_cache(
+    cfg: ModelConfig, batch: int, max_seq: int, quantized_kv: bool = True
+) -> QuantizedKVCache:
+    return QuantizedKVCache.create(
+        cfg.num_hidden_layers,
+        batch,
+        max_seq,
+        cfg.num_key_value_heads,
+        cfg.hd,
+        quantized=quantized_kv,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def prefill(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [B, T]
+    cache: QuantizedKVCache,
+) -> Tuple[jax.Array, QuantizedKVCache]:
+    """Run the prompt through the model, filling cache[0:T).
+
+    Returns (last-token logits [B, V], cache)."""
+    logits, cache = forward(params, cfg, tokens, cache, pos=jnp.int32(0))
+    return logits[:, -1, :], cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def decode_step(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token: jax.Array,  # [B, 1]
+    cache: QuantizedKVCache,
+    pos: jax.Array,  # scalar int32: index where this token is written
+) -> Tuple[jax.Array, QuantizedKVCache]:
+    logits, cache = forward(params, cfg, token, cache, pos=pos)
+    return logits[:, -1, :], cache
+
+
+def greedy_generate(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    prompt: jax.Array,  # [B, T]
+    max_new_tokens: int,
+    max_seq: Optional[int] = None,
+    quantized_kv: bool = True,
+    eos_token_id: Optional[int] = None,
+) -> jax.Array:
+    """Greedy decode. Returns [B, T + max_new_tokens] token ids.
+
+    The decode loop is a host loop around a single compiled step (the
+    step itself contains the full layer stack); sampling is argmax as in
+    the reference chat plugin's default path.
+    """
+    B, T = prompt.shape
+    max_seq = max_seq or (T + max_new_tokens)
+    cache = make_cache(cfg, B, max_seq, quantized_kv)
+    logits, cache = prefill(params, cfg, prompt, cache)
+    out = [prompt]
+    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+    finished = jnp.zeros((B,), bool)
+    for i in range(max_new_tokens):
+        out.append(token)
+        if eos_token_id is not None:
+            finished = finished | (token[:, 0] == eos_token_id)
+            if bool(jnp.all(finished)):
+                break
+        if i == max_new_tokens - 1:
+            break
+        logits, cache = decode_step(
+            params, cfg, token, cache, jnp.int32(T + i)
+        )
+        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        # Host-sync each step: backends with high dispatch latency (e.g.
+        # the axon TPU tunnel) degrade badly when dependent executions
+        # queue unsynced. Bulk decoding should use decode_loop (one
+        # dispatch for N tokens) instead of this convenience loop.
+        token.block_until_ready()
+    return jnp.concatenate(out, axis=1)

@@ -1,0 +1,121 @@
+"""Layer-by-layer quantization skeleton.
+
+Reference QuantFrameBase (quant_frame_base.py) needs a Catcher module
+to hijack block-0 inputs (:74-109) and moves blocks on/off the GPU.
+Here the model is already a pure function over a params pytree, so the
+skeleton is plain data flow:
+
+  * ``quantize_params_uniform`` — map a per-weight quantizer over every
+    quantizable leaf (data-free methods).
+  * ``block_inputs`` / ``run_block`` — compute the hidden-state inputs
+    of transformer block i for calibration-based methods (GPTQ/AWQ),
+    propagating *quantized* activations block-to-block exactly like the
+    reference outer loop (quant_gptq.py:90-157).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import (
+    LINEAR_NAMES,
+    ModelConfig,
+    _layer_forward,
+    _rope_cos_sin,
+)
+
+__all__ = [
+    "quantize_params_uniform",
+    "embed_inputs",
+    "run_block",
+    "resolve_layer_bits",
+]
+
+
+def resolve_layer_bits(
+    layer_name: str,
+    default_bits: int,
+    default_gs: int,
+    layer_overrides: Optional[Dict[str, Any]] = None,
+) -> Tuple[int, int]:
+    """Per-layer (bits, group_size) with mix_qlayer_conf-style overrides
+    (reference hook: quant_frame_base.py:111-116; keys may be full layer
+    names or substrings)."""
+    if layer_overrides:
+        for key, conf in layer_overrides.items():
+            if key == layer_name or key in layer_name:
+                return (
+                    int(conf.get("wbits", conf.get("bits", default_bits))),
+                    int(conf.get("groupsize", conf.get("group_size", default_gs))),
+                )
+    return default_bits, default_gs
+
+
+def quantize_params_uniform(
+    params: Dict[str, Any],
+    quantize_fn: Callable[[jax.Array, int, int], Any],
+    bits: int,
+    group_size: int,
+    layer_overrides: Optional[Dict[str, Any]] = None,
+    progress: bool = True,
+) -> Dict[str, Any]:
+    """Replace every quantizable dense leaf with quantize_fn(w, bits, gs)."""
+    new_layers: List[Dict[str, Any]] = []
+    for i, lp in enumerate(params["layers"]):
+        nlp = dict(lp)
+        for name in LINEAR_NAMES:
+            if name not in lp:
+                continue
+            full = f"model.layers.{i}.{name}"
+            b, gs = resolve_layer_bits(full, bits, group_size, layer_overrides)
+            if b >= 16:
+                continue
+            nlp[name] = quantize_fn(lp[name], b, gs)
+        new_layers.append(nlp)
+        if progress:
+            print(f"[quant] layer {i + 1}/{len(params['layers'])}", flush=True)
+    out = dict(params)
+    out["layers"] = new_layers
+    return out
+
+
+def embed_inputs(
+    params: Dict[str, Any], cfg: ModelConfig, token_ids: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Token ids [B, T] -> (hidden [B, T, D], cos, sin, causal mask).
+
+    The functional replacement of the reference Catcher hijack
+    (quant_frame_base.py:74-109): these are exactly the inputs block 0
+    receives.
+    """
+    B, T = token_ids.shape
+    h = jnp.take(params["embed_tokens"], token_ids, axis=0)
+    positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    cos, sin = _rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    mask = jnp.where(
+        jnp.arange(T)[None, None, :, None] >= jnp.arange(T)[None, None, None, :],
+        0.0,
+        -jnp.inf,
+    ).astype(jnp.float32)
+    mask = jnp.broadcast_to(mask.reshape(1, 1, T, T), (B, 1, T, T))
+    return h, cos, sin, mask
+
+
+def run_block(
+    layer_params: Dict[str, Any],
+    cfg: ModelConfig,
+    h: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """Forward one transformer block (no cache) — used both to collect
+    per-linear calibration inputs and to propagate quantized activations
+    to the next block (reference quant_gptq.py:146-154)."""
+    out, _ = _layer_forward(
+        layer_params, cfg, h, cos, sin, mask, cache=None, layer_idx=0, pos=None
+    )
+    return out

