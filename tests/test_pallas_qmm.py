@@ -1,0 +1,53 @@
+"""Pallas fused dequant+matmul vs the XLA reference oracle (interpret
+mode on CPU; the same kernel compiles for TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qllm_tpu.ops.pallas_qmm import qmatmul_pallas
+from qllm_tpu.ops.ref_matmul import qmatmul_ref
+from qllm_tpu.quant.qtensor import quantize_tensor
+
+
+def _case(bits, K, N, g, M, seed=0):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.05
+    x = rng.normal(size=(M, K)).astype(np.float32)
+    qt = quantize_tensor(jnp.asarray(w), bits=bits, group_size=g)
+    return jnp.asarray(x), qt
+
+
+@pytest.mark.parametrize(
+    "bits,K,N,g,M",
+    [
+        (4, 256, 256, 128, 1),  # decode
+        (4, 256, 256, 128, 16),  # small prefill
+        (4, 512, 384, 128, 8),  # multi k/n blocks
+        (4, 256, 256, -1, 4),  # per-channel groups
+        (8, 256, 256, 64, 8),
+        (2, 512, 256, 128, 8),
+        (4, 1024, 256, 512, 8),  # large group spanning multiple k-blocks
+    ],
+)
+def test_pallas_matches_ref(bits, K, N, g, M):
+    x, qt = _case(bits, K, N, g, M)
+    y_ref = np.asarray(qmatmul_ref(x, qt))
+    y_pal = np.asarray(qmatmul_pallas(x, qt))
+    assert y_pal.shape == y_ref.shape
+    np.testing.assert_allclose(y_pal, y_ref, atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_batched_input():
+    x, qt = _case(4, 256, 128, 128, 6)
+    x3 = x.reshape(2, 3, 256)
+    y = np.asarray(qmatmul_pallas(x3, qt))
+    y_ref = np.asarray(qmatmul_ref(x3, qt))
+    assert y.shape == (2, 3, 128)
+    np.testing.assert_allclose(y, y_ref, atol=2e-2, rtol=2e-2)
+
+
+def test_pallas_rejects_odd_bits():
+    x, qt = _case(3, 256, 128, 128, 4)
+    with pytest.raises(NotImplementedError):
+        qmatmul_pallas(x, qt)
