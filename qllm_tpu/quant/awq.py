@@ -1,0 +1,244 @@
+"""AWQ: activation-aware weight quantization.
+
+Rebuild of reference quantization/awq/_awq_quantizer.py:
+  * per-channel scale grid search: 20 ratios of
+    s = x_absmean^r / w_groupnorm^(1-r), normalized, minimizing the
+    scale-group's output MSE after pseudo-quantization
+    (_search_module_scale :292-361)
+  * scale folding into the previous op (LN -> fcs, fc -> fc,
+    apply_scale :30-76)
+  * auto-clip: per-(out-channel, group) weight-max grid search (20 grid,
+    0.5 max shrink, sampled tokens) minimizing ||Wx - Q(clip(W))x||,
+    skipped for q/k projections (auto_clip_layer :182-232, :246)
+  * AWQ caps calibration at 64 samples (auto_model_quantization.py:211)
+
+Functional formulation: scale groups are (prev_op, [linears], out_fn)
+tuples over the params dict; "inspect module" outputs are computed by
+pure sub-functions of the block. Weight updates are pytree replaces.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import AWQConfig
+from .qtensor import quantize_tensor
+
+__all__ = ["AWQQuantizer", "awq_search_scale", "awq_auto_clip"]
+
+N_GRID = 20  # reference: 20 ratio candidates / 20 clip candidates
+CLIP_MAX_SHRINK = 0.5
+CLIP_N_SAMPLE_TOKENS = 512
+
+
+def _pseudo_quantize(w: jax.Array, bits: int, group_size: int) -> jax.Array:
+    """Asym group quant-dequant (reference pseudo_quantize_tensor
+    :143-177) along the input (K) axis of w [K, N]."""
+    K, N = w.shape
+    g = K if group_size == -1 else group_size
+    maxq = (1 << bits) - 1
+    wg = w.reshape(K // g, g, N)
+    wmin = jnp.min(wg, axis=1, keepdims=True)
+    wmax = jnp.max(wg, axis=1, keepdims=True)
+    scale = jnp.maximum((wmax - wmin) / maxq, 1e-8)
+    zero = jnp.round(-wmin / scale)
+    q = jnp.clip(jnp.round(wg / scale) + zero, 0, maxq)
+    return ((q - zero) * scale).reshape(K, N)
+
+
+@partial(jax.jit, static_argnames=("bits", "group_size", "out_fn"))
+def awq_search_scale(
+    x: jax.Array,  # [T, K] inputs to the scale group
+    weights: Tuple[jax.Array, ...],  # each [K, N_i]
+    bits: int,
+    group_size: int,
+    out_fn: Optional[Callable] = None,  # maps scaled/quantized weights -> output
+) -> jax.Array:
+    """Best per-in-channel scales [K] over the ratio grid.
+
+    out_fn(x, weights) defaults to concatenated matmuls (the scale
+    group's joint output — reference inspects the enclosing module; the
+    linear outputs dominate its MSE and keep the search pure)."""
+    x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    x_max = jnp.mean(jnp.abs(x), axis=0)  # get_act_scale
+
+    def w_group_norm(w):
+        K = w.shape[0]
+        g = K if group_size == -1 else group_size
+        a = jnp.abs(w.reshape(K // g, g, -1))
+        a = a / jnp.maximum(jnp.max(a, axis=1, keepdims=True), 1e-12)
+        return jnp.mean(a.reshape(K, -1), axis=1)
+
+    w_max = jnp.mean(jnp.stack([w_group_norm(w) for w in weights]), axis=0)
+
+    if out_fn is None:
+
+        def out_fn(x, ws):
+            return jnp.concatenate([x @ w for w in ws], axis=-1)
+
+    org_out = out_fn(x, [w.astype(jnp.float32) for w in weights])
+
+    def try_ratio(ratio):
+        s = jnp.clip(
+            jnp.power(x_max, ratio) / jnp.power(w_max, 1.0 - ratio),
+            1e-4,
+            1e4,
+        )
+        s = s / jnp.sqrt(jnp.max(s) * jnp.min(s))
+        ws_q = [
+            _pseudo_quantize(w * s[:, None], bits, group_size) for w in weights
+        ]
+        out = out_fn(x / s[None, :], ws_q)
+        return jnp.mean((org_out - out) ** 2), s
+
+    ratios = jnp.arange(N_GRID, dtype=jnp.float32) / N_GRID
+    losses, scales = jax.lax.map(try_ratio, ratios)
+    best = jnp.argmin(losses)
+    return scales[best]
+
+
+@partial(jax.jit, static_argnames=("bits", "group_size"))
+def awq_auto_clip(
+    x: jax.Array,  # [T, K]
+    w: jax.Array,  # [K, N]
+    bits: int,
+    group_size: int,
+) -> jax.Array:
+    """Per-(group, out-channel) clipped max values; returns clipped w.
+
+    Reference auto_clip_layer :182-232: minimize ||w·x - Q(clip(w))·x||²
+    over 20 shrink factors, per input-group, using sampled tokens.
+    """
+    K, N = w.shape
+    g = K if group_size == -1 else group_size
+    T = x.reshape(-1, K).shape[0]
+    step = max(1, T // CLIP_N_SAMPLE_TOKENS)
+    xs = x.reshape(-1, K)[::step].astype(jnp.float32)  # [t, K]
+    w = w.astype(jnp.float32)
+    wg = w.reshape(K // g, g, N)
+    xg = xs.reshape(-1, K // g, g).transpose(1, 0, 2)  # [G, t, g]
+    org_max = jnp.max(jnp.abs(wg), axis=1, keepdims=True)  # [G, 1, N]
+    org_out = jnp.einsum("gtk,gkn->gtn", xg, wg)  # [G, t, N]
+
+    def try_shrink(i):
+        alpha = 1.0 - i / N_GRID * CLIP_MAX_SHRINK
+        cmax = org_max * alpha
+        wc = jnp.clip(wg, -cmax, cmax)
+        # pseudo-quant within the clipped range (per group, asym)
+        maxq = (1 << bits) - 1
+        wmin = jnp.minimum(jnp.min(wc, axis=1, keepdims=True), 0.0)
+        wmax = jnp.maximum(jnp.max(wc, axis=1, keepdims=True), 0.0)
+        scale = jnp.maximum((wmax - wmin) / maxq, 1e-8)
+        zero = jnp.round(-wmin / scale)
+        q = jnp.clip(jnp.round(wc / scale) + zero, 0, maxq)
+        wq = (q - zero) * scale
+        out = jnp.einsum("gtk,gkn->gtn", xg, wq)
+        err = jnp.mean((out - org_out) ** 2, axis=1)  # [G, N]
+        return err, cmax[:, 0, :]
+
+    errs, cmaxs = jax.lax.map(
+        try_shrink, jnp.arange(N_GRID, dtype=jnp.float32)
+    )
+    best = jnp.argmin(errs, axis=0)  # [G, N]
+    best_max = jnp.take_along_axis(cmaxs, best[None], axis=0)[0]  # [G, N]
+    wc = jnp.clip(wg, -best_max[:, None, :], best_max[:, None, :])
+    return wc.reshape(K, N)
+
+
+# scale groups for the llama family:
+# (prev_kind, prev_name, [linears], condition)
+_LLAMA_GROUPS = [
+    ("ln", "input_layernorm", ["q_proj", "k_proj", "v_proj"]),
+    ("fc", "v_proj", ["o_proj"]),  # only when shapes match (no GQA)
+    ("ln", "post_attention_layernorm", ["gate_proj", "up_proj"]),
+    ("fc", "up_proj", ["down_proj"]),
+]
+
+
+class AWQQuantizer:
+    """Model-level AWQ driver (reference quant_awq.py)."""
+
+    def __init__(self, config: AWQConfig):
+        self.config = config
+
+    def quantize(
+        self,
+        params: Dict[str, Any],
+        model_cfg,
+        calib_tokens: jax.Array,
+        layer_overrides: Optional[Dict[str, Any]] = None,
+        progress: bool = True,
+    ) -> Dict[str, Any]:
+        from ..models.llama import LINEAR_NAMES, layer_intermediates
+        from .frame import embed_inputs, resolve_layer_bits, run_block
+
+        cfg = self.config
+        calib_tokens = calib_tokens[: min(cfg.nsamples, calib_tokens.shape[0])]
+        h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
+        new_layers: List[Dict[str, Any]] = []
+        for i, lp in enumerate(params["layers"]):
+            acts = layer_intermediates(lp, model_cfg, h, cos, sin, mask)
+            nlp = dict(lp)
+            # --- scale search + fold, group by group ---
+            for kind, prev, linears in _LLAMA_GROUPS:
+                if kind == "fc" and prev == "v_proj" and (
+                    nlp["v_proj"].shape != nlp["o_proj"].shape
+                ):
+                    continue  # GQA: v/o shapes differ (reference llama table)
+                x = acts[linears[0]].reshape(-1, acts[linears[0]].shape[-1])
+                ws = tuple(nlp[n].astype(jnp.float32) for n in linears)
+                s = awq_search_scale(x, ws, cfg.wbits, cfg.groupsize)
+                # the captured input features now see the folded scale
+                # (reference apply_scale input_feat_dict div_ :74-76)
+                for n in linears:
+                    acts[n] = acts[n] / s
+                for n in linears:
+                    nlp[n] = (nlp[n].astype(jnp.float32) * s[:, None]).astype(
+                        nlp[n].dtype
+                    )
+                if kind == "ln":
+                    nlp[prev] = (nlp[prev].astype(jnp.float32) / s).astype(
+                        nlp[prev].dtype
+                    )
+                else:  # fc: divide prev's OUT channels
+                    nlp[prev] = (nlp[prev].astype(jnp.float32) / s[None, :]).astype(
+                        nlp[prev].dtype
+                    )
+                # fold into bias of prev fc too, if present
+                bias_name = f"{prev}_bias"
+                if kind == "fc" and bias_name in nlp:
+                    nlp[bias_name] = (
+                        nlp[bias_name].astype(jnp.float32) / s
+                    ).astype(nlp[bias_name].dtype)
+            # --- auto clip (skip q/k: reference :246) + final quantize ---
+            for name in LINEAR_NAMES:
+                if name not in nlp:
+                    continue
+                full = f"model.layers.{i}.{name}"
+                b, gs = resolve_layer_bits(
+                    full, cfg.wbits, cfg.groupsize, layer_overrides
+                )
+                if b >= 16:
+                    continue
+                w = nlp[name].astype(jnp.float32)
+                if name not in ("q_proj", "k_proj"):
+                    w = awq_auto_clip(
+                        acts[name].reshape(-1, acts[name].shape[-1]),
+                        w,
+                        b,
+                        gs,
+                    )
+                nlp[name] = quantize_tensor(w, bits=b, group_size=gs)
+            h = run_block(nlp, model_cfg, h, cos, sin, mask)
+            new_layers.append(nlp)
+            if progress:
+                print(
+                    f"[awq] layer {i + 1}/{len(params['layers'])}", flush=True
+                )
+        out = dict(params)
+        out["layers"] = new_layers
+        return out

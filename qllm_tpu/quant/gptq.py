@@ -258,13 +258,70 @@ def gptq_quantize_weight(
     return qt, err
 
 
+def gen_conditions(wbits: int, groupsize: int, n: int = 6):
+    """Mixed-bit promotion ladder (reference utils/modelutils.py:26-41):
+    halve the groupsize down to 32, then bump bits and reset."""
+    conds = []
+    b, g = wbits, groupsize
+    for _ in range(n):
+        if g > 32:
+            g = g // 2
+        else:
+            b, g = b + 1, groupsize
+        if b > 8:
+            break
+        conds.append((b, g))
+    return conds
+
+
+# true-sequential subsets for the llama family
+# (reference sequential_layes_gptq_config.py:58-63)
+_TRUE_SEQUENTIAL = [
+    ["q_proj", "k_proj", "v_proj"],
+    ["o_proj"],
+    ["gate_proj", "up_proj"],
+    ["down_proj"],
+]
+
+
 class GPTQQuantizer:
     """Model-level GPTQ driver (reference quant_gptq.py): per block —
-    collect Hessians from calibration activations, quantize each linear,
-    re-forward the quantized block to propagate activations."""
+    collect Hessians from calibration activations, quantize each linear
+    (optionally subset-by-subset so later subsets see quantized
+    activations: true_sequential, quant_gptq.py:103-111), re-forward the
+    quantized block to propagate activations. ``allow_mix_bits`` climbs
+    the (bits, groupsize) ladder on high-error layers until the error
+    halves (ObserverHelper.post_quant, quant_gptq.py:23-64 — applied
+    inline per layer while its Hessian is live, capped at 32 promotions
+    like the reference's top-32 set)."""
+
+    MAX_PROMOTIONS = 32
 
     def __init__(self, config: GPTQConfig):
         self.config = config
+        self.observer: List[tuple] = []
+        self.quant_config_by_layer: Dict[str, Dict[str, int]] = {}
+
+    def _quantize_one(self, w, H, bits, gs, full_name, promotions_left):
+        cfg = self.config
+        qt, err = gptq_quantize_weight(w, H, bits, gs, cfg)
+        err0 = float(jnp.sum(err))
+        used = (bits, gs)
+        if cfg.allow_mix_bits and promotions_left > 0:
+            for b2, g2 in gen_conditions(bits, gs):
+                if err0 <= 0 or used != (bits, gs):
+                    break
+                qt2, err2 = gptq_quantize_weight(
+                    w, H, b2, g2, dataclasses.replace(cfg, wbits=b2, groupsize=g2)
+                )
+                if float(jnp.sum(err2)) < 0.5 * err0:
+                    qt, used = qt2, (b2, g2)
+        self.observer.append((full_name, err0, used))
+        self.quant_config_by_layer[full_name] = {
+            "wbits": used[0],
+            "groupsize": used[1],
+        }
+        return qt, used != (bits, gs)
 
     def quantize(
         self,
@@ -281,24 +338,34 @@ class GPTQQuantizer:
         cfg = self.config
         h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
         new_layers: List[Dict[str, Any]] = []
-        observer = []
+        promotions = 0
+        subsets = (
+            _TRUE_SEQUENTIAL if cfg.true_sequential else [list(LINEAR_NAMES)]
+        )
         for i, lp in enumerate(params["layers"]):
-            Hs = collect_block_hessians(lp, model_cfg, h, cos, sin, mask)
             nlp = dict(lp)
-            for name in LINEAR_NAMES:
-                if name not in lp:
-                    continue
-                full = f"model.layers.{i}.{name}"
-                b, gs = resolve_layer_bits(
-                    full, cfg.wbits, cfg.groupsize, layer_overrides
-                )
-                if b >= 16:
-                    continue
-                qt, err = gptq_quantize_weight(
-                    lp[name].astype(jnp.float32), Hs[name], b, gs, cfg
-                )
-                nlp[name] = qt
-                observer.append((full, float(jnp.sum(err))))
+            for subset in subsets:
+                # Hessians reflect any already-quantized earlier subsets
+                Hs = collect_block_hessians(nlp, model_cfg, h, cos, sin, mask)
+                for name in subset:
+                    if name not in lp:
+                        continue
+                    full = f"model.layers.{i}.{name}"
+                    b, gs = resolve_layer_bits(
+                        full, cfg.wbits, cfg.groupsize, layer_overrides
+                    )
+                    if b >= 16:
+                        continue
+                    qt, promoted = self._quantize_one(
+                        lp[name].astype(jnp.float32),
+                        Hs[name],
+                        b,
+                        gs,
+                        full,
+                        self.MAX_PROMOTIONS - promotions,
+                    )
+                    promotions += int(promoted)
+                    nlp[name] = qt
             # propagate QUANTIZED activations to the next block
             # (reference quant_gptq.py:146-154)
             h = run_block(nlp, model_cfg, h, cos, sin, mask)
@@ -309,5 +376,4 @@ class GPTQQuantizer:
                 )
         out = dict(params)
         out["layers"] = new_layers
-        self.observer = observer
         return out

@@ -134,7 +134,14 @@ class HQQQuantizer:
     def __init__(self, config: HQQConfig):
         self.config = config
 
-    def quantize(self, params, model_cfg, calib_tokens=None, layer_overrides=None):
+    def quantize(
+        self,
+        params,
+        model_cfg,
+        calib_tokens=None,
+        layer_overrides=None,
+        progress=True,
+    ):
         from .frame import quantize_params_uniform
 
         return quantize_params_uniform(
@@ -145,4 +152,5 @@ class HQQQuantizer:
             self.config.wbits,
             self.config.groupsize,
             layer_overrides=layer_overrides,
+            progress=progress,
         )

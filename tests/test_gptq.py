@@ -112,3 +112,38 @@ def test_gptq_model_driver():
     logits, _ = forward(qparams, CFG, calib[:1, :8])
     assert logits.shape == (1, 8, CFG.vocab_size)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_gptq_true_sequential():
+    params = init_params(CFG, jax.random.key(0))
+    rng = np.random.default_rng(6)
+    calib = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 16)), jnp.int32)
+    q = GPTQQuantizer(GPTQConfig(wbits=4, groupsize=32, true_sequential=True))
+    qparams = q.quantize(params, CFG, calib, progress=False)
+    logits, _ = forward(qparams, CFG, calib[:1, :8])
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_gptq_mixed_bits_promotes():
+    params = init_params(CFG, jax.random.key(1))
+    rng = np.random.default_rng(7)
+    calib = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 16)), jnp.int32)
+    # 2-bit g128 is bad enough that promotion (to g64/g32/3-bit) should
+    # halve the error for at least one layer on random weights
+    q = GPTQQuantizer(
+        GPTQConfig(wbits=2, groupsize=128, allow_mix_bits=True)
+    )
+    qparams = q.quantize(params, CFG, calib, progress=False)
+    confs = q.quant_config_by_layer
+    assert len(confs) == 14
+    promoted = [k for k, v in confs.items() if (v["wbits"], v["groupsize"]) != (2, 128)]
+    assert promoted, confs
+    # promoted layers really carry the promoted width
+    name = promoted[0]
+    idx = int(name.split(".")[2])
+    lname = name.split(".")[-1]
+    qt = qparams["layers"][idx][lname]
+    assert (qt.bits, qt.group_size) == (
+        confs[name]["wbits"],
+        confs[name]["groupsize"],
+    )
