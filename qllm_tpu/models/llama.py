@@ -294,7 +294,9 @@ def forward(
     ``pos`` and attention runs over cache positions [0, pos+T).
     """
     B, T = token_ids.shape
-    h = jnp.take(params["embed_tokens"], token_ids, axis=0)
+    # mode="clip": out-of-range ids clamp instead of jnp.take's default
+    # NaN fill (defensive; calibration/generation ids should be in range)
+    h = jnp.take(params["embed_tokens"], token_ids, axis=0, mode="clip")
 
     if cache is None:
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))

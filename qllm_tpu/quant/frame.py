@@ -92,7 +92,7 @@ def embed_inputs(
     receives.
     """
     B, T = token_ids.shape
-    h = jnp.take(params["embed_tokens"], token_ids, axis=0)
+    h = jnp.take(params["embed_tokens"], token_ids, axis=0, mode="clip")
     positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
     cos, sin = _rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
     mask = jnp.where(

@@ -1,0 +1,201 @@
+"""CLI / orchestrator / export / chat-plugin / data tests."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qllm_tpu.args_config import FakeArgs
+from qllm_tpu.auto_quant import AutoModelQuantization
+from qllm_tpu.modeling import AutoQuantizedModelForCausalLM as AutoQ
+from qllm_tpu.models import TINY_LLAMA_TEST_CONFIG, forward, init_params
+
+CFG = TINY_LLAMA_TEST_CONFIG
+
+
+@pytest.fixture()
+def float_ckpt(tmp_path):
+    params = init_params(CFG, jax.random.key(0))
+    path = str(tmp_path / "float_model")
+    AutoQ.save_pretrained(params, CFG, path, pack_mode="GPTQ")
+    for n in ("quant_config.json", "quantize_config.json"):
+        p = os.path.join(path, n)
+        if os.path.exists(p):
+            os.remove(p)
+    return path
+
+
+def test_cli_quantize_save_eval(float_ckpt, tmp_path, capsys):
+    from qllm_tpu.run import main
+
+    out = str(tmp_path / "quantized")
+    main(
+        [
+            "--model",
+            float_ckpt,
+            "--quant_method",
+            "hqq",
+            "--wbits",
+            "4",
+            "--groupsize",
+            "32",
+            "--dataset",
+            "synthetic",
+            "--save",
+            out,
+            "--eval",
+            "--max_new_tokens",
+            "4",
+        ]
+    )
+    assert os.path.exists(os.path.join(out, "model.safetensors"))
+    conf = json.load(open(os.path.join(out, "quant_config.json")))
+    assert conf["version"] == "HQQ"
+    # reload and forward
+    params, cfg = AutoQ.from_quantized(out)
+    logits, _ = forward(params, cfg, jnp.zeros((1, 4), jnp.int32))
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_cli_gptq_synthetic(float_ckpt, tmp_path):
+    from qllm_tpu.run import main
+
+    out = str(tmp_path / "q_gptq")
+    main(
+        [
+            "--model",
+            float_ckpt,
+            "--quant_method",
+            "gptq",
+            "--wbits",
+            "4",
+            "--groupsize",
+            "32",
+            "--nsamples",
+            "2",
+            "--seqlen",
+            "32",
+            "--dataset",
+            "synthetic",
+            "--save",
+            out,
+        ]
+    )
+    conf = json.load(open(os.path.join(out, "quant_config.json")))
+    assert conf["version"] == "GPTQ"
+
+
+def test_cli_requires_model():
+    from qllm_tpu.run import main
+
+    with pytest.raises(SystemExit):
+        main(["--eval"])
+
+
+def test_repack_checkpoint(float_ckpt, tmp_path):
+    amq = AutoModelQuantization()
+    params, cfg = AutoQ.from_pretrained(float_ckpt)
+    args = FakeArgs(
+        model=float_ckpt,
+        quant_method="hqq",
+        wbits=4,
+        groupsize=32,
+        dataset="synthetic",
+    )
+    qparams = amq.api_quantize(params, cfg, args=args)
+    p1 = str(tmp_path / "hqq_save")
+    amq.save_model(qparams, cfg, args, p1)
+    # HQQ -> repack not allowed to int layouts (fractional zeros) — check
+    # GPTQ-produced checkpoints instead for GEMM repack
+    args2 = FakeArgs(
+        model=float_ckpt,
+        quant_method="gptq",
+        wbits=4,
+        groupsize=32,
+        nsamples=2,
+        seqlen=32,
+        dataset="synthetic",
+    )
+    qparams2 = amq.api_quantize(params, cfg, args=args2)
+    p2 = str(tmp_path / "gptq_save")
+    amq.save_model(qparams2, cfg, args2, p2)
+    p3 = str(tmp_path / "gemm_repack")
+    amq.repack_to_new_mode(p2, p3, "GEMM")
+    pa, ca = AutoQ.from_quantized(p2)
+    pb, cb = AutoQ.from_quantized(p3)
+    tok = jnp.asarray([[1, 2, 3]], jnp.int32)
+    la, _ = forward(pa, ca, tok)
+    lb, _ = forward(pb, cb, tok)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=2e-2)
+
+
+def test_export_stablehlo_verified(tmp_path):
+    from qllm_tpu.export import export_model
+
+    params = init_params(CFG, jax.random.key(1))
+    path = str(tmp_path / "export")
+    export_model(
+        params, CFG, path, batch=1, prompt_len=8, max_seq=16, verify=True
+    )
+    assert os.path.exists(os.path.join(path, "prefill.stablehlo"))
+    assert os.path.exists(os.path.join(path, "decode.stablehlo"))
+
+
+class _DummyTokenizer:
+    eos_token_id = 0
+    name_or_path = "dummy"
+
+    def __call__(self, text, return_tensors=None):
+        class R:
+            input_ids = np.asarray(
+                [[(ord(c) % 400) + 2 for c in text[:16]]], np.int32
+            )
+
+        return R()
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(97 + (int(i) % 26)) for i in ids)
+
+
+def test_chat_loop_scripted():
+    from qllm_tpu.plugin.chat import chat_loop
+
+    params = init_params(CFG, jax.random.key(2))
+    inputs = iter(["hello", "exit"])
+    outputs = []
+    chat_loop(
+        params,
+        CFG,
+        _DummyTokenizer(),
+        max_new_tokens=4,
+        inp=lambda: next(inputs),
+        outp=outputs.append,
+    )
+    joined = "".join(outputs)
+    assert "ASSISTANT:" in joined
+    assert "tok/s" in joined
+
+
+def test_conversation_template():
+    from qllm_tpu.plugin.chat import Conversation
+
+    c = Conversation()
+    c.append("user", "hi")
+    c.append("assistant", "hello!")
+    c.append("user", "how are you")
+    p = c.prompt()
+    assert p.startswith("<s>[INST] <<SYS>>")
+    assert "hi [/INST] hello! </s>" in p
+    assert p.endswith("how are you [/INST]")
+
+
+def test_synthetic_loader_deterministic():
+    from qllm_tpu.data import get_loaders
+
+    a, at = get_loaders("synthetic", None, nsamples=4, seed=3, seqlen=64)
+    b, bt = get_loaders("synthetic", None, nsamples=4, seed=3, seqlen=64)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (4, 64)
