@@ -41,6 +41,15 @@ _HF_PREFIX = {
 }
 
 _QUANT_SUFFIXES = ("qweight", "qzeros", "scales", "g_idx", "zeros")
+_VPTQ_SUFFIXES = (
+    "indices",
+    "centroids",
+    "res_indices",
+    "res_centroids",
+    "outlier_ids",
+    "outlier_weight",
+    "vq_perm",
+)
 
 
 def _st_load(path: str) -> Dict[str, np.ndarray]:
@@ -119,10 +128,21 @@ class AutoQuantizedModelForCausalLM:
                     for suf in _QUANT_SUFFIXES
                     if f"{base}.{suf}" in tensors
                 }
+                lname = f"model.layers.{i}.{name}"
+                if qconf.pack_mode == "VPTQ":
+                    vq = {
+                        suf: tensors.get(f"{base}.{suf}")
+                        for suf in _VPTQ_SUFFIXES
+                    }
+                    if vq["indices"] is None:
+                        continue
+                    lp[name] = cls._vptq_from_tensors(
+                        vq, qconf.layer_configs.get(lname, {})
+                    )
+                    continue
                 if "qweight" not in group:
                     continue  # layer left unquantized (scanned like
                     # reference base.py:265-279)
-                lname = f"model.layers.{i}.{name}"
                 bits = qconf.bits_of(lname)
                 gs = qconf.groupsize_of(lname)
                 lp[name] = import_layout(
@@ -180,6 +200,8 @@ class AutoQuantizedModelForCausalLM:
                 bias = lp.get(f"{name}_bias")
                 if bias is not None:
                     put_dense(f"{base}.bias", bias)
+                from ..quant.vptq import VPTQTensor
+
                 if isinstance(w, QuantizedTensor):
                     exported = export_layout(
                         w, pack_mode, autogptq=compatible_with_autogptq
@@ -192,6 +214,31 @@ class AutoQuantizedModelForCausalLM:
                     layer_configs.setdefault(
                         f"model.layers.{i}.{name}",
                         {"wbits": w.bits, "groupsize": w.group_size},
+                    )
+                elif isinstance(w, VPTQTensor):
+                    pack_mode = "VPTQ"
+                    vq = {
+                        "indices": np.asarray(w.indices).astype(np.int32),
+                        "centroids": np.asarray(w.centroids),
+                        "res_indices": w.res_indices,
+                        "res_centroids": w.res_centroids,
+                        "outlier_ids": w.outlier_ids,
+                        "outlier_weight": w.outlier_weight,
+                        "vq_perm": w.perm,
+                    }
+                    for suf, arr in vq.items():
+                        if arr is not None:
+                            tensors[f"{base}.{suf}"] = np.asarray(arr)
+                    # merge (not setdefault): quantizer-provided configs
+                    # may lack the structural fields needed to rebuild
+                    lc = layer_configs.setdefault(
+                        f"model.layers.{i}.{name}", {}
+                    )
+                    lc.update(
+                        vector_len=w.vector_len,
+                        n_outlier=w.n_outlier,
+                        in_features=w.in_features,
+                        out_features=w.out_features,
                     )
                 else:
                     put_dense(f"{base}.weight", w.T)
@@ -210,6 +257,40 @@ class AutoQuantizedModelForCausalLM:
             json.dump(hf_config_dict(cfg), f, indent=2)
 
     # ------------------------------------------------------------------ misc
+
+    @staticmethod
+    def _vptq_from_tensors(vq: Dict[str, Optional[np.ndarray]], meta: Dict):
+        from ..quant.vptq import VPTQTensor
+
+        indices = jnp.asarray(np.asarray(vq["indices"]), jnp.int32)
+        centroids = jnp.asarray(np.asarray(vq["centroids"]))
+        v = meta.get("vector_len", centroids.shape[-1])
+        n_out = int(meta.get("n_outlier", 0))
+        N = indices.shape[0]
+        K = meta.get("in_features", indices.shape[1] * v + n_out)
+        return VPTQTensor(
+            indices=indices,
+            centroids=centroids,
+            res_indices=None
+            if vq["res_indices"] is None
+            else jnp.asarray(np.asarray(vq["res_indices"]), jnp.int32),
+            res_centroids=None
+            if vq["res_centroids"] is None
+            else jnp.asarray(np.asarray(vq["res_centroids"])),
+            outlier_ids=None
+            if vq["outlier_ids"] is None
+            else jnp.asarray(np.asarray(vq["outlier_ids"]), jnp.int32),
+            outlier_weight=None
+            if vq["outlier_weight"] is None
+            else jnp.asarray(np.asarray(vq["outlier_weight"])),
+            perm=None
+            if vq["vq_perm"] is None
+            else jnp.asarray(np.asarray(vq["vq_perm"]), jnp.int32),
+            vector_len=int(v),
+            in_features=int(K),
+            out_features=int(meta.get("out_features", N)),
+            n_outlier=n_out,
+        )
 
     @staticmethod
     def _float_params(

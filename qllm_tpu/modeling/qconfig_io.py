@@ -158,6 +158,8 @@ def _method_of_version(version: str) -> str:
         return "awq"
     if v == "HQQ":
         return "hqq"
+    if v == "VPTQ":
+        return "vptq"
     return "gptq"
 
 

@@ -129,9 +129,14 @@ def init_params(
 def apply_linear(
     w, x: jax.Array, bias: Optional[jax.Array] = None
 ) -> jax.Array:
-    """x [..., K] @ w -> [..., N]; w is dense [K, N] or QuantizedTensor."""
+    """x [..., K] @ w -> [..., N]; w is dense [K, N], QuantizedTensor,
+    or VPTQTensor."""
     if isinstance(w, QuantizedTensor):
         return qmatmul(x, w, bias)
+    from ..quant.vptq import VPTQTensor, vptq_matmul
+
+    if isinstance(w, VPTQTensor):
+        return vptq_matmul(x, w, bias)
     y = jnp.dot(
         x.astype(jnp.bfloat16),
         w.astype(jnp.bfloat16),

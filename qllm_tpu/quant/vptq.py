@@ -1,0 +1,321 @@
+"""VPTQ: vector post-training quantization.
+
+The reference outsources the per-layer solver to the external ``vptq``
+package (quant_vptq.py:176-181) and contributes the Hessian pipeline +
+multi-GPU orchestration around it. Here the solver itself is
+implemented from scratch, TPU-native:
+
+  * weights are split into length-``vector_len`` vectors along the
+    input dim; a codebook of ``num_centroids`` vectors is learned by
+    **Hessian-weighted k-means** (importance = diag(H), the proxy
+    second-order sensitivity), fully on-device: assignment via two
+    matmuls (no pairwise subtract), centroid update via segment-sum.
+  * optional **residual codebook** (``num_res_centroids``) on the
+    quantization residuals (QuIP#/VPTQ two-stage quantization).
+  * optional **outlier columns**: the ``npercent``% most sensitive
+    input features are kept in fp16 (the reference routes them to a
+    separate wider codebook; fp16 is a strictly-more-accurate variant
+    at ~equal bytes for the default 1%).
+  * optional input permutation (``enable_perm``) sorting features by
+    importance (descending diag(H)), stored like act_order.
+
+Storage: ``VPTQTensor`` pytree (indices + codebooks + outliers), with a
+dense dequant path for the XLA matmul and checkpoint (de)serialization
+in modeling/auto.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import VPTQConfig
+
+__all__ = ["VPTQTensor", "vptq_quantize_weight", "VPTQQuantizer", "vptq_dequant"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "indices",
+        "centroids",
+        "res_indices",
+        "res_centroids",
+        "outlier_ids",
+        "outlier_weight",
+        "perm",
+    ],
+    meta_fields=["vector_len", "in_features", "out_features", "n_outlier"],
+)
+@dataclasses.dataclass(frozen=True)
+class VPTQTensor:
+    """Vector-quantized weight for y = x @ W, W [K, N]."""
+
+    indices: jax.Array  # int32 [N, Kq // v] main codebook ids
+    centroids: jax.Array  # f16 [C, v]
+    res_indices: Optional[jax.Array]  # int32 [N, Kq // v] or None
+    res_centroids: Optional[jax.Array]  # f16 [Cr, v] or None
+    outlier_ids: Optional[jax.Array]  # int32 [n_out] positions in PERMUTED order
+    outlier_weight: Optional[jax.Array]  # f16 [n_out, N]
+    perm: Optional[jax.Array]  # int32 [K] permuted->original feature map
+    vector_len: int
+    in_features: int
+    out_features: int
+    n_outlier: int
+
+    @property
+    def bits_per_weight(self) -> float:
+        v = self.vector_len
+        bits = np.ceil(np.log2(max(2, self.centroids.shape[0]))) / v
+        if self.res_centroids is not None:
+            bits += np.ceil(np.log2(max(2, self.res_centroids.shape[0]))) / v
+        return float(bits)
+
+    def nbytes(self) -> int:
+        total = self.indices.size * 2 + self.centroids.size * 2
+        if self.res_indices is not None:
+            total += self.res_indices.size * 1 + self.res_centroids.size * 2
+        if self.outlier_weight is not None:
+            total += self.outlier_weight.size * 2 + self.outlier_ids.size * 4
+        return total
+
+
+def _weighted_kmeans(
+    vecs: jax.Array,  # [V, v]
+    wts: jax.Array,  # [V, v] per-coordinate importance
+    n_centroids: int,
+    iters: int,
+    seed: int = 0,
+    chunk: int = 65536,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (centroids [C, v], assignment [V])."""
+    V, v = vecs.shape
+    C = min(n_centroids, V)
+    key = jax.random.key(seed)
+    if C <= 1024:
+        # farthest-point (greedy k-means++) init: avoids duplicate
+        # centroids collapsing distinct clusters
+        first = jax.random.randint(key, (), 0, V)
+        centroids0 = jnp.zeros((C, v), vecs.dtype).at[0].set(vecs[first])
+
+        def body(i, carry):
+            cents, min_d = carry
+            d = jnp.sum(wts * (vecs - cents[i - 1]) ** 2, axis=1)
+            min_d = jnp.minimum(min_d, d)
+            nxt = jnp.argmax(min_d)
+            return cents.at[i].set(vecs[nxt]), min_d
+
+        centroids, _ = jax.lax.fori_loop(
+            1, C, body, (centroids0, jnp.full((V,), jnp.inf))
+        )
+    else:
+        init_ids = jax.random.choice(key, V, shape=(C,), replace=False)
+        centroids = vecs[init_ids]
+
+    @jax.jit
+    def assign(centroids, vecs, wts):
+        # argmin_c sum_j w_j (x_j - c_j)^2 = argmin_c [ c^2·w - 2 (w⊙x)·c ]
+        wx = wts * vecs  # [V, v]
+        a = wx @ centroids.T  # [V, C]
+        b = wts @ (centroids.T**2)  # [V, C]
+        return jnp.argmin(b - 2.0 * a, axis=1)
+
+    @jax.jit
+    def update(assign_ids, vecs, wts, centroids):
+        num = jax.ops.segment_sum(wts * vecs, assign_ids, num_segments=C)
+        den = jax.ops.segment_sum(wts, assign_ids, num_segments=C)
+        upd = num / jnp.maximum(den, 1e-10)
+        # reseed empty clusters onto the currently worst-quantized vectors
+        nonempty = (den > 0).any(axis=1)
+        d = jnp.sum(wts * (vecs - upd[assign_ids]) ** 2, axis=1)
+        _, worst = jax.lax.top_k(d, k=min(C, 64))
+        n_empty_slots = jnp.cumsum(~nonempty) - 1  # rank among empties
+        reseed = vecs[worst[jnp.clip(n_empty_slots, 0, worst.shape[0] - 1)]]
+        return jnp.where(nonempty[:, None], upd, reseed)
+
+    ids = None
+    for _ in range(max(1, iters)):
+        parts = [
+            assign(centroids, vecs[s : s + chunk], wts[s : s + chunk])
+            for s in range(0, V, chunk)
+        ]
+        ids = jnp.concatenate(parts)
+        centroids = update(ids, vecs, wts, centroids)
+    parts = [
+        assign(centroids, vecs[s : s + chunk], wts[s : s + chunk])
+        for s in range(0, V, chunk)
+    ]
+    ids = jnp.concatenate(parts)
+    return centroids, ids
+
+
+def vptq_quantize_weight(
+    w: jax.Array,  # [K, N]
+    H: jax.Array,  # [K, K] (only the diagonal is used)
+    config: Optional[VPTQConfig] = None,
+    seed: int = 0,
+) -> VPTQTensor:
+    cfg = config or VPTQConfig()
+    K, N = w.shape
+    v = cfg.vector_len
+    if K % v:
+        raise ValueError(f"in_features={K} not divisible by vector_len={v}")
+    w = w.astype(jnp.float32)
+    imp = jnp.clip(jnp.diag(H).astype(jnp.float32), 1e-10, None)  # [K]
+
+    # permutation by importance (enable_perm)
+    if cfg.enable_perm:
+        perm = jnp.argsort(-imp)
+    else:
+        perm = jnp.arange(K)
+    wp = w[perm]
+    impp = imp[perm]
+
+    # outliers: most-important npercent input features kept fp16
+    n_out = int(round(K * cfg.npercent / 100.0))
+    n_out -= n_out % v  # keep the VQ region vector-aligned
+    if n_out > 0:
+        outlier_ids = jnp.arange(n_out)  # top of the permuted order
+        outlier_weight = wp[:n_out].astype(jnp.float16)
+        wq_region = wp[n_out:]
+        imp_region = impp[n_out:]
+    else:
+        outlier_ids = None
+        outlier_weight = None
+        wq_region = wp
+        imp_region = impp
+    Kq = K - n_out
+
+    # vectors along the input dim: [N, Kq/v, v]
+    vecs = wq_region.T.reshape(N * (Kq // v), v)
+    wts = jnp.broadcast_to(
+        imp_region.reshape(1, Kq // v, v), (N, Kq // v, v)
+    ).reshape(N * (Kq // v), v)
+
+    centroids, ids = _weighted_kmeans(
+        vecs, wts, cfg.num_centroids, cfg.kmeans_iters, seed=seed
+    )
+    res_indices = None
+    res_centroids = None
+    if cfg.num_res_centroids and cfg.num_res_centroids > 1:
+        resid = vecs - centroids[ids]
+        res_centroids, res_ids = _weighted_kmeans(
+            resid, wts, cfg.num_res_centroids, cfg.kmeans_iters, seed=seed + 1
+        )
+        res_indices = res_ids.reshape(N, Kq // v).astype(jnp.int32)
+
+    return VPTQTensor(
+        indices=ids.reshape(N, Kq // v).astype(jnp.int32),
+        centroids=centroids.astype(jnp.float16),
+        res_indices=res_indices,
+        res_centroids=None
+        if res_centroids is None
+        else res_centroids.astype(jnp.float16),
+        outlier_ids=outlier_ids,
+        outlier_weight=outlier_weight,
+        perm=perm.astype(jnp.int32) if cfg.enable_perm else None,
+        vector_len=v,
+        in_features=K,
+        out_features=N,
+        n_outlier=n_out,
+    )
+
+
+def vptq_dequant(vt: VPTQTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Dense [K, N] in PERMUTED row order (apply vt.perm to activations)."""
+    N = vt.out_features
+    Kq = vt.in_features - vt.n_outlier
+    v = vt.vector_len
+    wq = vt.centroids.astype(jnp.float32)[vt.indices]  # [N, Kq/v, v]
+    if vt.res_indices is not None:
+        wq = wq + vt.res_centroids.astype(jnp.float32)[vt.res_indices]
+    wq = wq.reshape(N, Kq).T  # [Kq, N]
+    if vt.n_outlier:
+        wq = jnp.concatenate([vt.outlier_weight.astype(jnp.float32), wq], axis=0)
+    return wq.astype(dtype)
+
+
+def vptq_matmul(x: jax.Array, vt: VPTQTensor, bias=None) -> jax.Array:
+    """y = x @ W. x [..., K] in original feature order."""
+    if vt.perm is not None:
+        x = jnp.take(x, vt.perm, axis=-1)
+    w = vptq_dequant(vt, dtype=jnp.bfloat16)
+    y = jnp.dot(
+        x.astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+class VPTQQuantizer:
+    """Model-level driver (reference quant_vptq.py): collect Hessians
+    per block, vector-quantize each linear, propagate quantized
+    activations. Per-layer configs come from
+    VPTQConfig.config_for_layers keyed by layer name (reference
+    VPTQInferConfig.config_for_layers)."""
+
+    def __init__(self, config: VPTQConfig):
+        self.config = config
+        self.quant_config_by_layer: Dict[str, Dict[str, Any]] = {}
+
+    def _layer_cfg(self, name: str) -> VPTQConfig:
+        overrides = self.config.config_for_layers or {}
+        for key, conf in overrides.items():
+            if key == name or key in name:
+                fields = {f.name for f in dataclasses.fields(VPTQConfig)}
+                return dataclasses.replace(
+                    self.config,
+                    **{k: w for k, w in conf.items() if k in fields},
+                )
+        return self.config
+
+    def quantize(
+        self,
+        params: Dict[str, Any],
+        model_cfg,
+        calib_tokens: jax.Array,
+        layer_overrides=None,
+        progress: bool = True,
+    ) -> Dict[str, Any]:
+        from ..models.llama import LINEAR_NAMES
+        from .frame import embed_inputs, run_block
+        from .hessian import collect_block_hessians
+
+        h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
+        new_layers: List[Dict[str, Any]] = []
+        for i, lp in enumerate(params["layers"]):
+            Hs = collect_block_hessians(lp, model_cfg, h, cos, sin, mask)
+            nlp = dict(lp)
+            for name in LINEAR_NAMES:
+                if name not in lp:
+                    continue
+                full = f"model.layers.{i}.{name}"
+                lcfg = self._layer_cfg(full)
+                vt = vptq_quantize_weight(
+                    lp[name].astype(jnp.float32), Hs[name], lcfg, seed=i
+                )
+                nlp[name] = vt
+                self.quant_config_by_layer[full] = {
+                    "vector_len": lcfg.vector_len,
+                    "num_centroids": int(vt.centroids.shape[0]),
+                    "num_res_centroids": 0
+                    if vt.res_centroids is None
+                    else int(vt.res_centroids.shape[0]),
+                    "npercent": lcfg.npercent,
+                    "bits_per_weight": vt.bits_per_weight,
+                }
+            h = run_block(nlp, model_cfg, h, cos, sin, mask)
+            new_layers.append(nlp)
+            if progress:
+                print(
+                    f"[vptq] layer {i + 1}/{len(params['layers'])}", flush=True
+                )
+        out = dict(params)
+        out["layers"] = new_layers
+        return out
