@@ -147,6 +147,19 @@ def apply_linear(
     return y
 
 
+def _pallas_attn_enabled() -> bool:
+    import os
+
+    if os.environ.get("QLLM_TPU_DISABLE_PALLAS"):
+        return False
+    if os.environ.get("QLLM_TPU_FORCE_PALLAS_ATTN"):
+        return True  # tests: run interpret-mode kernel on CPU
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     dt = x.dtype
     xf = x.astype(jnp.float32)
@@ -232,6 +245,21 @@ def _layer_forward(
 
     if cache is not None:
         cache = cache.update(layer_idx, k, v, pos)
+        if T == 1 and cache.quantized and _pallas_attn_enabled():
+            # fused int8-KV decode attention kernel
+            from ..ops.pallas_attention import decode_attention_pallas
+
+            kq, vq, ks, vs = cache.layer_kv_raw(layer_idx)
+            lengths = jnp.full((B,), pos + 1, jnp.int32)
+            attn = decode_attention_pallas(
+                q[:, 0], kq, vq, ks, vs, lengths
+            )[:, None].astype(h.dtype)
+            h = h + apply_linear(lp["o_proj"], attn.reshape(B, T, H * hd))
+            x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+            gate = apply_linear(lp["gate_proj"], x)
+            up = apply_linear(lp["up_proj"], x)
+            h = h + apply_linear(lp["down_proj"], jax.nn.silu(gate) * up)
+            return h, cache
         k_all, v_all = cache.layer_kv(layer_idx, dtype=h.dtype)
     else:
         k_all, v_all = k, v

@@ -4,12 +4,13 @@ The capability the reference's bundled-but-never-built ft_attention
 extension promised (csrc/ft_attention/*, excluded from setup.py:173-194)
 — delivered TPU-natively: an int8 per-(token, head) symmetric-scaled KV
 cache stored as a pytree, updated functionally inside the jitted decode
-step, consumed by the decode attention kernel (pallas_attention.py) or
-the XLA reference path.
+step, consumed by the Pallas decode-attention kernel
+(pallas_attention.py) or the XLA reference path.
 
-Layout: k/v ``int8 [L, B, S_max, H_kv, D]``, scales ``[L, B, S_max, H_kv]``
-float32. S (time) is a leading-ish dim so a decode-step write is one
-dynamic_update_slice per layer; D=head_dim sits in lanes.
+Layout: k/v ``int8 [L, B, H_kv, S_max, D]``, scales ``[L, B, H_kv, S_max]``
+float32. (S, D) are the trailing dims so each (batch, head) slice is a
+contiguous [S, D] tile — exactly what the decode kernel streams; D sits
+in lanes.
 """
 
 from __future__ import annotations
@@ -42,9 +43,9 @@ class QuantizedKVCache:
     """KV cache for all layers. When quantized=False, k/v hold bf16 and
     the scale arrays are size-1 placeholders."""
 
-    k: jax.Array  # [L, B, S, H_kv, D] int8 or bf16
+    k: jax.Array  # [L, B, H_kv, S, D] int8 or bf16
     v: jax.Array
-    k_scale: jax.Array  # [L, B, S, H_kv] f32 (placeholder if not quantized)
+    k_scale: jax.Array  # [L, B, H_kv, S] f32 (placeholder if not quantized)
     v_scale: jax.Array
     quantized: bool
 
@@ -59,10 +60,10 @@ class QuantizedKVCache:
         quantized: bool = True,
         dtype=jnp.bfloat16,
     ) -> "QuantizedKVCache":
-        shape = (n_layers, batch, max_seq, n_kv_heads, head_dim)
+        shape = (n_layers, batch, n_kv_heads, max_seq, head_dim)
         if quantized:
             kv_dtype = jnp.int8
-            sshape = (n_layers, batch, max_seq, n_kv_heads)
+            sshape = (n_layers, batch, n_kv_heads, max_seq)
         else:
             kv_dtype = dtype
             sshape = (1,)
@@ -76,32 +77,33 @@ class QuantizedKVCache:
 
     @property
     def max_seq(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     def update(
         self, layer: int, k_new: jax.Array, v_new: jax.Array, pos: jax.Array
     ) -> "QuantizedKVCache":
         """Write k_new/v_new [B, T, H_kv, D] at time offset ``pos`` (scalar)."""
-        B, T = k_new.shape[0], k_new.shape[1]
+        k_new = k_new.transpose(0, 2, 1, 3)  # -> [B, H, T, D]
+        v_new = v_new.transpose(0, 2, 1, 3)
         if self.quantized:
             kq, ks = _quantize_kv(k_new)
             vq, vs = _quantize_kv(v_new)
-            k = jax.lax.dynamic_update_slice(self.k, kq[None], (layer, 0, pos, 0, 0))
-            v = jax.lax.dynamic_update_slice(self.v, vq[None], (layer, 0, pos, 0, 0))
+            k = jax.lax.dynamic_update_slice(self.k, kq[None], (layer, 0, 0, pos, 0))
+            v = jax.lax.dynamic_update_slice(self.v, vq[None], (layer, 0, 0, pos, 0))
             k_scale = jax.lax.dynamic_update_slice(
-                self.k_scale, ks[None], (layer, 0, pos, 0)
+                self.k_scale, ks[None], (layer, 0, 0, pos)
             )
             v_scale = jax.lax.dynamic_update_slice(
-                self.v_scale, vs[None], (layer, 0, pos, 0)
+                self.v_scale, vs[None], (layer, 0, 0, pos)
             )
             return dataclasses.replace(
                 self, k=k, v=v, k_scale=k_scale, v_scale=v_scale
             )
         k = jax.lax.dynamic_update_slice(
-            self.k, k_new.astype(self.k.dtype)[None], (layer, 0, pos, 0, 0)
+            self.k, k_new.astype(self.k.dtype)[None], (layer, 0, 0, pos, 0)
         )
         v = jax.lax.dynamic_update_slice(
-            self.v, v_new.astype(self.v.dtype)[None], (layer, 0, pos, 0, 0)
+            self.v, v_new.astype(self.v.dtype)[None], (layer, 0, 0, pos, 0)
         )
         return dataclasses.replace(self, k=k, v=v)
 
@@ -112,4 +114,17 @@ class QuantizedKVCache:
         if self.quantized:
             k = k.astype(jnp.float32) * self.k_scale[layer][..., None]
             v = v.astype(jnp.float32) * self.v_scale[layer][..., None]
-        return k.astype(dtype), v.astype(dtype)
+        return (
+            k.astype(dtype).transpose(0, 2, 1, 3),
+            v.astype(dtype).transpose(0, 2, 1, 3),
+        )
+
+    def layer_kv_raw(self, layer: int):
+        """Raw int8 (k, v, k_scale, v_scale) [B, H, S, D] for the Pallas
+        decode kernel."""
+        return (
+            self.k[layer],
+            self.v[layer],
+            self.k_scale[layer],
+            self.v_scale[layer],
+        )

@@ -1,0 +1,126 @@
+"""Pallas fused decode attention over the INT8 KV cache.
+
+The TPU delivery of what the reference bundled but never built
+(csrc/ft_attention decoder_masked_multihead_attention, excluded from
+setup.py:173-194): single-query attention against a quantized KV cache.
+
+Design:
+  * grid (B, H_kv); each program handles one (batch, kv-head) with its
+    GQA query group [n_rep, d] — K/V stay int8 end-to-end in VMEM.
+  * the per-token KV scales FOLD INTO THE MATMULS instead of
+    dequantizing K/V: scores = (q·K_int8ᵀ)·ks and out = (p·vs)·V_int8,
+    so the only element-wise int8->bf16 casts feed the MXU directly.
+  * valid-length masking via per-batch ``lengths`` (continuous batching
+    ready), fp32 softmax.
+
+VMEM: K+V for one (b, h) at S=4096, d=128 is 1 MB — one-shot blocks
+(no flash chunking needed at serving sequence lengths; revisit for
+32k+ contexts).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["decode_attention_pallas"]
+
+
+def _attn_kernel(
+    lengths_ref,  # scalar prefetch: [B] int32 valid lengths
+    q_ref,  # [1, 1, n_rep_p, d] bf16 (pre-scaled by 1/sqrt(d))
+    k_ref,  # [1, 1, S, d] int8
+    v_ref,  # [1, 1, S, d] int8
+    ks_ref,  # [1, 1, 1, S] f32
+    vs_ref,  # [1, 1, 1, S] f32
+    o_ref,  # [1, 1, n_rep_p, d]
+):
+    b = pl.program_id(0)
+    S = k_ref.shape[2]
+    q = q_ref[0, 0]  # [n_rep_p, d]
+    k = k_ref[0, 0].astype(jnp.bfloat16)  # [S, d]
+    ks = ks_ref[0, 0]  # [1, S]
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [n_rep_p, S]
+    scores = scores * ks
+    length = lengths_ref[b]
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < length, scores, -jnp.inf)
+
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+
+    vs = vs_ref[0, 0]  # [1, S]
+    pv = (p * vs).astype(jnp.bfloat16)  # scale folded into probs
+    v = v_ref[0, 0].astype(jnp.bfloat16)  # [S, d]
+    out = jnp.dot(pv, v, preferred_element_type=jnp.float32)  # [n_rep_p, d]
+    o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def decode_attention_pallas(
+    q: jax.Array,  # [B, H, d] queries for ONE decode step
+    k_cache: jax.Array,  # [B, H_kv, S, d] int8
+    v_cache: jax.Array,  # [B, H_kv, S, d] int8
+    k_scale: jax.Array,  # [B, H_kv, S] f32
+    v_scale: jax.Array,  # [B, H_kv, S] f32
+    lengths: jax.Array,  # [B] int32: attend to cache[:length]
+) -> jax.Array:
+    B, H, d = q.shape
+    _, Hkv, S, _ = k_cache.shape
+    n_rep = H // Hkv
+    n_rep_p = max(8, ((n_rep + 7) // 8) * 8)  # sublane pad
+
+    qg = q.astype(jnp.float32) * (d**-0.5)
+    qg = qg.reshape(B, Hkv, n_rep, d)
+    if n_rep_p != n_rep:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, n_rep_p - n_rep), (0, 0)))
+    qg = qg.astype(jnp.bfloat16)
+    ks = k_scale.reshape(B, Hkv, 1, S).astype(jnp.float32)
+    vs = v_scale.reshape(B, Hkv, 1, S).astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _attn_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * B * H * S * d,
+            bytes_accessed=2 * B * Hkv * S * d + B * H * d * 4,
+            transcendentals=B * H * S,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(lengths.astype(jnp.int32), qg, k_cache, v_cache, ks, vs)
+    return out[:, :, :n_rep, :].reshape(B, H, d)

@@ -98,8 +98,9 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 
 
 def cache_pspec(quantized: bool):
-    kv = P(None, "dp", None, "tp", None)
-    scale = P(None, "dp", None, "tp") if quantized else P(None)
+    # cache layout [L, B, H_kv, S, D]
+    kv = P(None, "dp", "tp", None, None)
+    scale = P(None, "dp", "tp", None) if quantized else P(None)
     return kv, scale
 
 
