@@ -250,7 +250,9 @@ def _layer_forward(
             from ..ops.pallas_attention import decode_attention_pallas
 
             kq, vq, ks, vs = cache.layer_kv_raw(layer_idx)
-            lengths = jnp.full((B,), pos + 1, jnp.int32)
+            lengths = jnp.broadcast_to(jnp.asarray(pos) + 1, (B,)).astype(
+                jnp.int32
+            )
             attn = decode_attention_pallas(
                 q[:, 0], kq, vq, ks, vs, lengths
             )[:, None].astype(h.dtype)
@@ -342,13 +344,22 @@ def forward(
     else:
         if pos is None:
             pos = jnp.int32(0)
+        pos = jnp.asarray(pos)
         S = cache.max_seq
-        positions = pos + jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-        # position s visible to query t  iff  s <= pos + t
-        q_pos = pos + jnp.arange(T)[:, None]  # [T, 1]
-        s_idx = jnp.arange(S)[None, :]  # [1, S]
-        mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
-        mask = jnp.broadcast_to(mask.reshape(1, 1, T, S), (B, 1, T, S))
+        if pos.ndim == 0:
+            positions = pos + jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+            # position s visible to query t  iff  s <= pos + t
+            q_pos = pos + jnp.arange(T)[:, None]  # [T, 1]
+            s_idx = jnp.arange(S)[None, :]  # [1, S]
+            mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+            mask = jnp.broadcast_to(mask.reshape(1, 1, T, S), (B, 1, T, S))
+        else:
+            # per-slot offsets (continuous batching): pos int32 [B]
+            positions = pos[:, None] + jnp.arange(T)[None, :]
+            q_pos = pos[:, None, None, None] + jnp.arange(T)[None, None, :, None]
+            s_idx = jnp.arange(S)[None, None, None, :]
+            mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+            mask = jnp.broadcast_to(mask, (B, 1, T, S))
 
     cos, sin = _rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
     for i, lp in enumerate(params["layers"]):

@@ -82,30 +82,98 @@ class QuantizedKVCache:
     def update(
         self, layer: int, k_new: jax.Array, v_new: jax.Array, pos: jax.Array
     ) -> "QuantizedKVCache":
-        """Write k_new/v_new [B, T, H_kv, D] at time offset ``pos`` (scalar)."""
+        """Write k_new/v_new [B, T, H_kv, D] at time offset ``pos``.
+
+        ``pos`` may be a scalar (all sequences aligned) or an int32 [B]
+        of per-slot offsets (continuous batching)."""
         k_new = k_new.transpose(0, 2, 1, 3)  # -> [B, H, T, D]
         v_new = v_new.transpose(0, 2, 1, 3)
+        pos = jnp.asarray(pos)
+
+        if pos.ndim == 0:
+            if self.quantized:
+                kq, ks = _quantize_kv(k_new)
+                vq, vs = _quantize_kv(v_new)
+                k = jax.lax.dynamic_update_slice(
+                    self.k, kq[None], (layer, 0, 0, pos, 0)
+                )
+                v = jax.lax.dynamic_update_slice(
+                    self.v, vq[None], (layer, 0, 0, pos, 0)
+                )
+                k_scale = jax.lax.dynamic_update_slice(
+                    self.k_scale, ks[None], (layer, 0, 0, pos)
+                )
+                v_scale = jax.lax.dynamic_update_slice(
+                    self.v_scale, vs[None], (layer, 0, 0, pos)
+                )
+                return dataclasses.replace(
+                    self, k=k, v=v, k_scale=k_scale, v_scale=v_scale
+                )
+            k = jax.lax.dynamic_update_slice(
+                self.k, k_new.astype(self.k.dtype)[None], (layer, 0, 0, pos, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                self.v, v_new.astype(self.v.dtype)[None], (layer, 0, 0, pos, 0)
+            )
+            return dataclasses.replace(self, k=k, v=v)
+
+        # per-slot offsets: vmap the slice update over the batch dim
+        def upd4(buf_b, new_b, p):  # [H, S, D], [H, T, D]
+            return jax.lax.dynamic_update_slice(buf_b, new_b, (0, p, 0))
+
+        def upd3(buf_b, new_b, p):  # [H, S], [H, T]
+            return jax.lax.dynamic_update_slice(buf_b, new_b, (0, p))
+
         if self.quantized:
             kq, ks = _quantize_kv(k_new)
             vq, vs = _quantize_kv(v_new)
-            k = jax.lax.dynamic_update_slice(self.k, kq[None], (layer, 0, 0, pos, 0))
-            v = jax.lax.dynamic_update_slice(self.v, vq[None], (layer, 0, 0, pos, 0))
-            k_scale = jax.lax.dynamic_update_slice(
-                self.k_scale, ks[None], (layer, 0, 0, pos)
+            k = self.k.at[layer].set(jax.vmap(upd4)(self.k[layer], kq, pos))
+            v = self.v.at[layer].set(jax.vmap(upd4)(self.v[layer], vq, pos))
+            k_scale = self.k_scale.at[layer].set(
+                jax.vmap(upd3)(self.k_scale[layer], ks, pos)
             )
-            v_scale = jax.lax.dynamic_update_slice(
-                self.v_scale, vs[None], (layer, 0, 0, pos)
+            v_scale = self.v_scale.at[layer].set(
+                jax.vmap(upd3)(self.v_scale[layer], vs, pos)
             )
             return dataclasses.replace(
                 self, k=k, v=v, k_scale=k_scale, v_scale=v_scale
             )
-        k = jax.lax.dynamic_update_slice(
-            self.k, k_new.astype(self.k.dtype)[None], (layer, 0, 0, pos, 0)
+        k = self.k.at[layer].set(
+            jax.vmap(upd4)(self.k[layer], k_new.astype(self.k.dtype), pos)
         )
-        v = jax.lax.dynamic_update_slice(
-            self.v, v_new.astype(self.v.dtype)[None], (layer, 0, 0, pos, 0)
+        v = self.v.at[layer].set(
+            jax.vmap(upd4)(self.v[layer], v_new.astype(self.v.dtype), pos)
         )
         return dataclasses.replace(self, k=k, v=v)
+
+    def insert_slot(
+        self, slot, other: "QuantizedKVCache"
+    ) -> "QuantizedKVCache":
+        """Copy a batch-1 cache (a finished prefill) into batch slot
+        ``slot`` of this cache. Sequence lengths may differ (other's
+        max_seq <= ours)."""
+        S = other.max_seq
+
+        def put5(buf, src):
+            return jax.lax.dynamic_update_slice(
+                buf, src, (0, slot, 0, 0, 0)
+            )
+
+        def put4(buf, src):
+            return jax.lax.dynamic_update_slice(buf, src, (0, slot, 0, 0))
+
+        out = dataclasses.replace(
+            self,
+            k=put5(self.k, other.k.astype(self.k.dtype)),
+            v=put5(self.v, other.v.astype(self.v.dtype)),
+        )
+        if self.quantized:
+            out = dataclasses.replace(
+                out,
+                k_scale=put4(self.k_scale, other.k_scale),
+                v_scale=put4(self.v_scale, other.v_scale),
+            )
+        return out
 
     def layer_kv(self, layer: int, dtype=jnp.bfloat16):
         """Dequantized (k, v) [B, S, H_kv, D] for the XLA reference path."""

