@@ -94,19 +94,25 @@ def _unpack_bitstream(p: np.ndarray, bits: int, K: int) -> np.ndarray:
 
 
 def _pack_rows_ref(q: np.ndarray, bits: int) -> np.ndarray:
-    return (
-        _pack_fields(q, bits, axis=0)
-        if bits in (2, 4, 8)
-        else _pack_bitstream(q, bits)
-    )
+    from .. import native
+
+    if bits in (2, 4, 8):
+        out = native.pack_fields_rows(q, bits)
+        return out if out is not None else _pack_fields(q, bits, axis=0)
+    out = native.pack_bitstream_rows(q, bits)
+    return out if out is not None else _pack_bitstream(q, bits)
 
 
 def _unpack_rows_ref(p: np.ndarray, bits: int, K: int) -> np.ndarray:
-    return (
-        _unpack_fields(p, bits, axis=0, size=K)
-        if bits in (2, 4, 8)
-        else _unpack_bitstream(p, bits, K)
-    )
+    from .. import native
+
+    if bits in (2, 4, 8):
+        out = native.unpack_fields_rows(p, bits, K)
+        return (
+            out if out is not None else _unpack_fields(p, bits, axis=0, size=K)
+        )
+    out = native.unpack_bitstream_rows(p, bits, K)
+    return out if out is not None else _unpack_bitstream(p, bits, K)
 
 
 _AWQ_ORDER = np.array([0, 2, 4, 6, 1, 3, 5, 7])
