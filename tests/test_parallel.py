@@ -1,0 +1,108 @@
+"""Multi-device (8x virtual CPU) sharding tests.
+
+The TPU-native replacement for the reference's hand-rolled multi-GPU
+queues (SURVEY.md §2.3): data-parallel Hessian collection becomes a
+sharded jit (XLA inserts the psum), tensor-parallel decode becomes
+NamedSharding + one jitted step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from qllm_tpu.models import TINY_LLAMA_TEST_CONFIG, forward, init_params
+from qllm_tpu.models.generate import make_cache
+from qllm_tpu.parallel import make_mesh, shard_cache, shard_params
+from qllm_tpu.quant.frame import embed_inputs
+from qllm_tpu.quant.hessian import collect_block_hessians
+from qllm_tpu.utils.testing import random_quantized_params
+
+CFG = TINY_LLAMA_TEST_CONFIG
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(dp=2, tp=4)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+    mesh = make_mesh()  # default: all tp
+    assert mesh.shape["tp"] == jax.device_count()
+
+
+def test_data_parallel_hessian_matches_local():
+    """Hessians from dp-sharded calibration must equal the local ones —
+    the psum-based replacement of the reference's queue-reduce
+    (qllm_hessian.py:172-204)."""
+    params = init_params(CFG, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (8, 16)), jnp.int32)
+    h, cos, sin, mask = embed_inputs(params, CFG, tokens)
+    local = collect_block_hessians(
+        params["layers"][0], CFG, h, cos, sin, mask, chunk=8
+    )
+
+    mesh = make_mesh(dp=8, tp=1)
+    with mesh:
+        shard = NamedSharding(mesh, P("dp"))
+        hs = jax.device_put(h, NamedSharding(mesh, P("dp", None, None)))
+        cs = jax.device_put(cos, NamedSharding(mesh, P("dp", None, None)))
+        ss = jax.device_put(sin, NamedSharding(mesh, P("dp", None, None)))
+        ms = jax.device_put(mask, NamedSharding(mesh, P("dp", None, None, None)))
+        dist = collect_block_hessians(
+            params["layers"][0], CFG, hs, cs, ss, ms, chunk=8
+        )
+    for name in local:
+        np.testing.assert_allclose(
+            np.asarray(local[name]), np.asarray(dist[name]), rtol=2e-4, atol=1e-4
+        )
+
+
+def test_tensor_parallel_decode_matches_single():
+    """Sharded quantized decode == unsharded decode (same weights)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, num_attention_heads=8, num_key_value_heads=4
+    )
+    params = random_quantized_params(cfg, jax.random.key(1), bits=4, group_size=32)
+    cache = make_cache(cfg, 2, 16, quantized_kv=True)
+    tok = jnp.ones((2, 1), jnp.int32)
+
+    logits_local, _ = jax.jit(
+        lambda p, t, c: forward(p, cfg, t, c, pos=jnp.int32(0)),
+    )(params, tok, cache)
+
+    mesh = make_mesh(dp=2, tp=4)
+    with mesh:
+        sp = shard_params(params, mesh)
+        sc = shard_cache(cache, mesh)
+        st = jax.device_put(tok, NamedSharding(mesh, P("dp", None)))
+        logits_dist, _ = jax.jit(
+            lambda p, t, c: forward(p, cfg, t, c, pos=jnp.int32(0)),
+        )(sp, st, sc)
+    np.testing.assert_allclose(
+        np.asarray(logits_local),
+        np.asarray(logits_dist),
+        atol=3e-2,
+        rtol=3e-2,
+    )
+
+
+def test_param_sharding_layout():
+    mesh = make_mesh(dp=2, tp=4)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, num_attention_heads=8, num_key_value_heads=4
+    )
+    params = random_quantized_params(cfg, jax.random.key(2), bits=4, group_size=32)
+    sp = shard_params(params, mesh)
+    qt = sp["layers"][0]["q_proj"]
+    # column-parallel: N sharded over tp
+    assert qt.qweight.sharding.spec == P(None, "tp")
+    rt = sp["layers"][0]["o_proj"]
+    assert rt.qweight.sharding.spec == P("tp", None)
