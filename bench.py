@@ -118,9 +118,16 @@ def main():
         model = "tiny"
     log(f"[bench] backend={backend} model={model} steps={steps} batch={batch}")
 
+    import faulthandler
+
+    faulthandler.dump_traceback_later(
+        int(os.environ.get("QLLM_BENCH_TIMEOUT", "1800")), exit=True
+    )
+
     from qllm_tpu.models.decode_loop import decode_loop
     from qllm_tpu.models.generate import make_cache
     from qllm_tpu.models.llama import ModelConfig
+    from qllm_tpu.models.stacked import stack_layer_params
     from qllm_tpu.utils.testing import random_quantized_params
 
     cfg = ModelConfig(max_position_embeddings=2048, **MODEL_SHAPES[model])
@@ -128,6 +135,9 @@ def main():
     params = random_quantized_params(cfg, jax.random.key(0), bits=4, group_size=128)
     jax.block_until_ready(params["layers"][-1]["down_proj"].qweight)
     log(f"[bench] params materialized in {time.time() - t0:.1f}s")
+    bytes_params = params  # per-layer list view for byte accounting
+    # scan-over-layers: one compiled layer body instead of L unrolled
+    params = stack_layer_params(params)
 
     max_seq = 256
     prefill_len = 128
@@ -152,7 +162,7 @@ def main():
         log(f"[bench] run {i}: {dt:.3f}s -> {steps * batch / dt:.1f} tok/s")
 
     tokens_per_s = steps * batch / best
-    bpt = model_bytes_per_token(params, cfg, prefill_len + steps // 2, batch)
+    bpt = model_bytes_per_token(bytes_params, cfg, prefill_len + steps // 2, batch)
     roofline = chip_bw() / bpt * batch  # batch amortizes weight reads
     target = 0.8 * roofline
     result = {

@@ -328,6 +328,17 @@ def forward(
     perplexity scoring). With a cache: tokens are written at offset
     ``pos`` and attention runs over cache positions [0, pos+T).
     """
+    if not isinstance(params["layers"], list):
+        # stacked-layer params (models.stacked): lax.scan execution
+        if cache is None:
+            raise ValueError(
+                "stacked-layer forward requires a KV cache; use the "
+                "per-layer (list) params for cacheless scoring"
+            )
+        from .stacked import forward_stacked
+
+        return forward_stacked(params, cfg, token_ids, cache, pos)
+
     B, T = token_ids.shape
     # mode="clip": out-of-range ids clamp instead of jnp.take's default
     # NaN fill (defensive; calibration/generation ids should be in range)

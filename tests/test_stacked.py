@@ -1,0 +1,69 @@
+"""Stacked-layer scan execution == unrolled python-loop execution."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from qllm_tpu.models import TINY_LLAMA_TEST_CONFIG, init_params
+from qllm_tpu.models.generate import decode_step, make_cache, prefill
+from qllm_tpu.models.stacked import is_stackable, stack_layer_params
+from qllm_tpu.quant.qtensor import quantize_tensor
+
+CFG = TINY_LLAMA_TEST_CONFIG
+
+
+def _qparams():
+    params = init_params(CFG, jax.random.key(0))
+    layers = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        for n in (
+            "q_proj",
+            "k_proj",
+            "v_proj",
+            "o_proj",
+            "gate_proj",
+            "up_proj",
+            "down_proj",
+        ):
+            nlp[n] = quantize_tensor(lp[n], 4, 32)
+        layers.append(nlp)
+    return {**params, "layers": layers}
+
+
+def test_stackable_detection():
+    qp = _qparams()
+    assert is_stackable(qp)
+    sp = stack_layer_params(qp)
+    assert not isinstance(sp["layers"], list)
+    assert sp["layers"]["q_proj"].qweight.shape[0] == CFG.num_hidden_layers
+
+
+def test_stacked_prefill_decode_matches_unrolled():
+    qp = _qparams()
+    sp = stack_layer_params(qp)
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 8)), jnp.int32)
+
+    c1 = make_cache(CFG, 2, 16, quantized_kv=True)
+    c2 = make_cache(CFG, 2, 16, quantized_kv=True)
+    l1, c1 = prefill(qp, CFG, tokens, c1)
+    l2, c2 = prefill(sp, CFG, tokens, c2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=2e-2, rtol=2e-2)
+
+    tok = jnp.argmax(l1, axis=-1).astype(jnp.int32)[:, None]
+    d1, _ = decode_step(qp, CFG, tok, c1, jnp.int32(8))
+    d2, _ = decode_step(sp, CFG, tok, c2, jnp.int32(8))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-2, rtol=2e-2)
+
+
+def test_stacked_per_slot_positions():
+    qp = _qparams()
+    sp = stack_layer_params(qp)
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 1)), jnp.int32)
+    c1 = make_cache(CFG, 2, 16, quantized_kv=True)
+    positions = jnp.asarray([3, 7], jnp.int32)
+    d1, _ = decode_step(qp, CFG, tokens, c1, positions)
+    d2, _ = decode_step(sp, CFG, tokens, c1, positions)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-2, rtol=2e-2)
