@@ -52,34 +52,40 @@ def _pick_block(dim: int, quantum: int, target: int) -> int:
 
 
 def _choose_bk(K: int, g: int, pf: int, target: int) -> int:
-    """k-block: multiple of 8*pf (sublane alignment of the packed block),
-    divides K, and group-aligned (bk % g == 0 or g % bk == 0)."""
-    base = 8 * pf
+    """k-block satisfying the Mosaic block constraints:
+      * xt block last dim bk/pf: multiple of 128 (lanes) — bk % 128*pf == 0
+      * scales block sublanes bk/g: multiple of 8 — bk % 8*g == 0 (when
+        more than one group exists)
+      * divides K.
+    Falls back to bk == K (full-array blocks are exempt)."""
+    import math
+
+    G = K // g
+    quantum = 128 * pf if G == 1 else math.lcm(128 * pf, 8 * g)
     best = None
-    for bk in range(base, K + 1, base):
-        if K % bk:
-            continue
-        if bk % g and g % bk:
-            continue
-        if bk <= target:
+    for bk in range(quantum, K + 1, quantum):
+        if K % bk == 0 and bk <= target:
             best = bk
-    if best is None:
-        best = K  # K itself always satisfies divisibility/group alignment
-    return best
+    return best if best is not None else K
 
 
 def _qmm_kernel(
     xt_ref,  # [pf, bm, bk/pf] bf16
     qw_ref,  # [bk/pf, bn] uint32
-    scale_ref,  # [G, bn] f32 (full G axis)
-    zero_ref,  # [G, bn] f32
+    scale_ref,  # [gpb, bn] f32 (this k-block's groups, via BlockSpec)
     out_ref,  # [bm, bn]
     acc_ref,  # scratch [bm, bn] f32
     *,
     bits: int,
     bk: int,
     g: int,
+    f32_dot: bool,
 ):
+    """Computes y1 = sum_k x_k * q_k * s_g(k) — the ZERO-POINT TERM IS
+    HANDLED OUTSIDE the kernel (y = y1 - xsum @ (z*s), one tiny XLA
+    matmul): that removes a full-width subtract per field, and the
+    per-group scale expands via pltpu.repeat (sublane broadcast, no
+    3D reshape relayouts)."""
     pf = 32 // bits
     k = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -88,12 +94,14 @@ def _qmm_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # groups covered by this k-block
     gpb = max(1, bk // g)  # groups per block
     span = min(g, bk) // pf  # packed rows per group within the block
-    first_group = k * bk // g
-    scales = scale_ref[pl.ds(first_group, gpb), :]  # [gpb, bn]
-    zeros = zero_ref[pl.ds(first_group, gpb), :]
+    # [gpb, bn] -> [bk/pf, bn], row r scale = scales[r // span]; hoisted
+    # out of the field loop so the relayout happens once per block
+    bn_ = scale_ref.shape[-1]
+    s_exp = jnp.broadcast_to(
+        scale_ref[:][:, None, :], (gpb, span, bn_)
+    ).reshape(gpb * span, bn_)
 
     # Mosaic lacks a uint32->f32 cast; masked fields are < 2**bits so a
     # bitcast to int32 is value-preserving and int32->f32 is supported.
@@ -104,9 +112,11 @@ def _qmm_kernel(
             jax.lax.shift_right_logical(qw, jnp.int32(bits * s))
             & jnp.int32((1 << bits) - 1)
         ).astype(jnp.float32)
-        vals = vals.reshape(gpb, span, vals.shape[-1])
-        w_s = (vals - zeros[:, None, :]) * scales[:, None, :]
-        w_s = w_s.reshape(gpb * span, -1).astype(jnp.bfloat16)
+        w_s = vals * s_exp
+        # decode (small M, HBM-bound): f32 MXU dot — exact and one fewer
+        # cast. prefill (large M, FLOP-bound): bf16 dot at full MXU rate.
+        if not f32_dot:
+            w_s = w_s.astype(jnp.bfloat16)
         acc = acc + jnp.dot(
             xt_ref[s], w_s, preferred_element_type=jnp.float32
         )
@@ -140,8 +150,10 @@ def _qmm_2d(
     bn = _pick_block(N, 128, 512)
     bm = M if M <= 256 else _pick_block(M, 8, 256)
 
+    f32_dot = M <= 32
+    xf = x.astype(jnp.float32)
     xt = (
-        x.astype(jnp.bfloat16)
+        x.astype(jnp.float32 if f32_dot else jnp.bfloat16)
         .reshape(M, K // pf, pf)
         .transpose(2, 0, 1)  # [pf, M, K/pf]
     )
@@ -149,10 +161,12 @@ def _qmm_2d(
     zeros = zeros.astype(jnp.float32)
 
     grid = (M // bm, N // bn, K // bk)
-    kernel = functools.partial(_qmm_kernel, bits=bits, bk=bk, g=g)
+    kernel = functools.partial(
+        _qmm_kernel, bits=bits, bk=bk, g=g, f32_dot=f32_dot
+    )
     flops = 2 * M * N * K
     bytes_accessed = (
-        qweight.size * 4 + scales.size * 8 + xt.size * 2 + M * N * 2
+        qweight.size * 4 + scales.size * 4 + xt.size * 2 + M * N * 2
     )
     out = pl.pallas_call(
         kernel,
@@ -169,24 +183,32 @@ def _qmm_2d(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (G, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (G, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM
+                (max(1, bk // g), bn),
+                (lambda i, j, k: (k, j))
+                if bk >= g
+                else (lambda i, j, k: (k * bk // g, j)),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.bfloat16),
+        # f32 out: y1 carries the (uncorrected) zero-point mass, ~8x the
+        # final magnitude — bf16 here would eat precision before the
+        # correction subtract
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         # interpreter mode keeps the kernel testable on the CPU mesh
         interpret=jax.default_backend() == "cpu",
-    )(xt, qweight, scales, zeros)
-    return out
+    )(xt, qweight, scales)
+    # zero-point correction outside the kernel: y -= xsum_g @ (z*s)
+    xsum = xf.reshape(M, G, g).sum(axis=2)  # [M, G]
+    zs = zeros * scales  # [G, N]
+    corr = jnp.dot(xsum, zs, preferred_element_type=jnp.float32)
+    return (out - corr).astype(jnp.bfloat16)
 
 
 def qmatmul_pallas(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
