@@ -27,6 +27,7 @@ the serving hot path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -127,6 +128,68 @@ def _qmm_kernel(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _qmm_kernel_v3(
+    xq_ref,  # [npar, gpb, bm, g/npar] x rearranged by field parity+group
+    qw_ref,  # [bk/pf, bn] uint32
+    scale_ref,  # [gpb, bn] f32
+    out_ref,  # [bm, bn]
+    acc_ref,  # scratch [bm, bn] f32
+    *,
+    bits: int,
+    bk: int,
+    g: int,
+    f32_dot: bool,
+):
+    """SIMD-in-register unpack for 2/4-bit: one shift+AND against a
+    byte-replicated mask extracts ``4`` fields at once; a bitcast
+    u32->i8 lands them on sublanes in k-order (row i <-> k = npar*i+p).
+    The per-group scale is applied AFTER depth-(g/npar) group dots, so
+    per unpacked element only the i8->float cast remains on the VPU
+    (~1.4 ops/elem vs 4 in the field-loop kernel)."""
+    pf = 32 // bits
+    npar = 8 // bits  # fields per byte
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpb = bk // g
+    seg = g // npar  # i8 rows per group per parity
+    word_mask = 0
+    for b in range(4):
+        word_mask |= ((1 << bits) - 1) << (8 * b)
+
+    qw = pltpu.bitcast(qw_ref[:], jnp.int32)
+    # measured on v5e: i8->f32 cast + f32 dots beat i8->bf16 (the bf16
+    # (16,128) retiling costs more than the f32 MXU rate penalty at the
+    # small M this kernel variant serves)
+    vs = []
+    for p in range(npar):
+        vp = (
+            jax.lax.shift_right_logical(qw, jnp.int32(bits * p))
+            & jnp.int32(word_mask)
+        )
+        vs.append(pltpu.bitcast(vp, jnp.int8).astype(jnp.float32))
+    acc = acc_ref[:]
+    for gi in range(gpb):
+        part = None
+        for p in range(npar):
+            d = jnp.dot(
+                xq_ref[p, gi],
+                vs[p][gi * seg : (gi + 1) * seg],
+                preferred_element_type=jnp.float32,
+            )
+            part = d if part is None else part + d
+        acc = acc + part * scale_ref[gi : gi + 1, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("bits", "group_size", "in_features", "out_features")
 )
@@ -146,50 +209,23 @@ def _qmm_2d(
     g = K if group_size == -1 else group_size
     G = K // g
 
-    bk = _choose_bk(K, g, pf, 2048 if M <= 8 else 512)
-    bn = _pick_block(N, 128, 512)
+    bk_target = int(
+        os.environ.get("QLLM_TPU_QMM_BK", "2048" if M <= 32 else "512")
+    )
+    bn_target = int(os.environ.get("QLLM_TPU_QMM_BN", "512"))
+    bk = _choose_bk(K, g, pf, bk_target)
+    bn = _pick_block(N, 128, bn_target)
     bm = M if M <= 256 else _pick_block(M, 8, 256)
 
     f32_dot = M <= 32
+    in_dt = jnp.float32 if f32_dot else jnp.bfloat16
     xf = x.astype(jnp.float32)
-    xt = (
-        x.astype(jnp.float32 if f32_dot else jnp.bfloat16)
-        .reshape(M, K // pf, pf)
-        .transpose(2, 0, 1)  # [pf, M, K/pf]
-    )
     scales = scales.astype(jnp.float32)
     zeros = zeros.astype(jnp.float32)
-
     grid = (M // bm, N // bn, K // bk)
-    kernel = functools.partial(
-        _qmm_kernel, bits=bits, bk=bk, g=g, f32_dot=f32_dot
-    )
     flops = 2 * M * N * K
-    bytes_accessed = (
-        qweight.size * 4 + scales.size * 4 + xt.size * 2 + M * N * 2
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (pf, bm, bk // pf),
-                lambda i, j, k: (0, i, k),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (bk // pf, bn),
-                lambda i, j, k: (k, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (max(1, bk // g), bn),
-                (lambda i, j, k: (k, j))
-                if bk >= g
-                else (lambda i, j, k: (k * bk // g, j)),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+    bytes_accessed = qweight.size * 4 + scales.size * 4 + M * K * 2 + M * N * 2
+    common = dict(
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
         ),
@@ -203,7 +239,84 @@ def _qmm_2d(
         ),
         # interpreter mode keeps the kernel testable on the CPU mesh
         interpret=jax.default_backend() == "cpu",
-    )(xt, qweight, scales)
+    )
+
+    npar = 8 // bits if bits in (2, 4) else 0
+    use_v3 = (
+        bits in (2, 4)
+        and M <= 32  # prefill (MXU-bound) does better on full-depth v2
+        and bk % g == 0
+        and (g // npar) % 8 == 0
+        and not os.environ.get("QLLM_TPU_QMM_V2")
+    )
+    if use_v3:
+        seg = g // npar
+        G_all = K // g
+        xq = (
+            x.astype(jnp.float32)
+            .reshape(M, G_all, seg, npar)
+            .transpose(3, 1, 0, 2)  # [npar, G, M, seg]
+        )
+        kernel = functools.partial(
+            _qmm_kernel_v3, bits=bits, bk=bk, g=g, f32_dot=f32_dot
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (npar, bk // g, bm, seg),
+                    lambda i, j, k: (0, k, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bk // pf, bn),
+                    lambda i, j, k: (k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bk // g, bn),
+                    lambda i, j, k: (k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            **common,
+        )(xq, qweight, scales)
+    else:
+        xt = (
+            x.astype(in_dt)
+            .reshape(M, K // pf, pf)
+            .transpose(2, 0, 1)  # [pf, M, K/pf]
+        )
+        kernel = functools.partial(
+            _qmm_kernel, bits=bits, bk=bk, g=g, f32_dot=f32_dot
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (pf, bm, bk // pf),
+                    lambda i, j, k: (0, i, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bk // pf, bn),
+                    lambda i, j, k: (k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (max(1, bk // g), bn),
+                    (lambda i, j, k: (k, j))
+                    if bk >= g
+                    else (lambda i, j, k: (k * bk // g, j)),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            **common,
+        )(xt, qweight, scales)
+    if os.environ.get("QLLM_TPU_QMM_NOCORR"):  # timing experiments ONLY
+        return out.astype(jnp.bfloat16)
     # zero-point correction outside the kernel: y -= xsum_g @ (z*s)
     xsum = xf.reshape(M, G, g).sum(axis=2)  # [M, G]
     zs = zeros * scales  # [G, N]
