@@ -60,7 +60,29 @@ def _st_load(path: str) -> Dict[str, np.ndarray]:
         f for f in os.listdir(path) if f.endswith(".safetensors")
     )
     if not files:
-        raise FileNotFoundError(f"no .safetensors files under {path}")
+        # legacy torch checkpoints (pytorch_model*.bin)
+        bins = sorted(
+            f
+            for f in os.listdir(path)
+            if f.startswith("pytorch_model") and f.endswith(".bin")
+        )
+        if bins:
+            import torch
+
+            for fname in bins:
+                sd = torch.load(
+                    os.path.join(path, fname),
+                    map_location="cpu",
+                    weights_only=True,
+                )
+                for k, v in sd.items():
+                    out[k] = v.to(torch.float32).numpy() if v.dtype in (
+                        torch.bfloat16,
+                    ) else v.numpy()
+            return out
+        raise FileNotFoundError(
+            f"no .safetensors or pytorch_model*.bin files under {path}"
+        )
     for fname in files:
         with safe_open(os.path.join(path, fname), framework="np") as f:
             for k in f.keys():

@@ -117,14 +117,44 @@ def chat_loop(
         conv.append("assistant", reply)
 
 
+class DistChatIO:
+    """Multi-host chat IO (reference chatcli/chatio.py:60-112 DistChatIO):
+    process 0 reads user input and broadcasts it; non-zero processes
+    stay silent. Uses jax multihost broadcast instead of mpi4py."""
+
+    def __init__(self):
+        import jax
+
+        self.rank = jax.process_index()
+
+    def inp(self) -> str:
+        import jax
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        text = input("USER: ") if self.rank == 0 else ""
+        buf = np.frombuffer(
+            text.encode()[:4096].ljust(4096, b"\x00"), dtype=np.uint8
+        ).copy()
+        buf = multihost_utils.broadcast_one_to_all(buf)
+        return bytes(buf).rstrip(b"\x00").decode()
+
+    def outp(self, s: str) -> None:
+        if self.rank == 0:
+            print(s, end="", flush=True)
+
+
 def loop_in_chat_completion(params, cfg, tokenizer, args=None) -> None:
     """Entry used by the orchestrator (reference plugin/conversation.py:5-13)."""
+    import jax
+
     if tokenizer is None:
         raise RuntimeError("chat plugin needs a tokenizer")
-    chat_loop(
-        params,
-        cfg,
-        tokenizer,
+    kwargs = dict(
         max_new_tokens=getattr(args, "max_new_tokens", 256) if args else 256,
         quantized_kv=getattr(args, "kv_quant", True) if args else True,
     )
+    if jax.process_count() > 1:
+        io = DistChatIO()
+        kwargs.update(inp=io.inp, outp=io.outp)
+    chat_loop(params, cfg, tokenizer, **kwargs)

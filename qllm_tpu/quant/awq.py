@@ -22,6 +22,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
+import time
+
 import jax
 import jax.numpy as jnp
 
@@ -181,6 +183,7 @@ class AWQQuantizer:
         h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
         new_layers: List[Dict[str, Any]] = []
         for i, lp in enumerate(params["layers"]):
+            t_layer = time.time()
             acts = layer_intermediates(lp, model_cfg, h, cos, sin, mask)
             nlp = dict(lp)
             # --- scale search + fold, group by group ---
@@ -237,7 +240,9 @@ class AWQQuantizer:
             new_layers.append(nlp)
             if progress:
                 print(
-                    f"[awq] layer {i + 1}/{len(params['layers'])}", flush=True
+                    f"[awq] layer {i + 1}/{len(params['layers'])} "
+                    f"({time.time() - t_layer:.1f}s)",
+                    flush=True,
                 )
         out = dict(params)
         out["layers"] = new_layers

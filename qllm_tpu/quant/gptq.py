@@ -33,6 +33,8 @@ import dataclasses
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
+import time
+
 import jax
 import jax.numpy as jnp
 
@@ -343,6 +345,7 @@ class GPTQQuantizer:
             _TRUE_SEQUENTIAL if cfg.true_sequential else [list(LINEAR_NAMES)]
         )
         for i, lp in enumerate(params["layers"]):
+            t_layer = time.time()
             nlp = dict(lp)
             for subset in subsets:
                 # Hessians reflect any already-quantized earlier subsets
@@ -372,7 +375,9 @@ class GPTQQuantizer:
             new_layers.append(nlp)
             if progress:
                 print(
-                    f"[gptq] layer {i + 1}/{len(params['layers'])}", flush=True
+                    f"[gptq] layer {i + 1}/{len(params['layers'])} "
+                    f"({time.time() - t_layer:.1f}s)",
+                    flush=True,
                 )
         out = dict(params)
         out["layers"] = new_layers

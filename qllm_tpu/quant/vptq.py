@@ -30,6 +30,8 @@ import dataclasses
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -290,6 +292,7 @@ class VPTQQuantizer:
         h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
         new_layers: List[Dict[str, Any]] = []
         for i, lp in enumerate(params["layers"]):
+            t_layer = time.time()
             Hs = collect_block_hessians(lp, model_cfg, h, cos, sin, mask)
             nlp = dict(lp)
             for name in LINEAR_NAMES:
@@ -314,7 +317,9 @@ class VPTQQuantizer:
             new_layers.append(nlp)
             if progress:
                 print(
-                    f"[vptq] layer {i + 1}/{len(params['layers'])}", flush=True
+                    f"[vptq] layer {i + 1}/{len(params['layers'])} "
+                    f"({time.time() - t_layer:.1f}s)",
+                    flush=True,
                 )
         out = dict(params)
         out["layers"] = new_layers
