@@ -41,6 +41,9 @@ _HF_PREFIX = {
 }
 
 _QUANT_SUFFIXES = ("qweight", "qzeros", "scales", "g_idx", "zeros")
+
+# HF Mixtral expert naming: w1=gate, w2=down, w3=up
+_MOE_WMAP = {"gate_proj": "w1", "down_proj": "w2", "up_proj": "w3"}
 _VPTQ_SUFFIXES = (
     "indices",
     "centroids",
@@ -141,40 +144,51 @@ class AutoQuantizedModelForCausalLM:
         params = cls._float_params(
             tensors, cfg, dtype, skip_quantized=True
         )
+        def load_one(base: str, lname: str):
+            """-> imported tensor or None if not quantized at ``base``."""
+            if qconf.pack_mode == "VPTQ":
+                vq = {
+                    suf: tensors.get(f"{base}.{suf}") for suf in _VPTQ_SUFFIXES
+                }
+                if vq["indices"] is None:
+                    return None
+                return cls._vptq_from_tensors(
+                    vq, qconf.layer_configs.get(lname, {})
+                )
+            group = {
+                suf: tensors[f"{base}.{suf}"]
+                for suf in _QUANT_SUFFIXES
+                if f"{base}.{suf}" in tensors
+            }
+            if "qweight" not in group:
+                return None  # layer left unquantized (scanned like
+                # reference base.py:265-279)
+            return import_layout(
+                group,
+                qconf.pack_mode,
+                qconf.bits_of(lname),
+                qconf.groupsize_of(lname),
+                autogptq=qconf.compatible_with_autogptq,
+                sym=qconf.sym,
+            )
+
         for i in range(cfg.num_hidden_layers):
             lp = params["layers"][i]
             for name in LINEAR_NAMES:
-                base = f"model.layers.{i}.{_HF_PREFIX[name]}"
-                group = {
-                    suf: tensors[f"{base}.{suf}"]
-                    for suf in _QUANT_SUFFIXES
-                    if f"{base}.{suf}" in tensors
-                }
-                lname = f"model.layers.{i}.{name}"
-                if qconf.pack_mode == "VPTQ":
-                    vq = {
-                        suf: tensors.get(f"{base}.{suf}")
-                        for suf in _VPTQ_SUFFIXES
-                    }
-                    if vq["indices"] is None:
-                        continue
-                    lp[name] = cls._vptq_from_tensors(
-                        vq, qconf.layer_configs.get(lname, {})
-                    )
-                    continue
-                if "qweight" not in group:
-                    continue  # layer left unquantized (scanned like
-                    # reference base.py:265-279)
-                bits = qconf.bits_of(lname)
-                gs = qconf.groupsize_of(lname)
-                lp[name] = import_layout(
-                    group,
-                    qconf.pack_mode,
-                    bits,
-                    gs,
-                    autogptq=qconf.compatible_with_autogptq,
-                    sym=qconf.sym,
+                w = load_one(
+                    f"model.layers.{i}.{_HF_PREFIX[name]}",
+                    f"model.layers.{i}.{name}",
                 )
+                if w is not None:
+                    lp[name] = w
+            for e, ep in enumerate(lp.get("experts", [])):
+                for name, wtag in _MOE_WMAP.items():
+                    w = load_one(
+                        f"model.layers.{i}.block_sparse_moe.experts.{e}.{wtag}",
+                        f"model.layers.{i}.experts.{e}.{name}",
+                    )
+                    if w is not None:
+                        ep[name] = w
         return params, cfg
 
     # ------------------------------------------------------------------ save
@@ -214,12 +228,30 @@ class AutoQuantizedModelForCausalLM:
                 f"{pre}.post_attention_layernorm.weight",
                 lp["post_attention_layernorm"],
             )
-            for name in LINEAR_NAMES:
-                if name not in lp:
-                    continue
-                w = lp[name]
-                base = f"{pre}.{_HF_PREFIX[name]}"
-                bias = lp.get(f"{name}_bias")
+            if "router" in lp:
+                put_dense(f"{pre}.block_sparse_moe.gate.weight", lp["router"].T)
+            moe_items = [
+                (
+                    f"{pre}.block_sparse_moe.experts.{e}.{_MOE_WMAP[name]}",
+                    f"model.layers.{i}.experts.{e}.{name}",
+                    ep[name],
+                    None,
+                )
+                for e, ep in enumerate(lp.get("experts", []))
+                for name in ("gate_proj", "up_proj", "down_proj")
+                if name in ep
+            ]
+            dense_items = [
+                (
+                    f"{pre}.{_HF_PREFIX[name]}",
+                    f"model.layers.{i}.{name}",
+                    lp[name],
+                    lp.get(f"{name}_bias"),
+                )
+                for name in LINEAR_NAMES
+                if name in lp
+            ]
+            for base, lname, w, bias in dense_items + moe_items:
                 if bias is not None:
                     put_dense(f"{base}.bias", bias)
                 from ..quant.vptq import VPTQTensor
@@ -234,7 +266,7 @@ class AutoQuantizedModelForCausalLM:
                     gs_seen.add(w.group_size)
                     sym_seen.add(w.sym)
                     layer_configs.setdefault(
-                        f"model.layers.{i}.{name}",
+                        lname,
                         {"wbits": w.bits, "groupsize": w.group_size},
                     )
                 elif isinstance(w, VPTQTensor):
@@ -253,9 +285,7 @@ class AutoQuantizedModelForCausalLM:
                             tensors[f"{base}.{suf}"] = np.asarray(arr)
                     # merge (not setdefault): quantizer-provided configs
                     # may lack the structural fields needed to rebuild
-                    lc = layer_configs.setdefault(
-                        f"model.layers.{i}.{name}", {}
-                    )
+                    lc = layer_configs.setdefault(lname, {})
                     lc.update(
                         vector_len=w.vector_len,
                         n_outlier=w.n_outlier,
@@ -347,5 +377,26 @@ class AutoQuantizedModelForCausalLM:
                     lp[name] = None  # placeholder; filled by from_quantized
                 if f"{base}.bias" in tensors:
                     lp[f"{name}_bias"] = get(f"{base}.bias")
+            router_key = f"{pre}.block_sparse_moe.gate.weight"
+            if router_key in tensors:  # Mixtral MoE layer
+                lp["router"] = get(router_key).T
+                experts = []
+                e = 0
+                while True:
+                    ebase = f"{pre}.block_sparse_moe.experts.{e}"
+                    if not any(
+                        k.startswith(ebase + ".") for k in tensors
+                    ):
+                        break
+                    ep = {}
+                    for name, w in _MOE_WMAP.items():
+                        key = f"{ebase}.{w}.weight"
+                        if key in tensors:
+                            ep[name] = get(key).T
+                        elif skip_quantized and f"{ebase}.{w}.qweight" in tensors:
+                            ep[name] = None
+                    experts.append(ep)
+                    e += 1
+                lp["experts"] = experts
             params["layers"].append(lp)
         return params

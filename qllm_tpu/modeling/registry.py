@@ -20,6 +20,7 @@ SUPPORTED_ARCHS = {
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "mistral",
     "Qwen2ForCausalLM": "qwen2",
+    "MixtralForCausalLM": "mixtral",
 }
 
 
@@ -48,6 +49,10 @@ def model_config_from_hf(d: Dict[str, Any]) -> ModelConfig:
         tie_word_embeddings=d.get("tie_word_embeddings", False),
         attention_bias=(kind == "qwen2") or d.get("attention_bias", False),
         arch=kind,
+        num_local_experts=d.get("num_local_experts", 0)
+        if kind == "mixtral"
+        else 0,
+        num_experts_per_tok=d.get("num_experts_per_tok", 2),
     )
 
 
@@ -56,8 +61,18 @@ def hf_config_dict(cfg: ModelConfig) -> Dict[str, Any]:
         "llama": "LlamaForCausalLM",
         "mistral": "MistralForCausalLM",
         "qwen2": "Qwen2ForCausalLM",
+        "mixtral": "MixtralForCausalLM",
     }.get(cfg.arch, "LlamaForCausalLM")
+    moe = (
+        {
+            "num_local_experts": cfg.num_local_experts,
+            "num_experts_per_tok": cfg.num_experts_per_tok,
+        }
+        if cfg.num_local_experts
+        else {}
+    )
     return {
+        **moe,
         "architectures": [arch],
         "model_type": cfg.arch,
         "vocab_size": cfg.vocab_size,

@@ -50,6 +50,9 @@ class ModelConfig:
     attention_bias: bool = False  # qwen2-style qkv bias
     mlp_bias: bool = False
     arch: str = "llama"
+    # MoE (mixtral-family); 0 experts = dense MLP
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @property
     def hd(self) -> int:
@@ -98,7 +101,7 @@ def init_params(
         ).astype(dtype)
 
     def layer(k):
-        ks = jax.random.split(k, 7)
+        ks = jax.random.split(k, 7 + 3 * max(1, cfg.num_local_experts))
         p = {
             "input_layernorm": jnp.ones((D,), dtype),
             "post_attention_layernorm": jnp.ones((D,), dtype),
@@ -106,10 +109,21 @@ def init_params(
             "k_proj": dense(ks[1], D, Hkv * hd),
             "v_proj": dense(ks[2], D, Hkv * hd),
             "o_proj": dense(ks[3], H * hd, D),
-            "gate_proj": dense(ks[4], D, I),
-            "up_proj": dense(ks[5], D, I),
-            "down_proj": dense(ks[6], I, D),
         }
+        if cfg.num_local_experts > 0:
+            p["router"] = dense(ks[4], D, cfg.num_local_experts)
+            p["experts"] = [
+                {
+                    "gate_proj": dense(ks[7 + 3 * e], D, I),
+                    "up_proj": dense(ks[8 + 3 * e], D, I),
+                    "down_proj": dense(ks[9 + 3 * e], I, D),
+                }
+                for e in range(cfg.num_local_experts)
+            ]
+        else:
+            p["gate_proj"] = dense(ks[4], D, I)
+            p["up_proj"] = dense(ks[5], D, I)
+            p["down_proj"] = dense(ks[6], I, D)
         if cfg.attention_bias:
             p["q_proj_bias"] = jnp.zeros((H * hd,), dtype)
             p["k_proj_bias"] = jnp.zeros((Hkv * hd,), dtype)
@@ -270,10 +284,43 @@ def _layer_forward(
     h = h + apply_linear(lp["o_proj"], attn.reshape(B, T, H * hd))
 
     x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = apply_linear(lp["gate_proj"], x)
-    up = apply_linear(lp["up_proj"], x)
-    h = h + apply_linear(lp["down_proj"], jax.nn.silu(gate) * up)
+    h = h + _mlp_forward(lp, cfg, x)
     return h, cache
+
+
+def _mlp_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """Dense SwiGLU MLP, or Mixtral-style top-k sparse MoE when the
+    layer carries 'experts' (reference supports Mixtral via its GPTQ/AWQ
+    tables, sequential_layes_gptq_config.py:70-101).
+
+    MoE note: experts run densely over all tokens and are combined with
+    the router's top-k weights — correct and XLA-friendly; token
+    gathering/megablocking is a later optimization."""
+    if "experts" not in lp:
+        gate = apply_linear(lp["gate_proj"], x)
+        up = apply_linear(lp["up_proj"], x)
+        return apply_linear(lp["down_proj"], jax.nn.silu(gate) * up)
+
+    router_logits = jnp.dot(
+        x.astype(jnp.float32), lp["router"].astype(jnp.float32)
+    )  # [B, T, E]
+    E = len(lp["experts"])
+    k = min(cfg.num_experts_per_tok, E)
+    top_w, top_ids = jax.lax.top_k(router_logits, k)
+    top_w = jax.nn.softmax(top_w, axis=-1)  # HF: softmax over the top-k
+    # per-expert combine weight [B, T, E]
+    weights = jnp.sum(
+        jax.nn.one_hot(top_ids, E, dtype=jnp.float32)
+        * top_w[..., None],
+        axis=-2,
+    )  # [B, T, E]
+    out = jnp.zeros_like(x, shape=x.shape).astype(jnp.float32)
+    for e, ep in enumerate(lp["experts"]):
+        gate = apply_linear(ep["gate_proj"], x)
+        up = apply_linear(ep["up_proj"], x)
+        ye = apply_linear(ep["down_proj"], jax.nn.silu(gate) * up)
+        out = out + ye.astype(jnp.float32) * weights[..., e : e + 1]
+    return out.astype(x.dtype)
 
 
 def layer_intermediates(
@@ -288,6 +335,11 @@ def layer_intermediates(
     reference collects with forward hooks (quant_gptq.py:73-87,
     quant_awq.py:46-83). Keys map linear name -> its input [B, T, K].
     Must stay in lock-step with ``_layer_forward``."""
+    if "experts" in lp:
+        raise NotImplementedError(
+            "calibration-based quantization (GPTQ/AWQ) of MoE layers is "
+            "not wired up yet — use HQQ (data-free) for mixtral models"
+        )
     B, T, D = h.shape
     H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
     x1 = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)

@@ -74,6 +74,20 @@ def quantize_params_uniform(
             if b >= 16:
                 continue
             nlp[name] = quantize_fn(lp[name], b, gs)
+        if "experts" in lp:  # MoE: quantize every expert projection
+            nexp = []
+            for e, ep in enumerate(lp["experts"]):
+                nep = dict(ep)
+                for name in ("gate_proj", "up_proj", "down_proj"):
+                    full = f"model.layers.{i}.experts.{e}.{name}"
+                    b, gs = resolve_layer_bits(
+                        full, bits, group_size, layer_overrides
+                    )
+                    if b >= 16:
+                        continue
+                    nep[name] = quantize_fn(ep[name], b, gs)
+                nexp.append(nep)
+            nlp["experts"] = nexp
         new_layers.append(nlp)
         if progress:
             print(f"[quant] layer {i + 1}/{len(params['layers'])}", flush=True)
