@@ -190,6 +190,64 @@ def _qmm_kernel_v3(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _qmm_kernel_w4a8(
+    xq_ref,  # [npar, gpb, bm, seg] int8 (quantized activations)
+    qw_ref,  # [bk/pf, bn] uint32
+    scale_ref,  # [gpb, bn] f32
+    out_ref,  # [bm, bn] f32
+    acc_ref,  # scratch [bm, bn] f32
+    *,
+    bits: int,
+    bk: int,
+    g: int,
+):
+    """Pure-int8 MXU variant (opt-in, QLLM_TPU_W4A8=1): activations are
+    per-token int8 (the token scale factors out of the whole contraction
+    and is applied OUTSIDE the kernel), weights stay packed; the only
+    per-element work is the shared shift+AND (amortized over 4 fields
+    per byte). s8 x s8 -> s32 dots run at the MXU's integer rate."""
+    pf = 32 // bits
+    npar = 8 // bits
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpb = bk // g
+    seg = g // npar
+    word_mask = 0
+    for b in range(4):
+        word_mask |= ((1 << bits) - 1) << (8 * b)
+
+    qw = pltpu.bitcast(qw_ref[:], jnp.int32)
+    vs = []
+    for p in range(npar):
+        vp = (
+            jax.lax.shift_right_logical(qw, jnp.int32(bits * p))
+            & jnp.int32(word_mask)
+        )
+        vs.append(pltpu.bitcast(vp, jnp.int8))  # [bk/npar, bn] — stays int8
+    acc = acc_ref[:]
+    for gi in range(gpb):
+        d32 = None
+        for p in range(npar):
+            d = jax.lax.dot_general(
+                xq_ref[p, gi],
+                vs[p][gi * seg : (gi + 1) * seg],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            d32 = d if d32 is None else d32 + d
+        acc = acc + d32.astype(jnp.float32) * scale_ref[gi : gi + 1, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
 @functools.partial(
     jax.jit, static_argnames=("bits", "group_size", "in_features", "out_features")
 )
@@ -226,6 +284,11 @@ def _qmm_2d(
     flops = 2 * M * N * K
     bytes_accessed = qweight.size * 4 + scales.size * 4 + M * K * 2 + M * N * 2
     common = dict(
+        compiler_params=pltpu.CompilerParams(
+            # i/j tiles are independent; only the k (reduction) axis
+            # carries the accumulator — lets Mosaic pipeline harder
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
         ),
@@ -242,13 +305,52 @@ def _qmm_2d(
     )
 
     npar = 8 // bits if bits in (2, 4) else 0
-    use_v3 = (
+    v3_ok = (
         bits in (2, 4)
         and M <= 32  # prefill (MXU-bound) does better on full-depth v2
         and bk % g == 0
         and (g // npar) % 8 == 0
-        and not os.environ.get("QLLM_TPU_QMM_V2")
     )
+    use_w4a8 = v3_ok and bool(os.environ.get("QLLM_TPU_W4A8"))
+    use_v3 = v3_ok and not use_w4a8 and not os.environ.get("QLLM_TPU_QMM_V2")
+    if use_w4a8:
+        seg = g // npar
+        G_all = K // g
+        # per-token symmetric int8 activations; the token scale factors
+        # out of the whole contraction -> applied outside
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1), 1e-8) / 127.0  # [M]
+        x8 = jnp.clip(jnp.round(xf / sx[:, None]), -127, 127).astype(jnp.int8)
+        xq8 = (
+            x8.reshape(M, G_all, seg, npar).transpose(3, 1, 0, 2)
+        )  # [npar, G, M, seg] int8
+        kernel = functools.partial(_qmm_kernel_w4a8, bits=bits, bk=bk, g=g)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (npar, bk // g, bm, seg),
+                    lambda i, j, k: (0, k, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bk // pf, bn),
+                    lambda i, j, k: (k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bk // g, bn),
+                    lambda i, j, k: (k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            **common,
+        )(xq8, qweight, scales)
+        # y = sx * y1_int - sx * sum8 @ (z*s)
+        sum8 = x8.astype(jnp.float32).reshape(M, G, g).sum(axis=2)
+        zs = zeros * scales
+        corr = jnp.dot(sum8, zs, preferred_element_type=jnp.float32)
+        return ((out - corr) * sx[:, None]).astype(jnp.bfloat16)
     if use_v3:
         seg = g // npar
         G_all = K // g

@@ -51,3 +51,14 @@ def test_pallas_rejects_odd_bits():
     x, qt = _case(3, 256, 128, 128, 4)
     with pytest.raises(NotImplementedError):
         qmatmul_pallas(x, qt)
+
+
+def test_w4a8_path_close_to_ref(monkeypatch):
+    monkeypatch.setenv("QLLM_TPU_W4A8", "1")
+    x, qt = _case(4, 512, 384, 128, 8, seed=5)
+    y = np.asarray(qmatmul_pallas(x, qt))
+    monkeypatch.delenv("QLLM_TPU_W4A8")
+    y_ref = np.asarray(qmatmul_ref(x, qt))
+    # int8 activations add ~0.5-1% relative noise
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y, y_ref, atol=0.02 * scale, rtol=0.05)
