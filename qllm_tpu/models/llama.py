@@ -335,11 +335,6 @@ def layer_intermediates(
     reference collects with forward hooks (quant_gptq.py:73-87,
     quant_awq.py:46-83). Keys map linear name -> its input [B, T, K].
     Must stay in lock-step with ``_layer_forward``."""
-    if "experts" in lp:
-        raise NotImplementedError(
-            "calibration-based quantization (GPTQ/AWQ) of MoE layers is "
-            "not wired up yet — use HQQ (data-free) for mixtral models"
-        )
     B, T, D = h.shape
     H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
     x1 = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
@@ -353,18 +348,46 @@ def layer_intermediates(
     attn = _attention(q, k, v, mask, cfg.n_rep).reshape(B, T, H * hd)
     h2 = h + apply_linear(lp["o_proj"], attn)
     x2 = rms_norm(h2, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate = apply_linear(lp["gate_proj"], x2)
-    up = apply_linear(lp["up_proj"], x2)
-    mlp_in = jax.nn.silu(gate) * up
-    return {
+    out = {
         "q_proj": x1,
         "k_proj": x1,
         "v_proj": x1,
         "o_proj": attn,
-        "gate_proj": x2,
-        "up_proj": x2,
-        "down_proj": mlp_in,
     }
+    if "experts" in lp:
+        # MoE: per-expert inputs weighted by the router (sqrt weight so
+        # the Hessian XᵀX carries the routing probability) — the
+        # calibration analog of the reference's hook-captured routed
+        # inputs for Mixtral (sequential_layes_gptq_config.py:70-101)
+        out["experts_input"] = x2  # unweighted (AWQ scale search)
+        router_logits = jnp.dot(
+            x2.astype(jnp.float32), lp["router"].astype(jnp.float32)
+        )
+        E = len(lp["experts"])
+        k = min(cfg.num_experts_per_tok, E)
+        top_w, top_ids = jax.lax.top_k(router_logits, k)
+        top_w = jax.nn.softmax(top_w, axis=-1)
+        weights = jnp.sum(
+            jax.nn.one_hot(top_ids, E, dtype=jnp.float32) * top_w[..., None],
+            axis=-2,
+        )  # [B, T, E]
+        for e, ep in enumerate(lp["experts"]):
+            wsq = jnp.sqrt(weights[..., e : e + 1]).astype(x2.dtype)
+            xe = x2 * wsq
+            gate = apply_linear(ep["gate_proj"], x2)
+            up = apply_linear(ep["up_proj"], x2)
+            out[f"experts.{e}.gate_proj"] = xe
+            out[f"experts.{e}.up_proj"] = xe
+            out[f"experts.{e}.down_proj"] = (
+                jax.nn.silu(gate) * up
+            ) * wsq
+    else:
+        gate = apply_linear(lp["gate_proj"], x2)
+        up = apply_linear(lp["up_proj"], x2)
+        out["gate_proj"] = x2
+        out["up_proj"] = x2
+        out["down_proj"] = jax.nn.silu(gate) * up
+    return out
 
 
 def forward(

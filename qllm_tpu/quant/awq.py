@@ -161,6 +161,54 @@ _LLAMA_GROUPS = [
 ]
 
 
+def _layer_groups(lp) -> list:
+    """Scale groups for one layer; MoE layers route the post-LN group
+    into every expert's gate/up and add per-expert up->down groups
+    (the reference's mixtral AWQ table shape)."""
+    groups = [
+        ("ln", "input_layernorm", ["q_proj", "k_proj", "v_proj"]),
+        ("fc", "v_proj", ["o_proj"]),
+    ]
+    if "experts" in lp:
+        E = len(lp["experts"])
+        groups.append(
+            (
+                "ln",
+                "post_attention_layernorm",
+                [
+                    f"experts.{e}.{n}"
+                    for e in range(E)
+                    for n in ("gate_proj", "up_proj")
+                ],
+            )
+        )
+        for e in range(E):
+            groups.append(
+                ("fc", f"experts.{e}.up_proj", [f"experts.{e}.down_proj"])
+            )
+    else:
+        groups.append(
+            ("ln", "post_attention_layernorm", ["gate_proj", "up_proj"])
+        )
+        groups.append(("fc", "up_proj", ["down_proj"]))
+    return groups
+
+
+def _getw(lp, name):
+    if name.startswith("experts."):
+        _, e, n = name.split(".")
+        return lp["experts"][int(e)][n]
+    return lp[name]
+
+
+def _setw(lp, name, w):
+    if name.startswith("experts."):
+        _, e, n = name.split(".")
+        lp["experts"][int(e)][n] = w
+    else:
+        lp[name] = w
+
+
 class AWQQuantizer:
     """Model-level AWQ driver (reference quant_awq.py)."""
 
@@ -186,30 +234,53 @@ class AWQQuantizer:
             t_layer = time.time()
             acts = layer_intermediates(lp, model_cfg, h, cos, sin, mask)
             nlp = dict(lp)
+            if "experts" in lp:
+                nlp["experts"] = [dict(ep) for ep in lp["experts"]]
             # --- scale search + fold, group by group ---
-            for kind, prev, linears in _LLAMA_GROUPS:
+            for kind, prev, linears in _layer_groups(lp):
                 if kind == "fc" and prev == "v_proj" and (
                     nlp["v_proj"].shape != nlp["o_proj"].shape
                 ):
                     continue  # GQA: v/o shapes differ (reference llama table)
-                x = acts[linears[0]].reshape(-1, acts[linears[0]].shape[-1])
-                ws = tuple(nlp[n].astype(jnp.float32) for n in linears)
+                xk = (
+                    "experts_input"
+                    if linears[0].startswith("experts.")
+                    and prev == "post_attention_layernorm"
+                    else linears[0]
+                )
+                x = acts[xk].reshape(-1, acts[xk].shape[-1])
+                ws = tuple(_getw(nlp, n).astype(jnp.float32) for n in linears)
                 s = awq_search_scale(x, ws, cfg.wbits, cfg.groupsize)
                 # the captured input features now see the folded scale
                 # (reference apply_scale input_feat_dict div_ :74-76)
                 for n in linears:
                     acts[n] = acts[n] / s
+                if xk == "experts_input":
+                    acts[xk] = acts[xk] / s
                 for n in linears:
-                    nlp[n] = (nlp[n].astype(jnp.float32) * s[:, None]).astype(
-                        nlp[n].dtype
+                    _setw(
+                        nlp,
+                        n,
+                        (_getw(nlp, n).astype(jnp.float32) * s[:, None]).astype(
+                            _getw(nlp, n).dtype
+                        ),
                     )
                 if kind == "ln":
                     nlp[prev] = (nlp[prev].astype(jnp.float32) / s).astype(
                         nlp[prev].dtype
                     )
+                    if "experts" in lp and prev == "post_attention_layernorm":
+                        # router reads the SAME rescaled LN output
+                        nlp["router"] = (
+                            nlp["router"].astype(jnp.float32) * s[:, None]
+                        ).astype(nlp["router"].dtype)
                 else:  # fc: divide prev's OUT channels
-                    nlp[prev] = (nlp[prev].astype(jnp.float32) / s[None, :]).astype(
-                        nlp[prev].dtype
+                    _setw(
+                        nlp,
+                        prev,
+                        (
+                            _getw(nlp, prev).astype(jnp.float32) / s[None, :]
+                        ).astype(_getw(nlp, prev).dtype),
                     )
                 # fold into bias of prev fc too, if present
                 bias_name = f"{prev}_bias"
@@ -218,24 +289,31 @@ class AWQQuantizer:
                         nlp[bias_name].astype(jnp.float32) / s
                     ).astype(nlp[bias_name].dtype)
             # --- auto clip (skip q/k: reference :246) + final quantize ---
-            for name in LINEAR_NAMES:
-                if name not in nlp:
-                    continue
+            quant_names = [n for n in LINEAR_NAMES if n in nlp]
+            if "experts" in lp:
+                quant_names += [
+                    f"experts.{e}.{n}"
+                    for e in range(len(lp["experts"]))
+                    for n in ("gate_proj", "up_proj", "down_proj")
+                ]
+            for name in quant_names:
                 full = f"model.layers.{i}.{name}"
                 b, gs = resolve_layer_bits(
                     full, cfg.wbits, cfg.groupsize, layer_overrides
                 )
                 if b >= 16:
                     continue
-                w = nlp[name].astype(jnp.float32)
+                w = _getw(nlp, name).astype(jnp.float32)
                 if name not in ("q_proj", "k_proj"):
+                    xa = acts[
+                        name
+                        if name in acts
+                        else "experts_input"
+                    ]
                     w = awq_auto_clip(
-                        acts[name].reshape(-1, acts[name].shape[-1]),
-                        w,
-                        b,
-                        gs,
+                        xa.reshape(-1, xa.shape[-1]), w, b, gs
                     )
-                nlp[name] = quantize_tensor(w, bits=b, group_size=gs)
+                _setw(nlp, name, quantize_tensor(w, bits=b, group_size=gs))
             h = run_block(nlp, model_cfg, h, cos, sin, mask)
             new_layers.append(nlp)
             if progress:

@@ -369,6 +369,32 @@ class GPTQQuantizer:
                     )
                     promotions += int(promoted)
                     nlp[name] = qt
+            if "experts" in lp:
+                # MoE: router-weighted Hessians per expert (collected
+                # after the attention projections are quantized)
+                Hs = collect_block_hessians(nlp, model_cfg, h, cos, sin, mask)
+                nexp = []
+                for e, ep in enumerate(lp["experts"]):
+                    nep = dict(ep)
+                    for name in ("gate_proj", "up_proj", "down_proj"):
+                        full = f"model.layers.{i}.experts.{e}.{name}"
+                        b, gs = resolve_layer_bits(
+                            full, cfg.wbits, cfg.groupsize, layer_overrides
+                        )
+                        if b >= 16:
+                            continue
+                        qt, promoted = self._quantize_one(
+                            ep[name].astype(jnp.float32),
+                            Hs[f"experts.{e}.{name}"],
+                            b,
+                            gs,
+                            full,
+                            self.MAX_PROMOTIONS - promotions,
+                        )
+                        promotions += int(promoted)
+                        nep[name] = qt
+                    nexp.append(nep)
+                nlp["experts"] = nexp
             # propagate QUANTIZED activations to the next block
             # (reference quant_gptq.py:146-154)
             h = run_block(nlp, model_cfg, h, cos, sin, mask)

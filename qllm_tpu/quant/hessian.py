@@ -21,16 +21,14 @@ from ..models.llama import ModelConfig, layer_intermediates
 
 __all__ = ["collect_block_hessians", "hessian_update"]
 
-# q/k/v share one Hessian (same input), gate/up share one
-_SHARED = {
-    "q_proj": "q_proj",
-    "k_proj": "q_proj",
-    "v_proj": "q_proj",
-    "o_proj": "o_proj",
-    "gate_proj": "gate_proj",
-    "up_proj": "gate_proj",
-    "down_proj": "down_proj",
-}
+# q/k/v share one Hessian (same input); gate/up share one (per expert
+# in MoE layers, where keys look like "experts.3.gate_proj")
+def _share_key(name: str) -> str:
+    if name in ("q_proj", "k_proj", "v_proj"):
+        return "q_proj"
+    if name.endswith("up_proj"):
+        return name[: -len("up_proj")] + "gate_proj"
+    return name
 
 
 @jax.jit
@@ -44,18 +42,6 @@ def hessian_update(H: jax.Array, n_prev: jax.Array, x: jax.Array):
     return H * (n_prev / n_new) + xs.T @ xs, n_new
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _block_hessians_once(lp, cfg: ModelConfig, h, cos, sin, mask):
-    acts = layer_intermediates(lp, cfg, h, cos, sin, mask)
-    out = {}
-    for name in ("q_proj", "o_proj", "gate_proj", "down_proj"):
-        x = acts[name].reshape(-1, acts[name].shape[-1]).astype(jnp.float32)
-        n = x.shape[0]
-        xs = x * jnp.sqrt(2.0 / n)
-        out[name] = xs.T @ xs
-    return out
-
-
 def collect_block_hessians(
     lp: Dict[str, Any],
     cfg: ModelConfig,
@@ -65,17 +51,19 @@ def collect_block_hessians(
     mask: jax.Array,
     chunk: int = 8,
 ) -> Dict[str, jax.Array]:
-    """Hessians for every linear in a block, chunked over the batch to
-    bound activation memory. Returns name->H for all 7 linears (shared
-    inputs alias the same array)."""
+    """Hessians for every linear in a block (dense or MoE), chunked over
+    the batch to bound activation memory. Returns name->H for every
+    quantizable linear (shared inputs alias the same array)."""
     B = h.shape[0]
     partial_Hs: Dict[str, jax.Array] = {}
     counts: Dict[str, jax.Array] = {}
+    all_names = None
     for s in range(0, B, chunk):
         e = min(s + chunk, B)
         acts = _block_intermediates_jit(lp, cfg, h[s:e], cos[s:e], sin[s:e], mask[s:e])
-        for name in ("q_proj", "o_proj", "gate_proj", "down_proj"):
-            x = acts[name]
+        if all_names is None:
+            all_names = list(acts.keys())
+        for name, x in acts.items():
             if name not in partial_Hs:
                 K = x.shape[-1]
                 partial_Hs[name] = jnp.zeros((K, K), jnp.float32)
@@ -83,12 +71,21 @@ def collect_block_hessians(
             partial_Hs[name], counts[name] = hessian_update(
                 partial_Hs[name], counts[name], x
             )
-    return {name: partial_Hs[_SHARED[name]] for name in _SHARED}
+    out = dict(partial_Hs)
+    # alias shared inputs back to every consumer name
+    for name in ("k_proj", "v_proj"):
+        out[name] = partial_Hs["q_proj"]
+    for key in list(partial_Hs):
+        if key.endswith("gate_proj"):
+            out[key[: -len("gate_proj")] + "up_proj"] = partial_Hs[key]
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _block_intermediates_jit(lp, cfg, h, cos, sin, mask):
     acts = layer_intermediates(lp, cfg, h, cos, sin, mask)
     return {
-        k: acts[k] for k in ("q_proj", "o_proj", "gate_proj", "down_proj")
+        k: v
+        for k, v in acts.items()
+        if _share_key(k) == k and k != "experts_input"
     }

@@ -91,16 +91,6 @@ def test_moe_hqq_quantize_and_checkpoint(tmp_path):
     )
 
 
-def test_moe_gptq_raises_clear_error():
-    from qllm_tpu.quant.config import GPTQConfig
-    from qllm_tpu.quant.gptq import GPTQQuantizer
-
-    params = init_params(MOE_CFG, jax.random.key(4))
-    calib = jnp.ones((1, 8), jnp.int32)
-    with pytest.raises(NotImplementedError, match="HQQ"):
-        GPTQQuantizer(GPTQConfig(wbits=4, groupsize=32)).quantize(
-            params, MOE_CFG, calib, progress=False
-        )
 
 
 def test_hf_mixtral_interop(tmp_path):
@@ -135,3 +125,38 @@ def test_hf_mixtral_interop(tmp_path):
         np.asarray(ours).argmax(-1), ref.argmax(-1)
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=0.2, rtol=0.08)
+
+
+def test_moe_gptq_quantize():
+    from qllm_tpu.quant.config import GPTQConfig
+    from qllm_tpu.quant.gptq import GPTQQuantizer
+    from qllm_tpu.quant.qtensor import QuantizedTensor
+
+    params = init_params(MOE_CFG, jax.random.key(5))
+    rng = np.random.default_rng(6)
+    calib = jnp.asarray(rng.integers(0, MOE_CFG.vocab_size, (2, 16)), jnp.int32)
+    q = GPTQQuantizer(GPTQConfig(wbits=4, groupsize=32))
+    qparams = q.quantize(params, MOE_CFG, calib, progress=False)
+    assert isinstance(
+        qparams["layers"][0]["experts"][0]["down_proj"], QuantizedTensor
+    )
+    assert "model.layers.0.experts.3.gate_proj" in q.quant_config_by_layer
+    logits, _ = forward(qparams, MOE_CFG, calib[:1, :8])
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_moe_awq_quantize():
+    from qllm_tpu.quant.awq import AWQQuantizer
+    from qllm_tpu.quant.config import AWQConfig
+    from qllm_tpu.quant.qtensor import QuantizedTensor
+
+    params = init_params(MOE_CFG, jax.random.key(7))
+    rng = np.random.default_rng(8)
+    calib = jnp.asarray(rng.integers(0, MOE_CFG.vocab_size, (2, 16)), jnp.int32)
+    q = AWQQuantizer(AWQConfig(wbits=4, groupsize=32))
+    qparams = q.quantize(params, MOE_CFG, calib, progress=False)
+    assert isinstance(
+        qparams["layers"][1]["experts"][2]["up_proj"], QuantizedTensor
+    )
+    logits, _ = forward(qparams, MOE_CFG, calib[:1, :8])
+    assert bool(jnp.all(jnp.isfinite(logits)))
