@@ -34,6 +34,7 @@ class FakeArgs:
     pack_mode: str = "AUTO"
     kv_quant: bool = True
     max_new_tokens: int = 50
+    quant_cache_dir: Optional[str] = None
 
     def __post_init__(self):
         if not self.tokenizer:

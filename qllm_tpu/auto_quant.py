@@ -95,9 +95,14 @@ class AutoModelQuantization:
         if calib_tokens is not None:
             calib_tokens = self._clamp_vocab(calib_tokens, cfg)
         layer_overrides = getattr(qconfig, "mix_qlayer_conf", None)
-        qparams = quantizer.quantize(
-            params, cfg, calib_tokens, layer_overrides=layer_overrides
-        )
+        qkwargs = dict(layer_overrides=layer_overrides)
+        cache_dir = getattr(args, "quant_cache_dir", None)
+        if cache_dir:
+            import inspect
+
+            if "cache_dir" in inspect.signature(quantizer.quantize).parameters:
+                qkwargs["cache_dir"] = cache_dir
+        qparams = quantizer.quantize(params, cfg, calib_tokens, **qkwargs)
         self._last_quantizer = quantizer
         self._last_config = qconfig
         return qparams

@@ -222,9 +222,16 @@ class AWQQuantizer:
         calib_tokens: jax.Array,
         layer_overrides: Optional[Dict[str, Any]] = None,
         progress: bool = True,
+        cache_dir: Optional[str] = None,
     ) -> Dict[str, Any]:
         from ..models.llama import LINEAR_NAMES, layer_intermediates
-        from .frame import embed_inputs, resolve_layer_bits, run_block
+        from .frame import (
+            embed_inputs,
+            load_layer_cache,
+            resolve_layer_bits,
+            run_block,
+            save_layer_cache,
+        )
 
         cfg = self.config
         calib_tokens = calib_tokens[: min(cfg.nsamples, calib_tokens.shape[0])]
@@ -232,6 +239,13 @@ class AWQQuantizer:
         new_layers: List[Dict[str, Any]] = []
         for i, lp in enumerate(params["layers"]):
             t_layer = time.time()
+            cached = load_layer_cache(cache_dir, i)
+            if cached is not None:
+                h = run_block(cached, model_cfg, h, cos, sin, mask)
+                new_layers.append(cached)
+                if progress:
+                    print(f"[awq] layer {i + 1} from cache", flush=True)
+                continue
             acts = layer_intermediates(lp, model_cfg, h, cos, sin, mask)
             nlp = dict(lp)
             if "experts" in lp:
@@ -314,6 +328,7 @@ class AWQQuantizer:
                         xa.reshape(-1, xa.shape[-1]), w, b, gs
                     )
                 _setw(nlp, name, quantize_tensor(w, bits=b, group_size=gs))
+            save_layer_cache(cache_dir, i, nlp)
             h = run_block(nlp, model_cfg, h, cos, sin, mask)
             new_layers.append(nlp)
             if progress:

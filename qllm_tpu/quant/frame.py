@@ -32,7 +32,42 @@ __all__ = [
     "embed_inputs",
     "run_block",
     "resolve_layer_bits",
+    "load_layer_cache",
+    "save_layer_cache",
 ]
+
+
+def save_layer_cache(cache_dir: Optional[str], i: int, nlp) -> None:
+    """Idempotent per-layer quantization cache for crash resume
+    (reference: VPTQ per-layer .pt cache + done.txt markers,
+    quant_vptq.py:148-152, 198-205)."""
+    if not cache_dir:
+        return
+    import os
+    import pickle
+
+    os.makedirs(cache_dir, exist_ok=True)
+    import numpy as np
+
+    host = jax.tree_util.tree_map(lambda x: np.asarray(x), nlp)
+    tmp = f"{cache_dir}/layer_{i}.pkl.tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(host, f)
+    os.replace(tmp, f"{cache_dir}/layer_{i}.pkl")  # atomic marker
+
+
+def load_layer_cache(cache_dir: Optional[str], i: int):
+    if not cache_dir:
+        return None
+    import os
+    import pickle
+
+    p = f"{cache_dir}/layer_{i}.pkl"
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        host = pickle.load(f)
+    return jax.tree_util.tree_map(jnp.asarray, host)
 
 
 def resolve_layer_bits(

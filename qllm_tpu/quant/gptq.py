@@ -332,8 +332,15 @@ class GPTQQuantizer:
         calib_tokens: jax.Array,  # [nsamples, seqlen] int32
         layer_overrides: Optional[Dict[str, Any]] = None,
         progress: bool = True,
+        cache_dir: Optional[str] = None,
     ) -> Dict[str, Any]:
-        from .frame import embed_inputs, resolve_layer_bits, run_block
+        from .frame import (
+            embed_inputs,
+            load_layer_cache,
+            resolve_layer_bits,
+            run_block,
+            save_layer_cache,
+        )
         from .hessian import collect_block_hessians
         from ..models.llama import LINEAR_NAMES
 
@@ -346,6 +353,13 @@ class GPTQQuantizer:
         )
         for i, lp in enumerate(params["layers"]):
             t_layer = time.time()
+            cached = load_layer_cache(cache_dir, i)
+            if cached is not None:
+                h = run_block(cached, model_cfg, h, cos, sin, mask)
+                new_layers.append(cached)
+                if progress:
+                    print(f"[gptq] layer {i + 1} from cache", flush=True)
+                continue
             nlp = dict(lp)
             for subset in subsets:
                 # Hessians reflect any already-quantized earlier subsets
@@ -395,6 +409,7 @@ class GPTQQuantizer:
                         nep[name] = qt
                     nexp.append(nep)
                 nlp["experts"] = nexp
+            save_layer_cache(cache_dir, i, nlp)
             # propagate QUANTIZED activations to the next block
             # (reference quant_gptq.py:146-154)
             h = run_block(nlp, model_cfg, h, cos, sin, mask)

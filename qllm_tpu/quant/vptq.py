@@ -284,15 +284,25 @@ class VPTQQuantizer:
         calib_tokens: jax.Array,
         layer_overrides=None,
         progress: bool = True,
+        cache_dir: Optional[str] = None,
     ) -> Dict[str, Any]:
         from ..models.llama import LINEAR_NAMES
         from .frame import embed_inputs, run_block
         from .hessian import collect_block_hessians
 
+        from .frame import load_layer_cache, save_layer_cache
+
         h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
         new_layers: List[Dict[str, Any]] = []
         for i, lp in enumerate(params["layers"]):
             t_layer = time.time()
+            cached = load_layer_cache(cache_dir, i)
+            if cached is not None:
+                h = run_block(cached, model_cfg, h, cos, sin, mask)
+                new_layers.append(cached)
+                if progress:
+                    print(f"[vptq] layer {i + 1} from cache", flush=True)
+                continue
             Hs = collect_block_hessians(lp, model_cfg, h, cos, sin, mask)
             nlp = dict(lp)
             for name in LINEAR_NAMES:
@@ -313,6 +323,7 @@ class VPTQQuantizer:
                     "npercent": lcfg.npercent,
                     "bits_per_weight": vt.bits_per_weight,
                 }
+            save_layer_cache(cache_dir, i, nlp)
             h = run_block(nlp, model_cfg, h, cos, sin, mask)
             new_layers.append(nlp)
             if progress:

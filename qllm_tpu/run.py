@@ -68,6 +68,15 @@ def define_basic_args() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-kv-quant", dest="kv_quant", action="store_false")
     p.add_argument("--max_new_tokens", type=int, default=50)
+    p.add_argument(
+        "--quant_cache_dir",
+        type=str,
+        default=None,
+        help=(
+            "per-layer quantization cache for crash resume (idempotent: "
+            "rerunning skips finished layers)"
+        ),
+    )
     return p
 
 
