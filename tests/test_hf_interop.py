@@ -90,3 +90,44 @@ def test_quantize_hf_checkpoint_end_to_end(hf_ckpt, tmp_path):
     ours, _ = forward(p2, c2, jnp.asarray(ids))
     # 8-bit quantization: argmax preserved
     np.testing.assert_array_equal(np.asarray(ours).argmax(-1), ref.argmax(-1))
+
+
+@pytest.mark.parametrize(
+    "arch,extra",
+    [
+        ("MistralConfig", {}),
+        ("Qwen2Config", {}),
+    ],
+)
+def test_load_hf_sibling_archs(tmp_path, arch, extra):
+    """Mistral / Qwen2 checkpoints load and match torch logits."""
+    cfg_cls = getattr(transformers, arch)
+    cfg = cfg_cls(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        tie_word_embeddings=False,
+        **extra,
+    )
+    torch.manual_seed(0)
+    model_cls = getattr(transformers, arch.replace("Config", "ForCausalLM"))
+    model = model_cls(cfg).eval().to(torch.float32)
+    path = str(tmp_path / arch)
+    model.save_pretrained(path, safe_serialization=True)
+
+    params, mcfg = AutoQ.from_pretrained(path, dtype=jnp.float32)
+    if arch == "Qwen2Config":
+        assert mcfg.attention_bias  # qwen2 qkv biases
+        assert "q_proj_bias" in params["layers"][0]
+    ids = np.array([[3, 17, 42, 99, 7]], np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits.numpy()
+    ours, _ = forward(params, mcfg, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_array_equal(
+        np.asarray(ours).argmax(-1), ref.argmax(-1)
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=0.15, rtol=0.05)
