@@ -426,6 +426,196 @@ def _qmm_2d(
     return (out - corr).astype(jnp.bfloat16)
 
 
+def _qmm_kernel_v3_stacked(
+    layer_ref,  # scalar prefetch: [1] int32 layer index
+    xq_ref,  # [npar, gpb, bm, seg]
+    qw_ref,  # [1, bk/pf, bn] uint32 (layer_ref-indexed block of the stack)
+    scale_ref,  # [1, gpb, bn] f32
+    out_ref,
+    acc_ref,
+    *,
+    bits: int,
+    bk: int,
+    g: int,
+    f32_dot: bool,
+):
+    del layer_ref  # consumed by the index maps
+
+    class _V:
+        """Adapter presenting the leading-1 blocks as 2D refs."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self.shape = ref.shape[1:]
+
+        def __getitem__(self, idx):
+            return self.ref[0][idx]
+
+    _qmm_kernel_v3(
+        xq_ref,
+        _V(qw_ref),
+        _V(scale_ref),
+        out_ref,
+        acc_ref,
+        bits=bits,
+        bk=bk,
+        g=g,
+        f32_dot=f32_dot,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bits", "group_size", "in_features", "out_features"),
+)
+def _qmm_2d_stacked(
+    x: jax.Array,  # [M, K] padded
+    layer: jax.Array,  # scalar int32
+    qweight: jax.Array,  # [L, K/pf, N]
+    scales: jax.Array,  # [L, G, N]
+    zeros: jax.Array,  # [L, G, N]
+    bits: int,
+    group_size: int,
+    in_features: int,
+    out_features: int,
+) -> jax.Array:
+    """v3 decode kernel reading DIRECTLY from a layer-stacked weight
+    pytree: the layer index arrives by scalar prefetch and selects
+    blocks in the index maps — no dynamic-slice materialization of the
+    layer's weights (profiling showed that copy costs more than the
+    whole kernel)."""
+    K, N = in_features, out_features
+    M = x.shape[0]
+    pf = 32 // bits
+    g = K if group_size == -1 else group_size
+    G = K // g
+    npar = 8 // bits
+    bk = _choose_bk(K, g, pf, 2048)
+    bn = _pick_block(N, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
+    bm = M
+    seg = g // npar
+    xq = (
+        x.astype(jnp.float32)
+        .reshape(M, G, seg, npar)
+        .transpose(3, 1, 0, 2)
+    )
+    # scales must arrive f32 (stack_layer_params converts once):
+    # casting the [L, G, N] stack here would materialize the whole
+    # stack EVERY call (profiled at ~25% of decode time)
+    scales_f = (
+        scales if scales.dtype == jnp.float32 else scales.astype(jnp.float32)
+    )
+    grid = (M // bm, N // bn, K // bk)
+    kernel = functools.partial(
+        _qmm_kernel_v3_stacked, bits=bits, bk=bk, g=g, f32_dot=True
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (npar, bk // g, bm, seg),
+                lambda i, j, k, l: (0, k, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk // pf, bn),
+                lambda i, j, k, l: (l[0], k, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bk // g, bn),
+                lambda i, j, k, l: (l[0], k, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k, l: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=qweight.size // qweight.shape[0] * 4 + M * N * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(jnp.asarray([layer], jnp.int32), xq, qweight, scales_f)
+    # zero-point correction with the selected layer's (z*s) — slice the
+    # stack FIRST (multiplying the whole [L, G, N] stack per call was a
+    # profiled hot spot)
+    xsum = x.astype(jnp.float32).reshape(M, G, g).sum(axis=2)
+    zs = zeros[layer].astype(jnp.float32) * scales_f[layer]
+    corr = jnp.dot(xsum, zs, preferred_element_type=jnp.float32)
+    return (out - corr).astype(jnp.bfloat16)
+
+
+def qmatmul_pallas_stacked(
+    x: jax.Array, qt_stacked: QuantizedTensor, layer: jax.Array
+) -> jax.Array:
+    """y = x @ dequant(stack[layer]). qt_stacked leaves carry a leading
+    [L] axis (models.stacked). Falls back to slice+qmatmul when the
+    no-copy kernel's constraints don't hold."""
+    bits = qt_stacked.bits
+    K, N = qt_stacked.in_features, qt_stacked.out_features
+    N_buf = qt_stacked.qweight.shape[-1]  # may be lane-padded at stack time
+    g = K if qt_stacked.group_size == -1 else qt_stacked.group_size
+    npar = 8 // bits if bits in (2, 4) else 0
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    ok = (
+        bits in (2, 4)
+        and qt_stacked.perm is None
+        and M <= 32
+        and _choose_bk(K, g, 32 // bits, 2048) % g == 0
+        and (g // npar) % 8 == 0
+        and jax.default_backend() != "cpu"
+    )
+    if not ok:
+        from .ref_matmul import qmatmul
+
+        qt = jax.tree_util.tree_map(lambda a: a[layer], qt_stacked)
+        if N_buf != N:  # strip the lane padding for the generic path
+            import dataclasses as _dc
+
+            qt = _dc.replace(
+                qt,
+                qweight=qt.qweight[:, :N],
+                scales=qt.scales[:, :N],
+                zeros=qt.zeros[:, :N],
+            )
+        return qmatmul(x.reshape(*lead, K), qt).reshape(*lead, N)
+    x2 = x.reshape(M, K)
+    Mp = max(8, ((M + 7) // 8) * 8)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    y = _qmm_2d_stacked(
+        x2,
+        layer,
+        qt_stacked.qweight,
+        qt_stacked.scales,
+        qt_stacked.zeros,
+        bits,
+        qt_stacked.group_size,
+        K,
+        N_buf,
+    )
+    if Mp != M:
+        y = y[:M]
+    if N_buf != N:
+        y = y[:, :N]
+    return y.reshape(*lead, N).astype(x.dtype)
+
+
 def qmatmul_pallas(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     """y = x @ dequant(qt). x: [..., K] (perm already applied by caller)."""
     if qt.bits not in (2, 4, 8):
