@@ -45,6 +45,10 @@ class ServeConfig:
     quantized_kv: bool = True
     eos_token_id: Optional[int] = None
     prefill_buckets: tuple = (32, 64, 128, 256, 512, 1024)
+    # >1: run this many decode steps per dispatch fully on-device
+    # (eos-aware); admission happens between chunks. Amortizes host
+    # round-trips — essential on high-dispatch-latency links.
+    decode_chunk: int = 1
 
 
 @dataclasses.dataclass
@@ -65,6 +69,37 @@ def _batched_decode_step(params, cfg: ModelConfig, tokens, cache, positions):
     """tokens [B, 1], positions int32 [B] -> (next_tokens [B], cache)."""
     logits, cache = forward(params, cfg, tokens, cache, pos=positions)
     return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32), cache
+
+
+@partial(jax.jit, static_argnames=("cfg", "steps", "eos"))
+def _batched_decode_multi(
+    params, cfg: ModelConfig, tokens, cache, positions, active, steps: int, eos
+):
+    """``steps`` decode steps fully on-device (one dispatch): greedy
+    tokens chained per slot, eos-aware freezing. Inactive/finished slots
+    keep decoding into their own positions but their outputs are masked.
+
+    Returns (token trace [B, steps], final tokens [B,1], cache,
+    positions, active)."""
+
+    def body(carry, _):
+        tokens, cache, positions, active = carry
+        logits, cache = forward(params, cfg, tokens, cache, pos=positions)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        if eos is not None:
+            now_finished = nxt == eos
+        else:
+            now_finished = jnp.zeros_like(nxt, dtype=bool)
+        emit = jnp.where(active, nxt, -1)
+        positions = positions + active.astype(jnp.int32)
+        active = active & (~now_finished)
+        tokens = jnp.where(active[:, None], nxt[:, None], tokens)
+        return (tokens, cache, positions, active), emit
+
+    (tokens, cache, positions, active), trace = jax.lax.scan(
+        body, (tokens, cache, positions, active), None, length=steps
+    )
+    return trace.T, tokens, cache, positions, active
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -154,7 +189,27 @@ class ContinuousBatchingEngine:
                 pass  # reaped after the next step scan
 
     def _step(self, on_token) -> None:
-        if not any(r is not None for r in self.slot_req):
+        act = [
+            s
+            for s, r in enumerate(self.slot_req)
+            if r is not None and not r.finished
+        ]
+        if not act:
+            return
+        chunk = max(1, self.scfg.decode_chunk)
+        if chunk > 1:
+            rem = min(
+                self.slot_req[s].max_new_tokens - len(self.slot_req[s].output)
+                for s in act
+            )
+            room = min(
+                self.scfg.max_seq - 1 - int(self.positions[s]) for s in act
+            )
+            steps = max(1, min(chunk, rem, room))
+        else:
+            steps = 1
+        if steps > 1:
+            self._step_multi(act, steps, on_token)
             return
         next_tokens, self.cache = _batched_decode_step(
             self.params,
@@ -175,6 +230,35 @@ class ContinuousBatchingEngine:
             self.tokens[slot, 0] = tok
             if on_token is not None:
                 on_token(req, tok)
+
+    def _step_multi(self, act, steps: int, on_token) -> None:
+        B = self.scfg.max_batch
+        active = np.zeros(B, bool)
+        active[act] = True
+        trace, toks, self.cache, pos, _ = _batched_decode_multi(
+            self.params,
+            self.cfg,
+            jnp.asarray(self.tokens),
+            self.cache,
+            jnp.asarray(self.positions),
+            jnp.asarray(active),
+            steps,
+            self.scfg.eos_token_id,
+        )
+        trace_np = np.asarray(trace)
+        pos_np = np.asarray(pos)
+        toks_np = np.asarray(toks)
+        for s in act:
+            req = self.slot_req[s]
+            for t in trace_np[s]:
+                if t < 0 or self._req_done(req):
+                    break
+                req.output.append(int(t))
+                if on_token is not None:
+                    on_token(req, int(t))
+            self.positions[s] = int(pos_np[s])
+            self.tokens[s, 0] = int(toks_np[s, 0])
+            self._req_done(req)
 
     def _req_done(self, req: Request) -> bool:
         eos = self.scfg.eos_token_id

@@ -71,3 +71,58 @@ def test_engine_eos_stops_early():
     r = engine.submit(prompt, max_new_tokens=10)
     engine.run()
     assert r.finished and len(r.output) == 1 and r.output[0] == first
+
+
+def test_engine_chunked_decode_matches_greedy():
+    params = init_params(CFG, jax.random.key(3))
+    rng = np.random.default_rng(3)
+    prompts = [
+        rng.integers(1, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (5, 9, 3)
+    ]
+    engine = ContinuousBatchingEngine(
+        params,
+        CFG,
+        ServeConfig(
+            max_batch=2, max_seq=64, prefill_buckets=(16,), decode_chunk=4
+        ),
+    )
+    reqs = [engine.submit(p, max_new_tokens=7) for p in prompts]
+    done = engine.run()
+    assert len(done) == 3
+    for p, r in zip(prompts, reqs):
+        ref = greedy_generate(
+            params,
+            CFG,
+            jnp.asarray(p[None, :]),
+            max_new_tokens=7,
+            max_seq=64,
+            quantized_kv=True,
+        )
+        ref_new = np.asarray(ref)[0, len(p) :]
+        assert r.output == ref_new.tolist(), (r.output, ref_new.tolist())
+
+
+def test_engine_chunked_eos():
+    params = init_params(CFG, jax.random.key(4))
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(1, CFG.vocab_size, size=4)
+    ref = greedy_generate(
+        params, CFG, jnp.asarray(prompt[None, :]), max_new_tokens=3
+    )
+    second = int(np.asarray(ref)[0, len(prompt) + 1])
+    engine = ContinuousBatchingEngine(
+        params,
+        CFG,
+        ServeConfig(
+            max_batch=1,
+            max_seq=32,
+            prefill_buckets=(8,),
+            eos_token_id=second,
+            decode_chunk=8,
+        ),
+    )
+    r = engine.submit(prompt, max_new_tokens=10)
+    engine.run()
+    assert r.finished
+    assert r.output[-1] == second and len(r.output) == 2
