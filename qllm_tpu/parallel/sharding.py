@@ -63,8 +63,66 @@ def _put_linear(w, mesh: Mesh, kind: str):
     return _dense_put(w, mesh, kind)
 
 
+def _shard_layer_dict(lp: Dict[str, Any], mesh: Mesh, stacked: bool):
+    """Shard one layer dict (or the [L]-stacked layers dict — specs gain
+    a leading replicated axis)."""
+
+    def rep(x, spec=P()):
+        if stacked and spec != P():
+            spec = P(None, *spec)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def put_lin(w, kind):
+        if not stacked:
+            return _put_linear(w, mesh, kind)
+        if isinstance(w, QuantizedTensor):
+            tp = mesh.shape["tp"]
+            wspec = P(None, None, "tp") if kind == "col" else P(None, "tp", None)
+            sspec = (
+                P(None, None, "tp")
+                if kind == "col"
+                else (
+                    P(None, "tp", None)
+                    if w.n_groups % tp == 0
+                    else P(None, None, None)
+                )
+            )
+            return dataclasses.replace(
+                w,
+                qweight=jax.device_put(w.qweight, NamedSharding(mesh, wspec)),
+                scales=jax.device_put(w.scales, NamedSharding(mesh, sspec)),
+                zeros=jax.device_put(w.zeros, NamedSharding(mesh, sspec)),
+                perm=None
+                if w.perm is None
+                else jax.device_put(w.perm, NamedSharding(mesh, P(None, None))),
+            )
+        spec = P(None, None, "tp") if kind == "col" else P(None, "tp", None)
+        return jax.device_put(w, NamedSharding(mesh, spec))
+
+    nlp = {}
+    for name, w in lp.items():
+        if name in ("input_layernorm", "post_attention_layernorm", "router"):
+            nlp[name] = rep(w)
+        elif name == "experts":
+            nlp[name] = [
+                _shard_layer_dict(ep, mesh, stacked) for ep in w
+            ]
+        elif name.endswith("_bias"):
+            base = name[: -len("_bias")]
+            spec = P("tp") if base in _COL else P()
+            nlp[name] = rep(w, spec)
+        elif name in _COL:
+            nlp[name] = put_lin(w, "col")
+        elif name in _ROW:
+            nlp[name] = put_lin(w, "row")
+        else:
+            nlp[name] = rep(w)
+    return nlp
+
+
 def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place every param on the mesh with its TP layout."""
+    """Place every param on the mesh with its TP layout. Handles both
+    per-layer lists and [L]-stacked layers (models.stacked)."""
 
     def rep(x, spec=P()):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -76,24 +134,13 @@ def shard_params(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     out["norm"] = rep(params["norm"])
     if "lm_head" in params:
         out["lm_head"] = _put_linear(params["lm_head"], mesh, "col")
-    layers = []
-    for lp in params["layers"]:
-        nlp = {}
-        for name, w in lp.items():
-            if name in ("input_layernorm", "post_attention_layernorm"):
-                nlp[name] = rep(w)
-            elif name.endswith("_bias"):
-                base = name[: -len("_bias")]
-                spec = P("tp") if base in _COL else P()
-                nlp[name] = rep(w, spec)
-            elif name in _COL:
-                nlp[name] = _put_linear(w, mesh, "col")
-            elif name in _ROW:
-                nlp[name] = _put_linear(w, mesh, "row")
-            else:
-                nlp[name] = rep(w)
-        layers.append(nlp)
-    out["layers"] = layers
+    layers = params["layers"]
+    if isinstance(layers, list):
+        out["layers"] = [
+            _shard_layer_dict(lp, mesh, stacked=False) for lp in layers
+        ]
+    else:
+        out["layers"] = _shard_layer_dict(layers, mesh, stacked=True)
     return out
 
 

@@ -106,3 +106,39 @@ def test_param_sharding_layout():
     assert qt.qweight.sharding.spec == P(None, "tp")
     rt = sp["layers"][0]["o_proj"]
     assert rt.qweight.sharding.spec == P("tp", None)
+
+
+def test_stacked_params_sharded_decode():
+    """Sharding also covers [L]-stacked params (scan serving path)."""
+    import dataclasses
+
+    from qllm_tpu.models.llama import forward
+    from qllm_tpu.models.stacked import stack_layer_params
+
+    cfg = dataclasses.replace(
+        CFG, num_attention_heads=8, num_key_value_heads=4
+    )
+    params = random_quantized_params(cfg, jax.random.key(3), bits=4, group_size=32)
+    sp_local = stack_layer_params(params)
+    cache = make_cache(cfg, 2, 16, quantized_kv=True)
+    tok = jnp.ones((2, 1), jnp.int32)
+    logits_local, _ = jax.jit(
+        lambda p, t, c: forward(p, cfg, t, c, pos=jnp.int32(0))
+    )(sp_local, tok, cache)
+
+    mesh = make_mesh(dp=2, tp=4)
+    with mesh:
+        sp = shard_params(sp_local, mesh)
+        qt = sp["layers"]["q_proj"]
+        assert qt.qweight.sharding.spec == P(None, None, "tp")
+        sc = shard_cache(cache, mesh)
+        st = jax.device_put(tok, NamedSharding(mesh, P("dp", None)))
+        logits_dist, _ = jax.jit(
+            lambda p, t, c: forward(p, cfg, t, c, pos=jnp.int32(0))
+        )(sp, st, sc)
+    np.testing.assert_allclose(
+        np.asarray(logits_local),
+        np.asarray(logits_dist),
+        atol=3e-2,
+        rtol=3e-2,
+    )
