@@ -19,6 +19,7 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -163,7 +164,7 @@ class AutoQuantizedModelForCausalLM:
             if "qweight" not in group:
                 return None  # layer left unquantized (scanned like
                 # reference base.py:265-279)
-            return import_layout(
+            qt = import_layout(
                 group,
                 qconf.pack_mode,
                 qconf.bits_of(lname),
@@ -171,6 +172,18 @@ class AutoQuantizedModelForCausalLM:
                 autogptq=qconf.compatible_with_autogptq,
                 sym=qconf.sym,
             )
+            if (
+                qt.bits in (3, 5, 6, 7)
+                and jax.default_backend() not in ("cpu",)
+                and not os.environ.get("QLLM_TPU_NO_PROMOTE")
+            ):
+                # odd widths have no fused kernel; repack at the next
+                # power-of-two so serving rides the fast path
+                # (disable with QLLM_TPU_NO_PROMOTE=1)
+                from ..quant.qtensor import promote_bits
+
+                qt = promote_bits(qt)
+            return qt
 
         for i in range(cfg.num_hidden_layers):
             lp = params["layers"][i]

@@ -266,6 +266,21 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
     return w.reshape(K, N).astype(dtype)
 
 
+def promote_bits(qt: QuantizedTensor) -> QuantizedTensor:
+    """Repack an odd-bit tensor at the next power-of-two width (3->4,
+    5/6/7->8) so it can ride the fused Pallas kernels. The integer grid,
+    scales and zeros are untouched — only the storage widens (3->4 bit
+    costs +33% weight bytes; still well below bf16). Even widths return
+    unchanged."""
+    if qt.bits in (2, 4, 8):
+        return qt
+    new_bits = 4 if qt.bits == 3 else 8
+    q = unpack_rows(qt.qweight, qt.bits, qt.in_features)
+    return dataclasses.replace(
+        qt, qweight=pack_rows(q, new_bits), bits=new_bits
+    )
+
+
 def unpermute_dense(qt: QuantizedTensor, w: jax.Array) -> jax.Array:
     """Undo the act_order permutation, returning rows in original feature order."""
     if qt.perm is None:

@@ -133,3 +133,31 @@ def test_quantize_under_jit():
         np.asarray(dequantize_tensor(qt)),
         np.asarray(dequantize_tensor(quantize_tensor(w, 4, 64))),
     )
+
+
+@pytest.mark.parametrize("bits,target", [(3, 4), (5, 8), (6, 8), (7, 8), (4, 4)])
+def test_promote_bits_preserves_values(bits, target):
+    from qllm_tpu.quant.qtensor import promote_bits
+
+    rng = np.random.default_rng(9)
+    w = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32) * 0.05)
+    qt = quantize_tensor(w, bits=bits, group_size=32)
+    pt = promote_bits(qt)
+    assert pt.bits == target
+    np.testing.assert_allclose(
+        np.asarray(dequantize_tensor(qt)),
+        np.asarray(dequantize_tensor(pt)),
+        atol=1e-6,
+    )
+    if bits != target:
+        # promoted tensors take the fused kernel path
+        from qllm_tpu.ops.pallas_qmm import qmatmul_pallas
+        from qllm_tpu.ops.ref_matmul import qmatmul_ref
+
+        x = jnp.asarray(rng.normal(size=(4, 128)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(qmatmul_pallas(x, pt)),
+            np.asarray(qmatmul_ref(x, qt)),
+            atol=3e-2,
+            rtol=3e-2,
+        )
