@@ -218,6 +218,12 @@ class AutoQuantizedModelForCausalLM:
         compatible_with_autogptq: Optional[bool] = None,
     ) -> None:
         os.makedirs(path, exist_ok=True)
+        if not isinstance(params["layers"], list):
+            raise ValueError(
+                "params are layer-stacked (models.stacked); call "
+                "unstack_layer_params(params, cfg.num_hidden_layers) "
+                "before saving"
+            )
         if compatible_with_autogptq is None:
             compatible_with_autogptq = bool(
                 int(os.environ.get("COMPATIBLE_WITH_AUTOGPTQ", "0"))

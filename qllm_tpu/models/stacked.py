@@ -42,6 +42,8 @@ def is_stackable(params: Dict[str, Any]) -> bool:
     layers = params["layers"]
     if not isinstance(layers, list) or len(layers) < 2:
         return False
+    if "experts" in layers[0]:
+        return False  # MoE layer bodies not yet scan-specialized
     ref = jax.tree_util.tree_structure(layers[0])
     ref_shapes = [x.shape for x in jax.tree_util.tree_leaves(layers[0])]
     for lp in layers[1:]:
@@ -60,6 +62,11 @@ def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
     at ~25% of token latency."""
     import dataclasses
 
+    if not is_stackable(params):
+        raise ValueError(
+            "params are not stackable (heterogeneous layers or MoE); "
+            "use the per-layer list path"
+        )
     layers = params["layers"]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
@@ -91,6 +98,34 @@ def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
     }
     out = dict(params)
     out["layers"] = stacked
+    return out
+
+
+def unstack_layer_params(params: Dict[str, Any], n_layers: int) -> Dict[str, Any]:
+    """Inverse of stack_layer_params: per-layer list with the lane
+    padding stripped (buffers match the logical out_features again)."""
+    import dataclasses
+
+    stacked = params["layers"]
+
+    def slice_layer(i):
+        lp = {}
+        for k, v in stacked.items():
+            if isinstance(v, QuantizedTensor):
+                N = v.out_features
+                lp[k] = dataclasses.replace(
+                    v,
+                    qweight=v.qweight[i, :, :N],
+                    scales=v.scales[i, :, :N],
+                    zeros=v.zeros[i, :, :N],
+                    perm=None if v.perm is None else v.perm[i],
+                )
+            else:
+                lp[k] = v[i]
+        return lp
+
+    out = dict(params)
+    out["layers"] = [slice_layer(i) for i in range(n_layers)]
     return out
 
 

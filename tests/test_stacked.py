@@ -67,3 +67,45 @@ def test_stacked_per_slot_positions():
     d1, _ = decode_step(qp, CFG, tokens, c1, positions)
     d2, _ = decode_step(sp, CFG, tokens, c1, positions)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=2e-2, rtol=2e-2)
+
+
+def test_moe_not_stackable():
+    import dataclasses
+    import pytest
+
+    from qllm_tpu.models.llama import init_params as ip
+
+    moe_cfg = dataclasses.replace(
+        CFG, arch="mixtral", num_local_experts=2, num_experts_per_tok=1
+    )
+    params = ip(moe_cfg, jax.random.key(0))
+    assert not is_stackable(params)
+    with pytest.raises(ValueError, match="not stackable"):
+        stack_layer_params(params)
+
+
+def test_unstack_roundtrip_and_save(tmp_path):
+    from qllm_tpu.modeling import AutoQuantizedModelForCausalLM as AutoQ
+    from qllm_tpu.models.stacked import unstack_layer_params
+    import pytest
+
+    qp = _qparams()
+    sp = stack_layer_params(qp)
+    with pytest.raises(ValueError, match="unstack"):
+        AutoQ.save_pretrained(sp, CFG, str(tmp_path / "x"))
+    up = unstack_layer_params(sp, CFG.num_hidden_layers)
+    # identical packed bits and logical shapes after the round trip
+    np.testing.assert_array_equal(
+        np.asarray(up["layers"][1]["q_proj"].qweight),
+        np.asarray(qp["layers"][1]["q_proj"].qweight),
+    )
+    path = str(tmp_path / "ok")
+    AutoQ.save_pretrained(up, CFG, path)
+    p2, c2 = AutoQ.from_quantized(path)
+    tokens = jnp.asarray([[1, 2, 3]], jnp.int32)
+    c1 = make_cache(CFG, 1, 8, quantized_kv=False)
+    l1, _ = prefill(qp, CFG, tokens, c1)
+    l2, _ = prefill(p2, c2, tokens, make_cache(CFG, 1, 8, quantized_kv=False))
+    # reload casts dense leaves f32->fp16->bf16 (same budget as the
+    # checkpoint round-trip tests)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=6e-2, rtol=6e-2)
