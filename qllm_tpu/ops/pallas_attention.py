@@ -32,38 +32,39 @@ __all__ = ["decode_attention_pallas"]
 
 def _attn_kernel(
     lengths_ref,  # scalar prefetch: [B] int32 valid lengths
-    q_ref,  # [1, 1, n_rep_p, d] bf16 (pre-scaled by 1/sqrt(d))
-    k_ref,  # [1, 1, S, d] int8
-    v_ref,  # [1, 1, S, d] int8
-    ks_ref,  # [1, 1, 1, S] f32
-    vs_ref,  # [1, 1, 1, S] f32
-    o_ref,  # [1, 1, n_rep_p, d]
+    q_ref,  # [1, hb, n_rep_p, d] bf16 (pre-scaled by 1/sqrt(d))
+    k_ref,  # [1, hb, S, d] int8
+    v_ref,  # [1, hb, S, d] int8
+    ks_ref,  # [1, hb, 1, S] f32
+    vs_ref,  # [1, hb, 1, S] f32
+    o_ref,  # [1, hb, n_rep_p, d]
 ):
     b = pl.program_id(0)
-    S = k_ref.shape[2]
-    q = q_ref[0, 0]  # [n_rep_p, d]
-    k = k_ref[0, 0].astype(jnp.bfloat16)  # [S, d]
-    ks = ks_ref[0, 0]  # [1, S]
-    scores = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [n_rep_p, S]
-    scores = scores * ks
+    hb = k_ref.shape[1]
     length = lengths_ref[b]
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    scores = jnp.where(col < length, scores, -jnp.inf)
+    for h in range(hb):  # static head-block loop (amortizes per-program cost)
+        q = q_ref[0, h]  # [n_rep_p, d]
+        k = k_ref[0, h].astype(jnp.bfloat16)  # [S, d]
+        ks = ks_ref[0, h]  # [1, S]
+        scores = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n_rep_p, S]
+        scores = scores * ks
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < length, scores, -jnp.inf)
 
-    m = jnp.max(scores, axis=1, keepdims=True)
-    p = jnp.exp(scores - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
 
-    vs = vs_ref[0, 0]  # [1, S]
-    pv = (p * vs).astype(jnp.bfloat16)  # scale folded into probs
-    v = v_ref[0, 0].astype(jnp.bfloat16)  # [S, d]
-    out = jnp.dot(pv, v, preferred_element_type=jnp.float32)  # [n_rep_p, d]
-    o_ref[0, 0] = (out / denom).astype(o_ref.dtype)
+        vs = vs_ref[0, h]  # [1, S]
+        pv = (p * vs).astype(jnp.bfloat16)  # scale folded into probs
+        v = v_ref[0, h].astype(jnp.bfloat16)  # [S, d]
+        out = jnp.dot(pv, v, preferred_element_type=jnp.float32)
+        o_ref[0, h] = (out / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -88,28 +89,36 @@ def decode_attention_pallas(
     ks = k_scale.reshape(B, Hkv, 1, S).astype(jnp.float32)
     vs = v_scale.reshape(B, Hkv, 1, S).astype(jnp.float32)
 
+    # head-block: process several kv-heads per program (fewer programs,
+    # larger DMA; bounded by ~2MB of int8 K+V per program)
+    hb = 1
+    for cand in (8, 4, 2):
+        if Hkv % cand == 0 and 2 * cand * S * d <= 2 * 1024 * 1024:
+            hb = cand
+            break
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv),
+        grid=(B, Hkv // hb),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, hb, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, hb, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, hb, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, hb, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+                (1, hb, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+            (1, hb, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
