@@ -167,11 +167,18 @@ def _layer_forward_stacked(slp, cfg, h, cos, sin, mask, cache, l, pos):
     if T == 1 and cache.quantized and _pallas_attn_enabled():
         from ..ops.pallas_attention import decode_attention_pallas
 
-        kq, vq, ks, vs = cache.layer_kv_raw(l)
         lengths = jnp.broadcast_to(jnp.asarray(pos) + 1, (B,)).astype(jnp.int32)
-        attn = decode_attention_pallas(q[:, 0], kq, vq, ks, vs, lengths)[
-            :, None
-        ].astype(h.dtype)
+        # pass the WHOLE [L]-cache; the kernel's index maps select the
+        # layer (slicing here would copy the layer's K/V every step)
+        attn = decode_attention_pallas(
+            q[:, 0],
+            cache.k,
+            cache.v,
+            cache.k_scale,
+            cache.v_scale,
+            lengths,
+            layer=l,
+        )[:, None].astype(h.dtype)
     else:
         k_all, v_all = cache.layer_kv(l, dtype=h.dtype)
         attn = _attention(q, k_all, v_all, mask, cfg.n_rep)

@@ -67,15 +67,122 @@ def _attn_kernel(
         o_ref[0, h] = (out / denom).astype(o_ref.dtype)
 
 
+def _attn_kernel_stacked(
+    lengths_ref,  # scalar prefetch: [B]
+    layer_ref,  # scalar prefetch: [1] (consumed by index maps)
+    q_ref,  # [1, hb, n_rep_p, d]
+    k_ref,  # [1, 1, hb, S, d] int8 (layer-selected block)
+    v_ref,
+    ks_ref,  # [1, 1, hb, 1, S]
+    vs_ref,
+    o_ref,  # [1, hb, n_rep_p, d]
+):
+    del layer_ref
+
+    class _V:
+        def __init__(self, ref):
+            self.ref = ref
+            self.shape = ref.shape[1:]
+
+        def __getitem__(self, idx):
+            return self.ref[0][idx]
+
+    _attn_kernel(
+        lengths_ref, q_ref, _V(k_ref), _V(v_ref), _V(ks_ref), _V(vs_ref), o_ref
+    )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _decode_attention_stacked(
+    q, k_cache, v_cache, k_scale, v_scale, lengths, layer
+):
+    B, H, d = q.shape
+    L, _, Hkv, S, _ = k_cache.shape
+    n_rep = H // Hkv
+    n_rep_p = max(8, ((n_rep + 7) // 8) * 8)
+    qg = q.astype(jnp.float32) * (d**-0.5)
+    qg = qg.reshape(B, Hkv, n_rep, d)
+    if n_rep_p != n_rep:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, n_rep_p - n_rep), (0, 0)))
+    qg = qg.astype(jnp.bfloat16)
+    ks = k_scale.reshape(L, B, Hkv, 1, S).astype(jnp.float32)
+    vs = v_scale.reshape(L, B, Hkv, 1, S).astype(jnp.float32)
+
+    hb = 1
+    for cand in (8, 4, 2):
+        if Hkv % cand == 0 and 2 * cand * S * d <= 2 * 1024 * 1024:
+            hb = cand
+            break
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv // hb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hb, n_rep_p, d),
+                lambda b, h, *_: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, S, d),
+                lambda b, h, lens, l: (l[0], b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, S, d),
+                lambda b, h, lens, l: (l[0], b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 1, S),
+                lambda b, h, lens, l: (l[0], b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 1, S),
+                lambda b, h, lens, l: (l[0], b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hb, n_rep_p, d),
+            lambda b, h, *_: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        _attn_kernel_stacked,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        lengths.astype(jnp.int32),
+        jnp.asarray([layer], jnp.int32),
+        qg,
+        k_cache,
+        v_cache,
+        ks,
+        vs,
+    )
+    return out[:, :, :n_rep, :].reshape(B, H, d)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def decode_attention_pallas(
     q: jax.Array,  # [B, H, d] queries for ONE decode step
-    k_cache: jax.Array,  # [B, H_kv, S, d] int8
-    v_cache: jax.Array,  # [B, H_kv, S, d] int8
-    k_scale: jax.Array,  # [B, H_kv, S] f32
-    v_scale: jax.Array,  # [B, H_kv, S] f32
+    k_cache: jax.Array,  # [B, H_kv, S, d] int8 — or [L, B, H_kv, S, d]
+    v_cache: jax.Array,  # (same shape as k_cache)
+    k_scale: jax.Array,  # [B, H_kv, S] f32 — or [L, B, H_kv, S]
+    v_scale: jax.Array,
     lengths: jax.Array,  # [B] int32: attend to cache[:length]
+    layer: jax.Array = None,  # int32 scalar when caches carry the [L] axis
 ) -> jax.Array:
+    if k_cache.ndim == 5:
+        # layer-stacked caches: select the layer INSIDE the kernel's
+        # index maps (a jnp slice here would copy ~MBs per step)
+        return _decode_attention_stacked(
+            q, k_cache, v_cache, k_scale, v_scale, lengths, layer
+        )
     B, H, d = q.shape
     _, Hkv, S, _ = k_cache.shape
     n_rep = H // Hkv
