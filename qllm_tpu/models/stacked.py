@@ -87,8 +87,31 @@ def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
                     scales, ((0, 0), (0, 0), (0, pad)), constant_values=1.0
                 )
                 zeros = jnp.pad(zeros, ((0, 0), (0, 0), (0, pad)))
+            # planar relayout (4-bit): bitcast-to-int8 becomes k-ordered
+            # so the kernel consumes x without any transpose
+            planar = False
+            from ..ops.pallas_qmm import planar_bk
+            from ..quant.qtensor import planarize_packed
+
+            if (
+                node.bits == 4
+                and node.perm is None
+                and planar_bk(node.in_features, node.effective_group_size)
+                is not None
+            ):
+                qweight = jnp.stack(
+                    [
+                        planarize_packed(qweight[i], node.in_features)
+                        for i in range(qweight.shape[0])
+                    ]
+                )
+                planar = True
             return dataclasses.replace(
-                node, qweight=qweight, scales=scales, zeros=zeros
+                node,
+                qweight=qweight,
+                scales=scales,
+                zeros=zeros,
+                planar=planar,
             )
         return node
 
@@ -113,12 +136,18 @@ def unstack_layer_params(params: Dict[str, Any], n_layers: int) -> Dict[str, Any
         for k, v in stacked.items():
             if isinstance(v, QuantizedTensor):
                 N = v.out_features
+                qw = v.qweight[i]
+                if v.planar:
+                    from ..quant.qtensor import unplanarize_packed
+
+                    qw = unplanarize_packed(qw, v.in_features)
                 lp[k] = dataclasses.replace(
                     v,
-                    qweight=v.qweight[i, :, :N],
+                    qweight=qw[:, :N],
                     scales=v.scales[i, :, :N],
                     zeros=v.zeros[i, :, :N],
                     perm=None if v.perm is None else v.perm[i],
+                    planar=False,
                 )
             else:
                 lp[k] = v[i]

@@ -464,9 +464,82 @@ def _qmm_kernel_v3_stacked(
     )
 
 
+def planar_bk(K: int, g: int, target: int = 2048):
+    """k-block for the planar kernel, or None when the geometry does not
+    admit one: bk | K, bk % 16g == 0 (half-block holds >=8 whole groups
+    for the scale BlockSpec), bk % 256 == 0 (x half-lane alignment),
+    and G even."""
+    if g <= 0 or K % (2 * g):
+        return None
+    import math
+
+    quantum = math.lcm(256, 16 * g)
+    best = None
+    for bk in range(quantum, K + 1, quantum):
+        if K % bk == 0 and bk <= target:
+            best = bk
+    return best
+
+
+def _qmm_kernel_planar(
+    layer_ref,  # scalar prefetch [1]
+    xlo_ref,  # [bm, bk/2] f32 (low-half lanes of x)
+    xhi_ref,  # [bm, bk/2] f32
+    qw_ref,  # [1, bk/8, bn] uint32 planar
+    slo_ref,  # [1, gpbh, bn] f32
+    shi_ref,  # [1, gpbh, bn] f32
+    out_ref,  # [bm, bn] f32
+    acc_ref,
+    *,
+    bk: int,
+    g: int,
+):
+    """Planar 4-bit kernel: the bitcast yields k-CONTIGUOUS int8 rows,
+    so the activation is consumed as two aligned lane-slices of the
+    original [M, K] — no host-side transpose/relayout at all, and the
+    per-group dots run at depth g (128)."""
+    del layer_ref
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpbh = (bk // 2) // g
+    qw = pltpu.bitcast(qw_ref[0], jnp.int32)  # [bk/8, bn]
+    v_lo = pltpu.bitcast(qw & jnp.int32(0x0F0F0F0F), jnp.int8).astype(
+        jnp.float32
+    )  # [bk/2, bn], row i <-> k-offset i
+    v_hi = pltpu.bitcast(
+        jax.lax.shift_right_logical(qw, jnp.int32(4)) & jnp.int32(0x0F0F0F0F),
+        jnp.int8,
+    ).astype(jnp.float32)
+    acc = acc_ref[:]
+    for x_ref, v, s_ref in ((xlo_ref, v_lo, slo_ref), (xhi_ref, v_hi, shi_ref)):
+        for gi in range(gpbh):
+            d = jnp.dot(
+                x_ref[:, gi * g : (gi + 1) * g],
+                v[gi * g : (gi + 1) * g],
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + d * s_ref[0, gi : gi + 1, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "in_features", "out_features"),
+    static_argnames=(
+        "bits",
+        "group_size",
+        "in_features",
+        "out_features",
+        "planar",
+    ),
 )
 def _qmm_2d_stacked(
     x: jax.Array,  # [M, K] padded
@@ -478,6 +551,7 @@ def _qmm_2d_stacked(
     group_size: int,
     in_features: int,
     out_features: int,
+    planar: bool = False,
 ) -> jax.Array:
     """v3 decode kernel reading DIRECTLY from a layer-stacked weight
     pytree: the layer index arrives by scalar prefetch and selects
@@ -490,9 +564,78 @@ def _qmm_2d_stacked(
     g = K if group_size == -1 else group_size
     G = K // g
     npar = 8 // bits
-    bk = _choose_bk(K, g, pf, 2048)
     bn = _pick_block(N, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
     bm = M
+
+    if planar:
+        bkp = planar_bk(K, g)
+        grid = (M // bm, N // bn, K // bkp)
+        nk = K // bkp
+        gpbh = (bkp // 2) // g
+        scales_f = (
+            scales
+            if scales.dtype == jnp.float32
+            else scales.astype(jnp.float32)
+        )
+        kernel = functools.partial(_qmm_kernel_planar, bk=bkp, g=g)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (bm, bkp // 2),
+                    lambda i, j, k, l: (i, k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (bm, bkp // 2),
+                    lambda i, j, k, l: (i, nk + k),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, bkp // 8, bn),
+                    lambda i, j, k, l: (l[0], k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, gpbh, bn),
+                    lambda i, j, k, l: (l[0], k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, gpbh, bn),
+                    lambda i, j, k, l: (l[0], nk + k, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j, k, l: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
+        xf32 = x.astype(jnp.float32)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(
+            jnp.asarray([layer], jnp.int32),
+            xf32,
+            xf32,
+            qweight,
+            scales_f,
+            scales_f,
+        )
+        xsum = xf32.reshape(M, G, g).sum(axis=2)
+        zs = zeros[layer].astype(jnp.float32) * scales_f[layer]
+        corr = jnp.dot(xsum, zs, preferred_element_type=jnp.float32)
+        return (out - corr).astype(jnp.bfloat16)
+
+    bk = _choose_bk(K, g, pf, 2048)
     seg = g // npar
     xq = (
         x.astype(jnp.float32)
@@ -578,15 +721,24 @@ def qmatmul_pallas_stacked(
         and M <= 32
         and _choose_bk(K, g, 32 // bits, 2048) % g == 0
         and (g // npar) % 8 == 0
-        and jax.default_backend() != "cpu"
+        and (
+            jax.default_backend() != "cpu"
+            or bool(os.environ.get("QLLM_TPU_FORCE_STACKED_KERNEL"))
+        )
     )
     if not ok:
         from .ref_matmul import qmatmul
 
         qt = jax.tree_util.tree_map(lambda a: a[layer], qt_stacked)
-        if N_buf != N:  # strip the lane padding for the generic path
-            import dataclasses as _dc
+        import dataclasses as _dc
 
+        if qt_stacked.planar:
+            from ..quant.qtensor import unplanarize_packed
+
+            qt = _dc.replace(
+                qt, qweight=unplanarize_packed(qt.qweight, K), planar=False
+            )
+        if N_buf != N:  # strip the lane padding for the generic path
             qt = _dc.replace(
                 qt,
                 qweight=qt.qweight[:, :N],
@@ -608,6 +760,7 @@ def qmatmul_pallas_stacked(
         qt_stacked.group_size,
         K,
         N_buf,
+        planar=qt_stacked.planar,
     )
     if Mp != M:
         y = y[:M]

@@ -126,7 +126,14 @@ def unpack_rows(packed: jax.Array, bits: int, rows: int) -> jax.Array:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "scales", "zeros", "perm"],
-    meta_fields=["bits", "group_size", "in_features", "out_features", "sym"],
+    meta_fields=[
+        "bits",
+        "group_size",
+        "in_features",
+        "out_features",
+        "sym",
+        "planar",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class QuantizedTensor:
@@ -146,6 +153,11 @@ class QuantizedTensor:
     in_features: int
     out_features: int
     sym: bool = False
+    # planar (4-bit runtime-only relayout, see planarize_packed): word r
+    # byte j holds k = 4r+j in the low nibble and k = K/2+4r+j in the
+    # high nibble, so a bitcast to int8 yields k-contiguous rows and the
+    # activation needs NO pre-split. Kernel-facing; never serialized.
+    planar: bool = False
 
     @property
     def n_groups(self) -> int:
@@ -264,6 +276,43 @@ def dequantize_tensor(qt: QuantizedTensor, dtype=jnp.float32) -> jax.Array:
         jnp.float32
     )[:, None, :]
     return w.reshape(K, N).astype(dtype)
+
+
+def planarize_packed(qweight: jax.Array, K: int) -> jax.Array:
+    """4-bit GPTQ-order packed rows -> planar layout (see
+    QuantizedTensor.planar). Works on [..., K//8, N]; pure jnp, run once
+    at load/stack time."""
+    lead = qweight.shape[:-2]
+    N = qweight.shape[-1]
+    q = qweight.reshape((-1, K // 8, N))
+    # unpack the 8 interleaved fields
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :, None]
+    vals = (q.astype(jnp.uint32)[:, :, None, :] >> shifts) & jnp.uint32(0xF)
+    vals = vals.reshape(-1, K, N)  # k-order values
+    lo = vals[:, : K // 2].reshape(-1, K // 8, 4, N)
+    hi = vals[:, K // 2 :].reshape(-1, K // 8, 4, N)
+    byte_shift = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :, None]
+    words = jnp.bitwise_or.reduce(
+        (lo << byte_shift) | (hi << (byte_shift + 4)), axis=2
+    )
+    return words.reshape(*lead, K // 8, N)
+
+
+def unplanarize_packed(qweight: jax.Array, K: int) -> jax.Array:
+    """Inverse of planarize_packed."""
+    lead = qweight.shape[:-2]
+    N = qweight.shape[-1]
+    q = qweight.reshape((-1, K // 8, N)).astype(jnp.uint32)
+    byte_shift = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, None, :, None]
+    lo = (q[:, :, None, :] >> byte_shift) & jnp.uint32(0xF)
+    hi = (q[:, :, None, :] >> (byte_shift + 4)) & jnp.uint32(0xF)
+    vals = jnp.concatenate(
+        [lo.reshape(-1, K // 2, N), hi.reshape(-1, K // 2, N)], axis=1
+    )  # k-order
+    vr = vals.reshape(-1, K // 8, 8, N)
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :, None]
+    words = jnp.bitwise_or.reduce(vr << shifts, axis=2)
+    return words.reshape(*lead, K // 8, N)
 
 
 def promote_bits(qt: QuantizedTensor) -> QuantizedTensor:

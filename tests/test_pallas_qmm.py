@@ -62,3 +62,51 @@ def test_w4a8_path_close_to_ref(monkeypatch):
     # int8 activations add ~0.5-1% relative noise
     scale = np.abs(y_ref).max()
     np.testing.assert_allclose(y, y_ref, atol=0.02 * scale, rtol=0.05)
+
+
+def test_planar_stacked_matches_ref(monkeypatch):
+    """Planar 4-bit stacked kernel (interpret mode) vs per-layer ref."""
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    import dataclasses
+
+    import jax
+
+    from qllm_tpu.ops.pallas_qmm import planar_bk, qmatmul_pallas_stacked
+    from qllm_tpu.quant.qtensor import planarize_packed, unplanarize_packed
+
+    K, N, g, L, M = 2048, 256, 128, 2, 4
+    assert planar_bk(K, g) is not None
+    rng = np.random.default_rng(11)
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
+            bits=4,
+            group_size=g,
+        )
+        for _ in range(L)
+    ]
+    import jax.tree_util as tu
+
+    stacked = tu.tree_map(lambda *xs: jnp.stack(xs), *qts)
+    pq = jnp.stack(
+        [planarize_packed(stacked.qweight[i], K) for i in range(L)]
+    )
+    # planarize/unplanarize are exact inverses
+    np.testing.assert_array_equal(
+        np.asarray(unplanarize_packed(pq[0], K)),
+        np.asarray(stacked.qweight[0]),
+    )
+    stacked = dataclasses.replace(
+        stacked,
+        qweight=pq,
+        scales=stacked.scales.astype(jnp.float32),
+        zeros=stacked.zeros.astype(jnp.float32),
+        planar=True,
+    )
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    for layer in range(L):
+        y = np.asarray(
+            qmatmul_pallas_stacked(x, stacked, jnp.int32(layer))
+        )
+        y_ref = np.asarray(qmatmul_ref(x, qts[layer]))
+        np.testing.assert_allclose(y, y_ref, atol=2e-2, rtol=2e-2)
