@@ -120,8 +120,10 @@ def main():
 
     import faulthandler
 
+    # watchdog: the remote-TPU tunnel's compile latency varies from ~1 min
+    # (cached) to >30 min when the link degrades; leave generous headroom
     faulthandler.dump_traceback_later(
-        int(os.environ.get("QLLM_BENCH_TIMEOUT", "1800")), exit=True
+        int(os.environ.get("QLLM_BENCH_TIMEOUT", "3300")), exit=True
     )
 
     from qllm_tpu.models.decode_loop import decode_loop
