@@ -1,10 +1,21 @@
-"""Llama-family decoder as a pure function over a params pytree.
+"""Decoder-family causal LM as a pure function over a params pytree.
 
-Covers the Llama/Mistral/TinyLlama/Qwen2 shape family (GQA, RoPE,
-SwiGLU, RMSNorm, optional attention biases). Numerics follow the HF
-implementation (rotate-half RoPE, fp32 softmax) so that imported
-checkpoints reproduce reference perplexity (SURVEY.md §6: PPL within
-0.05 of reference GPTQ at equal bits/groupsize).
+One parametric implementation covers the architecture families the
+reference quantizes via its per-arch tables
+(sequential_layes_gptq_config.py:4-150, sequential_layes_awq_config.py):
+
+  * llama shape family (llama/mistral/qwen2/yi/vicuna/tinyllama):
+    GQA + RoPE + SwiGLU + RMSNorm
+  * parallel-residual blocks (gptj / gpt-neox / falcon)
+  * ALiBi position bias (bloom / mpt / baichuan-13b)
+  * non-gated MLP + LayerNorm + learned positions (opt / gpt2)
+  * fused-qkv checkpoints (baichuan W_pack, phi3, bloom/neox/falcon
+    query_key_value, gpt2 c_attn) — split at import into canonical
+    q/k/v (exact: packing is along K, fusion along N; modeling/archs.py)
+
+Numerics follow the HF implementations (rotate-half or interleaved
+RoPE, fp32 softmax) so imported checkpoints reproduce reference
+perplexity (SURVEY.md §6: PPL within 0.05 at equal bits/groupsize).
 
 Every linear leaf may be a dense ``[in, out]`` array or a
 ``QuantizedTensor`` — ``apply_linear`` dispatches. This replaces the
@@ -50,6 +61,19 @@ class ModelConfig:
     attention_bias: bool = False  # qwen2-style qkv bias
     mlp_bias: bool = False
     arch: str = "llama"
+    # ---- architecture-family switches (all default to llama behavior)
+    norm_type: str = "rmsnorm"  # rmsnorm | layernorm | rmsnorm_plus1 (gemma)
+    pos_embedding: str = "rope"  # rope | alibi | learned
+    rope_style: str = "neox"  # neox (rotate-half) | gptj (interleaved)
+    rotary_dim: int = 0  # 0 = full head_dim; else partial rotary (gptj/neox)
+    mlp_type: str = "gated"  # gated (SwiGLU-style) | plain (fc1-act-fc2)
+    hidden_act: str = "silu"  # silu | gelu | gelu_new | relu
+    parallel_residual: bool = False  # h + attn(x) + mlp(x') (gptj/neox/falcon)
+    shared_input_norm: bool = False  # parallel block w/ ONE norm (gptj/falcon-7b)
+    learned_pos_offset: int = 0  # opt: positions shift by 2
+    embed_layernorm: bool = False  # bloom word_embeddings_layernorm
+    embedding_multiplier: float = 1.0  # gemma sqrt(hidden)
+    logit_scale: float = 1.0  # some archs scale final logits
     # MoE (mixtral-family); 0 experts = dense MLP
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
@@ -61,6 +85,10 @@ class ModelConfig:
     @property
     def n_rep(self) -> int:
         return self.num_attention_heads // self.num_key_value_heads
+
+    @property
+    def rot_dim(self) -> int:
+        return self.rotary_dim or self.hd
 
 
 # a deliberately tiny config for tests (CPU-fast, all dims MXU-friendly)
@@ -100,16 +128,28 @@ def init_params(
             jax.random.normal(k, (fan_in, fan_out), dtype) * (fan_in**-0.5)
         ).astype(dtype)
 
+    def norm_w():
+        return (
+            jnp.zeros((D,), dtype)
+            if cfg.norm_type == "rmsnorm_plus1"
+            else jnp.ones((D,), dtype)
+        )
+
     def layer(k):
         ks = jax.random.split(k, 7 + 3 * max(1, cfg.num_local_experts))
         p = {
-            "input_layernorm": jnp.ones((D,), dtype),
-            "post_attention_layernorm": jnp.ones((D,), dtype),
+            "input_layernorm": norm_w(),
             "q_proj": dense(ks[0], D, H * hd),
             "k_proj": dense(ks[1], D, Hkv * hd),
             "v_proj": dense(ks[2], D, Hkv * hd),
             "o_proj": dense(ks[3], H * hd, D),
         }
+        if not cfg.shared_input_norm:
+            p["post_attention_layernorm"] = norm_w()
+        if cfg.norm_type == "layernorm":
+            p["input_layernorm_bias"] = jnp.zeros((D,), dtype)
+            if not cfg.shared_input_norm:
+                p["post_attention_layernorm_bias"] = jnp.zeros((D,), dtype)
         if cfg.num_local_experts > 0:
             p["router"] = dense(ks[4], D, cfg.num_local_experts)
             p["experts"] = [
@@ -121,7 +161,8 @@ def init_params(
                 for e in range(cfg.num_local_experts)
             ]
         else:
-            p["gate_proj"] = dense(ks[4], D, I)
+            if cfg.mlp_type == "gated":
+                p["gate_proj"] = dense(ks[4], D, I)
             p["up_proj"] = dense(ks[5], D, I)
             p["down_proj"] = dense(ks[6], I, D)
         if cfg.attention_bias:
@@ -133,8 +174,23 @@ def init_params(
     params: Dict[str, Any] = {
         "embed_tokens": jax.random.normal(keys[0], (V, D), dtype) * 0.02,
         "layers": [layer(keys[i + 1]) for i in range(cfg.num_hidden_layers)],
-        "norm": jnp.ones((D,), dtype),
+        "norm": (
+            jnp.zeros((D,), dtype)
+            if cfg.norm_type == "rmsnorm_plus1"
+            else jnp.ones((D,), dtype)
+        ),
     }
+    if cfg.norm_type == "layernorm":
+        params["norm_bias"] = jnp.zeros((D,), dtype)
+    if cfg.pos_embedding == "learned":
+        params["pos_embed"] = (
+            jax.random.normal(
+                keys[0],
+                (cfg.max_position_embeddings + cfg.learned_pos_offset, D),
+                dtype,
+            )
+            * 0.02
+        )
     if not cfg.tie_word_embeddings:
         params["lm_head"] = dense(keys[-1], D, V)
     return params
@@ -181,14 +237,60 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(dt) * weight
 
 
-def _rope_cos_sin(positions: jax.Array, head_dim: int, theta: float):
-    """positions [B, T] -> cos/sin [B, T, head_dim] (HF rotate-half layout)."""
+def layer_norm(
+    x: jax.Array, weight: jax.Array, bias: Optional[jax.Array], eps: float
+) -> jax.Array:
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dt)
+
+
+def apply_norm(cfg: ModelConfig, x, weight, bias=None) -> jax.Array:
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, weight, bias, cfg.rms_norm_eps)
+    if cfg.norm_type == "rmsnorm_plus1":
+        # gemma stores (w - 1); HF computes x * (1 + w) in f32
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + cfg.rms_norm_eps)
+        return (y * (1.0 + weight.astype(jnp.float32))).astype(x.dtype)
+    return rms_norm(x, weight, cfg.rms_norm_eps)
+
+
+def act_fn(name: str, x: jax.Array) -> jax.Array:
+    if name == "silu":
+        return jax.nn.silu(x)
+    if name in ("gelu", "gelu_python"):
+        return jax.nn.gelu(x, approximate=False)
+    if name in ("gelu_new", "gelu_pytorch_tanh", "gelu_fast"):
+        return jax.nn.gelu(x, approximate=True)
+    if name == "relu":
+        return jax.nn.relu(x)
+    raise NotImplementedError(f"hidden_act {name}")
+
+
+def _rope_cos_sin(
+    positions: jax.Array, rot_dim: int, theta: float, style: str = "neox"
+):
+    """positions [B, T] -> cos/sin [B, T, rot_dim].
+
+    neox: HF rotate-half layout (freqs duplicated by concat)
+    gptj: interleaved layout (freqs duplicated by repeat_interleave)
+    """
     inv_freq = 1.0 / (
-        theta
-        ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+        theta ** (jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim)
     )
-    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,hd/2]
-    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,rd/2]
+    if style == "gptj":
+        emb = jnp.repeat(freqs, 2, axis=-1)
+    else:
+        emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
 
@@ -197,21 +299,91 @@ def _rotate_half(x: jax.Array) -> jax.Array:
     return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
 
 
-def apply_rope(q, k, cos, sin):
-    """q [B,T,H,hd], k [B,T,Hkv,hd]; cos/sin [B,T,hd]."""
+def _rotate_every_two(x: jax.Array) -> jax.Array:
+    x1 = x[..., ::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def apply_rope(q, k, cos, sin, style: str = "neox", rot_dim: int = 0):
+    """q [B,T,H,hd], k [B,T,Hkv,hd]; cos/sin [B,T,rot_dim]."""
+    hd = q.shape[-1]
+    rd = rot_dim or hd
     c, s = cos[:, :, None, :], sin[:, :, None, :]
-    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
-    return (
-        (qf * c + _rotate_half(qf) * s).astype(q.dtype),
-        (kf * c + _rotate_half(kf) * s).astype(k.dtype),
-    )
+    rot = _rotate_every_two if style == "gptj" else _rotate_half
+
+    def rope1(x):
+        xf = x.astype(jnp.float32)
+        if rd != hd:  # partial rotary: pass-through tail
+            xr, xp = xf[..., :rd], xf[..., rd:]
+            xr = xr * c + rot(xr) * s
+            return jnp.concatenate([xr, xp], axis=-1).astype(x.dtype)
+        return (xf * c + rot(xf) * s).astype(x.dtype)
+
+    return rope1(q), rope1(k)
+
+
+def alibi_slopes(n_heads: int) -> jax.Array:
+    """Standard ALiBi head slopes (bloom/mpt formula: powers of
+    2^(-8/n) for the closest power of two, interleaved extras)."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start**i) for i in range(n)]
+
+    if math.log2(n_heads).is_integer():
+        sl = pow2_slopes(n_heads)
+    else:
+        closest = 2 ** math.floor(math.log2(n_heads))
+        sl = pow2_slopes(closest)
+        extra = pow2_slopes(2 * closest)
+        sl += extra[0::2][: n_heads - closest]
+    return jnp.asarray(sl, jnp.float32)
+
+
+def build_mask(
+    cfg: ModelConfig, B: int, T: int, S: int, pos: Optional[jax.Array]
+) -> jax.Array:
+    """Additive attention bias [B, 1 or H, T, S]: causal -inf mask plus
+    (for alibi archs) the per-head position bias.
+
+    ALiBi bias uses the key-position form slopes[h] * s — equivalent to
+    the distance form up to a per-row constant, which softmax ignores.
+    """
+    if pos is None:
+        q_pos = jnp.arange(T)[:, None]
+    elif jnp.ndim(pos) == 0:
+        q_pos = pos + jnp.arange(T)[:, None]
+    else:  # per-slot offsets [B]
+        q_pos = pos[:, None, None, None] + jnp.arange(T)[None, None, :, None]
+        s_idx = jnp.arange(S)[None, None, None, :]
+        mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+        mask = jnp.broadcast_to(mask, (B, 1, T, S))
+        if cfg.pos_embedding == "alibi":
+            sl = alibi_slopes(cfg.num_attention_heads)
+            bias = sl[None, :, None, None] * jnp.arange(S, dtype=jnp.float32)[
+                None, None, None, :
+            ]
+            mask = mask + bias
+        return mask
+    s_idx = jnp.arange(S)[None, :]
+    mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+    mask = jnp.broadcast_to(mask.reshape(1, 1, T, S), (B, 1, T, S))
+    if cfg.pos_embedding == "alibi":
+        sl = alibi_slopes(cfg.num_attention_heads)
+        bias = sl[None, :, None, None] * jnp.arange(S, dtype=jnp.float32)[
+            None, None, None, :
+        ]
+        mask = mask + bias
+    return mask
 
 
 def _attention(
     q: jax.Array,  # [B, T, H, hd]
     k: jax.Array,  # [B, S, Hkv, hd]
     v: jax.Array,  # [B, S, Hkv, hd]
-    mask: jax.Array,  # [B, 1, T, S] additive (0 / -inf)
+    mask: jax.Array,  # [B, 1|H, T, S] additive (0 / -inf / alibi)
     n_rep: int,
 ) -> jax.Array:
     if n_rep > 1:
@@ -234,10 +406,127 @@ def _attention(
     return out.astype(q.dtype)
 
 
+# --------------------------------------------------------------------------
+# Shared block body: one implementation serves the per-layer (list) path
+# and the stacked/scan serving path (models.stacked) via the accessors.
+# --------------------------------------------------------------------------
+
+
+class LayerView:
+    """Accessor for one layer's params in a per-layer dict."""
+
+    def __init__(self, lp: Dict[str, Any]):
+        self.lp = lp
+
+    def get(self, name):
+        return self.lp.get(name)
+
+    def apply(self, name, x):
+        return apply_linear(self.lp[name], x, self.lp.get(f"{name}_bias"))
+
+
+def _block_attn_mlp(
+    pv,
+    cfg: ModelConfig,
+    h: jax.Array,
+    cos,
+    sin,
+    mask,
+    cache: Optional[QuantizedKVCache],
+    layer_idx,
+    pos,
+) -> Tuple[jax.Array, Optional[QuantizedKVCache]]:
+    """One transformer block, all architecture families. ``pv`` is a
+    LayerView-like accessor (get/apply)."""
+    B, T, D = h.shape
+    H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+
+    x = apply_norm(
+        cfg, h, pv.get("input_layernorm"), pv.get("input_layernorm_bias")
+    )
+    q = pv.apply("q_proj", x)
+    k = pv.apply("k_proj", x)
+    v = pv.apply("v_proj", x)
+    q = q.reshape(B, T, H, hd)
+    k = k.reshape(B, T, Hkv, hd)
+    v = v.reshape(B, T, Hkv, hd)
+    if cfg.pos_embedding == "rope":
+        q, k = apply_rope(q, k, cos, sin, cfg.rope_style, cfg.rotary_dim)
+
+    use_kernel = False
+    if cache is not None:
+        cache = cache.update(layer_idx, k, v, pos)
+        use_kernel = (
+            T == 1
+            and cache.quantized
+            and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
+            and _pallas_attn_enabled()
+        )
+        if use_kernel:
+            from ..ops.pallas_attention import decode_attention_pallas
+
+            lengths = jnp.broadcast_to(jnp.asarray(pos) + 1, (B,)).astype(
+                jnp.int32
+            )
+            # pass the WHOLE [L]-cache; the kernel's index maps select
+            # the layer (slicing here would copy the layer's K/V per
+            # step — a round-1 profiled hot spot)
+            attn = decode_attention_pallas(
+                q[:, 0],
+                cache.k,
+                cache.v,
+                cache.k_scale,
+                cache.v_scale,
+                lengths,
+                layer=layer_idx,
+            )[:, None].astype(h.dtype)
+        else:
+            k_all, v_all = cache.layer_kv(layer_idx, dtype=h.dtype)
+            attn = _attention(q, k_all, v_all, mask, cfg.n_rep)
+    else:
+        attn = _attention(q, k, v, mask, cfg.n_rep)
+
+    attn_out = pv.apply("o_proj", attn.reshape(B, T, H * hd))
+
+    if cfg.parallel_residual:
+        if cfg.shared_input_norm:
+            x2 = x
+        else:
+            x2 = apply_norm(
+                cfg,
+                h,
+                pv.get("post_attention_layernorm"),
+                pv.get("post_attention_layernorm_bias"),
+            )
+        mlp_out = _mlp_from_view(pv, cfg, x2)
+        h = h + attn_out + mlp_out
+    else:
+        h = h + attn_out
+        x2 = apply_norm(
+            cfg,
+            h,
+            pv.get("post_attention_layernorm"),
+            pv.get("post_attention_layernorm_bias"),
+        )
+        h = h + _mlp_from_view(pv, cfg, x2)
+    return h, cache
+
+
+def _mlp_from_view(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    if pv.get("experts") is not None:
+        return _moe_forward(pv.lp, cfg, x)
+    if cfg.mlp_type == "gated":
+        gate = pv.apply("gate_proj", x)
+        up = pv.apply("up_proj", x)
+        return pv.apply("down_proj", act_fn(cfg.hidden_act, gate) * up)
+    up = pv.apply("up_proj", x)  # fc1
+    return pv.apply("down_proj", act_fn(cfg.hidden_act, up))  # fc2
+
+
 def _layer_forward(
     lp: Dict[str, Any],
     cfg: ModelConfig,
-    h: jax.Array,  # [B, T, D]
+    h: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
     mask: jax.Array,
@@ -245,62 +534,18 @@ def _layer_forward(
     layer_idx: int,
     pos: Optional[jax.Array],
 ) -> Tuple[jax.Array, Optional[QuantizedKVCache]]:
-    B, T, D = h.shape
-    H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
-
-    x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = apply_linear(lp["q_proj"], x, lp.get("q_proj_bias"))
-    k = apply_linear(lp["k_proj"], x, lp.get("k_proj_bias"))
-    v = apply_linear(lp["v_proj"], x, lp.get("v_proj_bias"))
-    q = q.reshape(B, T, H, hd)
-    k = k.reshape(B, T, Hkv, hd)
-    v = v.reshape(B, T, Hkv, hd)
-    q, k = apply_rope(q, k, cos, sin)
-
-    if cache is not None:
-        cache = cache.update(layer_idx, k, v, pos)
-        if T == 1 and cache.quantized and _pallas_attn_enabled():
-            # fused int8-KV decode attention kernel
-            from ..ops.pallas_attention import decode_attention_pallas
-
-            kq, vq, ks, vs = cache.layer_kv_raw(layer_idx)
-            lengths = jnp.broadcast_to(jnp.asarray(pos) + 1, (B,)).astype(
-                jnp.int32
-            )
-            attn = decode_attention_pallas(
-                q[:, 0], kq, vq, ks, vs, lengths
-            )[:, None].astype(h.dtype)
-            h = h + apply_linear(lp["o_proj"], attn.reshape(B, T, H * hd))
-            x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-            gate = apply_linear(lp["gate_proj"], x)
-            up = apply_linear(lp["up_proj"], x)
-            h = h + apply_linear(lp["down_proj"], jax.nn.silu(gate) * up)
-            return h, cache
-        k_all, v_all = cache.layer_kv(layer_idx, dtype=h.dtype)
-    else:
-        k_all, v_all = k, v
-
-    attn = _attention(q, k_all, v_all, mask, cfg.n_rep)
-    h = h + apply_linear(lp["o_proj"], attn.reshape(B, T, H * hd))
-
-    x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    h = h + _mlp_forward(lp, cfg, x)
-    return h, cache
+    return _block_attn_mlp(
+        LayerView(lp), cfg, h, cos, sin, mask, cache, layer_idx, pos
+    )
 
 
-def _mlp_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Array:
-    """Dense SwiGLU MLP, or Mixtral-style top-k sparse MoE when the
-    layer carries 'experts' (reference supports Mixtral via its GPTQ/AWQ
-    tables, sequential_layes_gptq_config.py:70-101).
+def _moe_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """Mixtral-style top-k sparse MoE (reference supports Mixtral via its
+    GPTQ/AWQ tables, sequential_layes_gptq_config.py:70-101).
 
     MoE note: experts run densely over all tokens and are combined with
     the router's top-k weights — correct and XLA-friendly; token
     gathering/megablocking is a later optimization."""
-    if "experts" not in lp:
-        gate = apply_linear(lp["gate_proj"], x)
-        up = apply_linear(lp["up_proj"], x)
-        return apply_linear(lp["down_proj"], jax.nn.silu(gate) * up)
-
     router_logits = jnp.dot(
         x.astype(jnp.float32), lp["router"].astype(jnp.float32)
     )  # [B, T, E]
@@ -308,10 +553,8 @@ def _mlp_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Arra
     k = min(cfg.num_experts_per_tok, E)
     top_w, top_ids = jax.lax.top_k(router_logits, k)
     top_w = jax.nn.softmax(top_w, axis=-1)  # HF: softmax over the top-k
-    # per-expert combine weight [B, T, E]
     weights = jnp.sum(
-        jax.nn.one_hot(top_ids, E, dtype=jnp.float32)
-        * top_w[..., None],
+        jax.nn.one_hot(top_ids, E, dtype=jnp.float32) * top_w[..., None],
         axis=-2,
     )  # [B, T, E]
     out = jnp.zeros_like(x, shape=x.shape).astype(jnp.float32)
@@ -321,6 +564,11 @@ def _mlp_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Arra
         ye = apply_linear(ep["down_proj"], jax.nn.silu(gate) * up)
         out = out + ye.astype(jnp.float32) * weights[..., e : e + 1]
     return out.astype(x.dtype)
+
+
+def _mlp_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """Back-compat helper: dense or MoE MLP on a per-layer dict."""
+    return _mlp_from_view(LayerView(lp), cfg, x)
 
 
 def layer_intermediates(
@@ -334,26 +582,44 @@ def layer_intermediates(
     """The input activation of every linear in one block — what the
     reference collects with forward hooks (quant_gptq.py:73-87,
     quant_awq.py:46-83). Keys map linear name -> its input [B, T, K].
-    Must stay in lock-step with ``_layer_forward``."""
+    Must stay in lock-step with ``_block_attn_mlp``."""
     B, T, D = h.shape
     H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
-    x1 = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-    q = apply_linear(lp["q_proj"], x1, lp.get("q_proj_bias"))
-    k = apply_linear(lp["k_proj"], x1, lp.get("k_proj_bias"))
-    v = apply_linear(lp["v_proj"], x1, lp.get("v_proj_bias"))
-    q = q.reshape(B, T, H, hd)
-    k = k.reshape(B, T, Hkv, hd)
-    v = v.reshape(B, T, Hkv, hd)
-    q, k = apply_rope(q, k, cos, sin)
+    pv = LayerView(lp)
+    x1 = apply_norm(
+        cfg, h, pv.get("input_layernorm"), pv.get("input_layernorm_bias")
+    )
+    q = pv.apply("q_proj", x1).reshape(B, T, H, hd)
+    k = pv.apply("k_proj", x1).reshape(B, T, Hkv, hd)
+    v = pv.apply("v_proj", x1).reshape(B, T, Hkv, hd)
+    if cfg.pos_embedding == "rope":
+        q, k = apply_rope(q, k, cos, sin, cfg.rope_style, cfg.rotary_dim)
     attn = _attention(q, k, v, mask, cfg.n_rep).reshape(B, T, H * hd)
-    h2 = h + apply_linear(lp["o_proj"], attn)
-    x2 = rms_norm(h2, lp["post_attention_layernorm"], cfg.rms_norm_eps)
     out = {
         "q_proj": x1,
         "k_proj": x1,
         "v_proj": x1,
         "o_proj": attn,
     }
+    if cfg.parallel_residual:
+        x2 = (
+            x1
+            if cfg.shared_input_norm
+            else apply_norm(
+                cfg,
+                h,
+                pv.get("post_attention_layernorm"),
+                pv.get("post_attention_layernorm_bias"),
+            )
+        )
+    else:
+        h2 = h + pv.apply("o_proj", attn)
+        x2 = apply_norm(
+            cfg,
+            h2,
+            pv.get("post_attention_layernorm"),
+            pv.get("post_attention_layernorm_bias"),
+        )
     if "experts" in lp:
         # MoE: per-expert inputs weighted by the router (sqrt weight so
         # the Hessian XᵀX carries the routing probability) — the
@@ -378,16 +644,69 @@ def layer_intermediates(
             up = apply_linear(ep["up_proj"], x2)
             out[f"experts.{e}.gate_proj"] = xe
             out[f"experts.{e}.up_proj"] = xe
-            out[f"experts.{e}.down_proj"] = (
-                jax.nn.silu(gate) * up
-            ) * wsq
-    else:
-        gate = apply_linear(lp["gate_proj"], x2)
-        up = apply_linear(lp["up_proj"], x2)
+            out[f"experts.{e}.down_proj"] = (jax.nn.silu(gate) * up) * wsq
+    elif cfg.mlp_type == "gated":
+        gate = pv.apply("gate_proj", x2)
+        up = pv.apply("up_proj", x2)
         out["gate_proj"] = x2
         out["up_proj"] = x2
-        out["down_proj"] = jax.nn.silu(gate) * up
+        out["down_proj"] = act_fn(cfg.hidden_act, gate) * up
+    else:
+        up = pv.apply("up_proj", x2)
+        out["up_proj"] = x2
+        out["down_proj"] = act_fn(cfg.hidden_act, up)
     return out
+
+
+def embed_tokens_forward(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,
+    positions: jax.Array,
+) -> jax.Array:
+    """Token ids + positions -> first block's hidden input, covering
+    learned positions (opt/gpt2), bloom's embedding layernorm, and
+    gemma's sqrt(D) multiplier."""
+    # mode="clip": out-of-range ids clamp instead of jnp.take's default
+    # NaN fill (defensive; calibration/generation ids should be in range)
+    h = jnp.take(params["embed_tokens"], token_ids, axis=0, mode="clip")
+    if cfg.embedding_multiplier != 1.0:
+        # HF gemma casts the multiplier to the embedding dtype first
+        h = h * jnp.asarray(cfg.embedding_multiplier, h.dtype)
+    if cfg.pos_embedding == "learned":
+        h = h + jnp.take(
+            params["pos_embed"],
+            positions + cfg.learned_pos_offset,
+            axis=0,
+            mode="clip",
+        )
+    if cfg.embed_layernorm:
+        h = layer_norm(
+            h,
+            params["embed_layernorm"],
+            params.get("embed_layernorm_bias"),
+            cfg.rms_norm_eps,
+        )
+    return h
+
+
+def final_logits(
+    params: Dict[str, Any], cfg: ModelConfig, h: jax.Array
+) -> jax.Array:
+    h = apply_norm(cfg, h, params["norm"], params.get("norm_bias"))
+    if cfg.tie_word_embeddings:
+        logits = jnp.dot(
+            h.astype(jnp.bfloat16),
+            params["embed_tokens"].T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        logits = apply_linear(
+            params["lm_head"], h, params.get("lm_head_bias")
+        ).astype(jnp.float32)
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    return logits.astype(jnp.float32)
 
 
 def forward(
@@ -415,18 +734,9 @@ def forward(
         return forward_stacked(params, cfg, token_ids, cache, pos)
 
     B, T = token_ids.shape
-    # mode="clip": out-of-range ids clamp instead of jnp.take's default
-    # NaN fill (defensive; calibration/generation ids should be in range)
-    h = jnp.take(params["embed_tokens"], token_ids, axis=0, mode="clip")
-
     if cache is None:
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-        mask = jnp.where(
-            jnp.arange(T)[None, None, :, None] >= jnp.arange(T)[None, None, None, :],
-            0.0,
-            -jnp.inf,
-        ).astype(jnp.float32)
-        mask = jnp.broadcast_to(mask.reshape(1, 1, T, T), (B, 1, T, T))
+        mask = build_mask(cfg, B, T, T, None)
     else:
         if pos is None:
             pos = jnp.int32(0)
@@ -434,33 +744,21 @@ def forward(
         S = cache.max_seq
         if pos.ndim == 0:
             positions = pos + jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-            # position s visible to query t  iff  s <= pos + t
-            q_pos = pos + jnp.arange(T)[:, None]  # [T, 1]
-            s_idx = jnp.arange(S)[None, :]  # [1, S]
-            mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
-            mask = jnp.broadcast_to(mask.reshape(1, 1, T, S), (B, 1, T, S))
         else:
-            # per-slot offsets (continuous batching): pos int32 [B]
             positions = pos[:, None] + jnp.arange(T)[None, :]
-            q_pos = pos[:, None, None, None] + jnp.arange(T)[None, None, :, None]
-            s_idx = jnp.arange(S)[None, None, None, :]
-            mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
-            mask = jnp.broadcast_to(mask, (B, 1, T, S))
+        mask = build_mask(cfg, B, T, S, pos)
 
-    cos, sin = _rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    h = embed_tokens_forward(params, cfg, token_ids, positions)
+    if cfg.pos_embedding == "rope":
+        cos, sin = _rope_cos_sin(
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style
+        )
+    else:
+        cos = sin = None
     for i, lp in enumerate(params["layers"]):
         h, cache = _layer_forward(lp, cfg, h, cos, sin, mask, cache, i, pos)
 
-    h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings:
-        logits = jnp.dot(
-            h.astype(jnp.bfloat16),
-            params["embed_tokens"].T.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        logits = apply_linear(params["lm_head"], h).astype(jnp.float32)
-    return logits.astype(jnp.float32), cache
+    return final_logits(params, cfg, h), cache
 
 
 def iter_quantizable(params: Dict[str, Any]):

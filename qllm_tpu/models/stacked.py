@@ -12,6 +12,11 @@ traffic than the matmul kernel itself. Instead the quantized matmul
 reads blocks straight out of the [L]-stacked buffers with the layer
 index delivered by scalar prefetch (ops.pallas_qmm.qmatmul_pallas_stacked).
 
+The block body is SHARED with the per-layer path
+(llama._block_attn_mlp) via the StackedLayerView accessor, so every
+architecture-family switch (parallel residual, ALiBi, plain MLP, ...)
+works identically under the scan.
+
 Heterogeneous (mixed-bit) models keep the python-loop path in
 ``forward``.
 """
@@ -26,12 +31,11 @@ import jax.numpy as jnp
 from ..quant.qtensor import QuantizedTensor
 from .llama import (
     ModelConfig,
-    _attention,
-    _pallas_attn_enabled,
+    _block_attn_mlp,
     _rope_cos_sin,
-    apply_linear,
-    apply_rope,
-    rms_norm,
+    build_mask,
+    embed_tokens_forward,
+    final_logits,
 )
 
 __all__ = ["stack_layer_params", "forward_stacked", "is_stackable"]
@@ -106,12 +110,18 @@ def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
                     ]
                 )
                 planar = True
+            # pre-fold the zero-point term: the decode-loop correction is
+            # y -= xsum @ (zeros * scales); computing that product per
+            # call re-reads BOTH [L, G, N] stacks every token (profiled
+            # ~0.4 ms/token on 7B). Store zs once; unstack inverts.
+            zs = zeros * scales
             return dataclasses.replace(
                 node,
                 qweight=qweight,
                 scales=scales,
-                zeros=zeros,
+                zeros=zs,
                 planar=planar,
+                zeros_prefolded=True,
             )
         return node
 
@@ -141,13 +151,20 @@ def unstack_layer_params(params: Dict[str, Any], n_layers: int) -> Dict[str, Any
                     from ..quant.qtensor import unplanarize_packed
 
                     qw = unplanarize_packed(qw, v.in_features)
+                scales = v.scales[i, :, :N]
+                zeros = v.zeros[i, :, :N]
+                if v.zeros_prefolded:
+                    # invert zs -> zeros (scales are >= eps by
+                    # construction; f32 divide is exact to ~2^-24)
+                    zeros = zeros / scales
                 lp[k] = dataclasses.replace(
                     v,
                     qweight=qw[:, :N],
-                    scales=v.scales[i, :, :N],
-                    zeros=v.zeros[i, :, :N],
+                    scales=scales,
+                    zeros=zeros,
                     perm=None if v.perm is None else v.perm[i],
                     planar=False,
+                    zeros_prefolded=False,
                 )
             else:
                 lp[k] = v[i]
@@ -158,66 +175,38 @@ def unstack_layer_params(params: Dict[str, Any], n_layers: int) -> Dict[str, Any
     return out
 
 
-def _apply_stacked(w, x, l, bias=None):
-    """x @ stack[l] for a stacked linear leaf."""
-    if isinstance(w, QuantizedTensor):
-        from ..ops.pallas_qmm import qmatmul_pallas_stacked
+class StackedLayerView:
+    """llama.LayerView equivalent over [L]-stacked params + layer index."""
 
-        y = qmatmul_pallas_stacked(x, w, l)
+    def __init__(self, slp: Dict[str, Any], l):
+        self.lp = slp
+        self.l = l
+
+    def get(self, name):
+        v = self.lp.get(name)
+        if v is None or isinstance(v, QuantizedTensor):
+            return v
+        return v[self.l]
+
+    def apply(self, name, x):
+        w = self.lp[name]
+        b = self.lp.get(f"{name}_bias")
+        bias = None if b is None else b[self.l]
+        if isinstance(w, QuantizedTensor):
+            from ..ops.pallas_qmm import qmatmul_pallas_stacked
+
+            y = qmatmul_pallas_stacked(x, w, self.l)
+            if bias is not None:
+                y = y + bias
+            return y
+        y = jnp.dot(
+            x.astype(jnp.bfloat16),
+            w[self.l].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
         if bias is not None:
             y = y + bias
         return y
-    y = jnp.dot(
-        x.astype(jnp.bfloat16),
-        w[l].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    if bias is not None:
-        y = y + bias
-    return y
-
-
-def _layer_forward_stacked(slp, cfg, h, cos, sin, mask, cache, l, pos):
-    B, T, D = h.shape
-    H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
-    x = rms_norm(h, slp["input_layernorm"][l], cfg.rms_norm_eps)
-    qb = slp.get("q_proj_bias")
-    kb = slp.get("k_proj_bias")
-    vb = slp.get("v_proj_bias")
-    q = _apply_stacked(slp["q_proj"], x, l, None if qb is None else qb[l])
-    k = _apply_stacked(slp["k_proj"], x, l, None if kb is None else kb[l])
-    v = _apply_stacked(slp["v_proj"], x, l, None if vb is None else vb[l])
-    q = q.reshape(B, T, H, hd)
-    k = k.reshape(B, T, Hkv, hd)
-    v = v.reshape(B, T, Hkv, hd)
-    q, k = apply_rope(q, k, cos, sin)
-
-    cache = cache.update(l, k, v, pos)
-    if T == 1 and cache.quantized and _pallas_attn_enabled():
-        from ..ops.pallas_attention import decode_attention_pallas
-
-        lengths = jnp.broadcast_to(jnp.asarray(pos) + 1, (B,)).astype(jnp.int32)
-        # pass the WHOLE [L]-cache; the kernel's index maps select the
-        # layer (slicing here would copy the layer's K/V every step)
-        attn = decode_attention_pallas(
-            q[:, 0],
-            cache.k,
-            cache.v,
-            cache.k_scale,
-            cache.v_scale,
-            lengths,
-            layer=l,
-        )[:, None].astype(h.dtype)
-    else:
-        k_all, v_all = cache.layer_kv(l, dtype=h.dtype)
-        attn = _attention(q, k_all, v_all, mask, cfg.n_rep)
-    h = h + _apply_stacked(slp["o_proj"], attn.reshape(B, T, H * hd), l)
-
-    x = rms_norm(h, slp["post_attention_layernorm"][l], cfg.rms_norm_eps)
-    gate = _apply_stacked(slp["gate_proj"], x, l)
-    up = _apply_stacked(slp["up_proj"], x, l)
-    h = h + _apply_stacked(slp["down_proj"], jax.nn.silu(gate) * up, l)
-    return h, cache
 
 
 def forward_stacked(
@@ -232,42 +221,31 @@ def forward_stacked(
     Semantics identical to models.llama.forward with a cache.
     """
     B, T = token_ids.shape
-    h = jnp.take(params["embed_tokens"], token_ids, axis=0, mode="clip")
     pos = jnp.asarray(pos if pos is not None else 0)
     S = cache.max_seq
     if pos.ndim == 0:
         positions = pos + jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-        q_pos = pos + jnp.arange(T)[:, None]
-        s_idx = jnp.arange(S)[None, :]
-        mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
-        mask = jnp.broadcast_to(mask.reshape(1, 1, T, S), (B, 1, T, S))
     else:
         positions = pos[:, None] + jnp.arange(T)[None, :]
-        q_pos = pos[:, None, None, None] + jnp.arange(T)[None, None, :, None]
-        s_idx = jnp.arange(S)[None, None, None, :]
-        mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
-        mask = jnp.broadcast_to(mask, (B, 1, T, S))
-    cos, sin = _rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
+    mask = build_mask(cfg, B, T, S, pos)
+    h = embed_tokens_forward(params, cfg, token_ids, positions)
+    if cfg.pos_embedding == "rope":
+        cos, sin = _rope_cos_sin(
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style
+        )
+    else:
+        cos = sin = None
 
     slp = params["layers"]
 
     def body(carry, l):
         h, cache = carry
-        h, cache = _layer_forward_stacked(
-            slp, cfg, h, cos, sin, mask, cache, l, pos
+        h, cache = _block_attn_mlp(
+            StackedLayerView(slp, l), cfg, h, cos, sin, mask, cache, l, pos
         )
         return (h, cache), None
 
     (h, cache), _ = jax.lax.scan(
         body, (h, cache), jnp.arange(cfg.num_hidden_layers)
     )
-    h = rms_norm(h, params["norm"], cfg.rms_norm_eps)
-    if cfg.tie_word_embeddings:
-        logits = jnp.dot(
-            h.astype(jnp.bfloat16),
-            params["embed_tokens"].T.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        logits = apply_linear(params["lm_head"], h).astype(jnp.float32)
-    return logits.astype(jnp.float32), cache
+    return final_logits(params, cfg, h), cache

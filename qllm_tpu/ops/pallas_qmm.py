@@ -539,6 +539,7 @@ def _qmm_kernel_planar(
         "in_features",
         "out_features",
         "planar",
+        "prefolded",
     ),
 )
 def _qmm_2d_stacked(
@@ -552,12 +553,14 @@ def _qmm_2d_stacked(
     in_features: int,
     out_features: int,
     planar: bool = False,
+    prefolded: bool = False,
 ) -> jax.Array:
     """v3 decode kernel reading DIRECTLY from a layer-stacked weight
     pytree: the layer index arrives by scalar prefetch and selects
     blocks in the index maps — no dynamic-slice materialization of the
     layer's weights (profiling showed that copy costs more than the
-    whole kernel)."""
+    whole kernel). ``prefolded``: the zeros stack already holds
+    zs = zeros * scales (models.stacked pre-fold)."""
     K, N = in_features, out_features
     M = x.shape[0]
     pf = 32 // bits
@@ -566,9 +569,10 @@ def _qmm_2d_stacked(
     npar = 8 // bits
     bn = _pick_block(N, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
     bm = M
+    bk_target = int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
 
     if planar:
-        bkp = planar_bk(K, g)
+        bkp = planar_bk(K, g, bk_target)
         grid = (M // bm, N // bn, K // bkp)
         nk = K // bkp
         gpbh = (bkp // 2) // g
@@ -631,11 +635,15 @@ def _qmm_2d_stacked(
             scales_f,
         )
         xsum = xf32.reshape(M, G, g).sum(axis=2)
-        zs = zeros[layer].astype(jnp.float32) * scales_f[layer]
+        zs = (
+            zeros[layer]
+            if prefolded
+            else zeros[layer].astype(jnp.float32) * scales_f[layer]
+        )
         corr = jnp.dot(xsum, zs, preferred_element_type=jnp.float32)
         return (out - corr).astype(jnp.bfloat16)
 
-    bk = _choose_bk(K, g, pf, 2048)
+    bk = _choose_bk(K, g, pf, bk_target)
     seg = g // npar
     xq = (
         x.astype(jnp.float32)
@@ -695,7 +703,11 @@ def _qmm_2d_stacked(
     # stack FIRST (multiplying the whole [L, G, N] stack per call was a
     # profiled hot spot)
     xsum = x.astype(jnp.float32).reshape(M, G, g).sum(axis=2)
-    zs = zeros[layer].astype(jnp.float32) * scales_f[layer]
+    zs = (
+        zeros[layer]
+        if prefolded
+        else zeros[layer].astype(jnp.float32) * scales_f[layer]
+    )
     corr = jnp.dot(xsum, zs, preferred_element_type=jnp.float32)
     return (out - corr).astype(jnp.bfloat16)
 
@@ -732,6 +744,10 @@ def qmatmul_pallas_stacked(
         qt = jax.tree_util.tree_map(lambda a: a[layer], qt_stacked)
         import dataclasses as _dc
 
+        if qt_stacked.zeros_prefolded:
+            qt = _dc.replace(
+                qt, zeros=qt.zeros / qt.scales, zeros_prefolded=False
+            )
         if qt_stacked.planar:
             from ..quant.qtensor import unplanarize_packed
 
@@ -761,6 +777,7 @@ def qmatmul_pallas_stacked(
         K,
         N_buf,
         planar=qt_stacked.planar,
+        prefolded=qt_stacked.zeros_prefolded,
     )
     if Mp != M:
         y = y[:M]

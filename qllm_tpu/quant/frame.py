@@ -25,6 +25,8 @@ from ..models.llama import (
     ModelConfig,
     _layer_forward,
     _rope_cos_sin,
+    build_mask,
+    embed_tokens_forward,
 )
 
 __all__ = [
@@ -141,15 +143,15 @@ def embed_inputs(
     receives.
     """
     B, T = token_ids.shape
-    h = jnp.take(params["embed_tokens"], token_ids, axis=0, mode="clip")
     positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
-    cos, sin = _rope_cos_sin(positions, cfg.hd, cfg.rope_theta)
-    mask = jnp.where(
-        jnp.arange(T)[None, None, :, None] >= jnp.arange(T)[None, None, None, :],
-        0.0,
-        -jnp.inf,
-    ).astype(jnp.float32)
-    mask = jnp.broadcast_to(mask.reshape(1, 1, T, T), (B, 1, T, T))
+    h = embed_tokens_forward(params, cfg, token_ids, positions)
+    if cfg.pos_embedding == "rope":
+        cos, sin = _rope_cos_sin(
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style
+        )
+    else:
+        cos = sin = None
+    mask = build_mask(cfg, B, T, T, None)
     return h, cos, sin, mask
 
 

@@ -133,6 +133,7 @@ def unpack_rows(packed: jax.Array, bits: int, rows: int) -> jax.Array:
         "out_features",
         "sym",
         "planar",
+        "zeros_prefolded",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -158,6 +159,11 @@ class QuantizedTensor:
     # high nibble, so a bitcast to int8 yields k-contiguous rows and the
     # activation needs NO pre-split. Kernel-facing; never serialized.
     planar: bool = False
+    # zeros_prefolded (runtime-only, set by models.stacked): the zeros
+    # field holds zs = zeros * scales so the decode-loop zero-point
+    # correction reads ONE array instead of re-reading + multiplying
+    # zeros and scales every token (profiled at ~0.4 ms/token on 7B).
+    zeros_prefolded: bool = False
 
     @property
     def n_groups(self) -> int:
