@@ -8,9 +8,12 @@ The analog of reference qllm/modeling/base.py:
   * ``save_pretrained``  — params -> safetensors in a chosen pack_mode
     + quant_config.json (+ AutoGPTQ-compatible quantize_config.json)
 
-Checkpoint tensor naming follows the HF/AutoGPTQ convention
-(model.layers.N.self_attn.q_proj.qweight etc.) so checkpoints
-interchange with the CUDA ecosystem (reference README.md:111-126).
+Tensor naming follows each architecture's native HF dialect
+(modeling.archs.ArchSpec) so checkpoints interchange with the CUDA
+ecosystem (reference README.md:111-126): llama-family uses
+``model.layers.N.self_attn.q_proj.qweight``, bloom uses
+``transformer.h.N.self_attention.query_key_value.qweight`` (fused —
+split/refused exactly via column indices), etc.
 """
 
 from __future__ import annotations
@@ -25,26 +28,24 @@ import numpy as np
 
 from ..models.llama import LINEAR_NAMES, ModelConfig
 from ..quant.layouts import export_layout, import_layout
-from ..quant.qtensor import QuantizedTensor
+from ..quant.qtensor import QuantizedTensor, concat_columns, take_columns
+from .archs import (
+    ArchSpec,
+    gate_up_split_indices,
+    qkv_split_indices,
+    spec_for_config,
+    spec_from_model_config,
+)
 from .qconfig_io import BaseQuantizeConfig
-from .registry import hf_config_dict, load_hf_config
+from .registry import hf_config_dict
 
 __all__ = ["AutoQuantizedModelForCausalLM"]
-
-_HF_PREFIX = {
-    "q_proj": "self_attn.q_proj",
-    "k_proj": "self_attn.k_proj",
-    "v_proj": "self_attn.v_proj",
-    "o_proj": "self_attn.o_proj",
-    "gate_proj": "mlp.gate_proj",
-    "up_proj": "mlp.up_proj",
-    "down_proj": "mlp.down_proj",
-}
 
 _QUANT_SUFFIXES = ("qweight", "qzeros", "scales", "g_idx", "zeros")
 
 # HF Mixtral expert naming: w1=gate, w2=down, w3=up
 _MOE_WMAP = {"gate_proj": "w1", "down_proj": "w2", "up_proj": "w3"}
+_QKV = ("q_proj", "k_proj", "v_proj")
 _VPTQ_SUFFIXES = (
     "indices",
     "centroids",
@@ -112,6 +113,11 @@ def _st_save(tensors: Dict[str, np.ndarray], path: str) -> None:
     save_file(tensors, os.path.join(path, "model.safetensors"))
 
 
+def _load_config_dict(path: str) -> dict:
+    with open(os.path.join(path, "config.json")) as f:
+        return json.load(f)
+
+
 class AutoQuantizedModelForCausalLM:
     """Namespace-style API mirroring the reference class
     (modeling/base.py:175-336)."""
@@ -123,29 +129,34 @@ class AutoQuantizedModelForCausalLM:
         cls, path: str, dtype=jnp.bfloat16
     ) -> Tuple[Dict[str, Any], ModelConfig]:
         """Load a float (or quantized — auto-detected) checkpoint dir."""
-        with open(os.path.join(path, "config.json")) as f:
-            hf_cfg = json.load(f)
+        hf_cfg = _load_config_dict(path)
         if "quantization_config" in hf_cfg or any(
             os.path.exists(os.path.join(path, n))
             for n in ("quant_config.json", "quantize_config.json")
         ):
             return cls.from_quantized(path, dtype=dtype)
-        cfg = load_hf_config(path)
+        spec = spec_for_config(hf_cfg)
+        cfg = spec.config_fn(hf_cfg)
         tensors = _st_load(path)
-        params = cls._float_params(tensors, cfg, dtype)
+        params = cls._float_params(tensors, cfg, spec, dtype)
         return params, cfg
 
     @classmethod
     def from_quantized(
         cls, path: str, dtype=jnp.bfloat16
     ) -> Tuple[Dict[str, Any], ModelConfig]:
-        cfg = load_hf_config(path)
+        from .archs import model_config_from_hf_dict
+
+        hf_cfg = _load_config_dict(path)
+        spec = spec_for_config(hf_cfg)
+        cfg = model_config_from_hf_dict(hf_cfg)
         qconf = BaseQuantizeConfig.from_pretrained(path)
         tensors = _st_load(path)
         params = cls._float_params(
-            tensors, cfg, dtype, skip_quantized=True
+            tensors, cfg, spec, dtype, skip_quantized=True
         )
-        def load_one(base: str, lname: str):
+
+        def import_group(base: str, lname: str):
             """-> imported tensor or None if not quantized at ``base``."""
             if qconf.pack_mode == "VPTQ":
                 vq = {
@@ -164,7 +175,7 @@ class AutoQuantizedModelForCausalLM:
             if "qweight" not in group:
                 return None  # layer left unquantized (scanned like
                 # reference base.py:265-279)
-            qt = import_layout(
+            return import_layout(
                 group,
                 qconf.pack_mode,
                 qconf.bits_of(lname),
@@ -172,8 +183,11 @@ class AutoQuantizedModelForCausalLM:
                 autogptq=qconf.compatible_with_autogptq,
                 sym=qconf.sym,
             )
+
+        def maybe_promote(qt):
             if (
-                qt.bits in (3, 5, 6, 7)
+                isinstance(qt, QuantizedTensor)
+                and qt.bits in (3, 5, 6, 7)
                 and jax.default_backend() not in ("cpu",)
                 and not os.environ.get("QLLM_TPU_NO_PROMOTE")
             ):
@@ -182,26 +196,67 @@ class AutoQuantizedModelForCausalLM:
                 # (disable with QLLM_TPU_NO_PROMOTE=1)
                 from ..quant.qtensor import promote_bits
 
-                qt = promote_bits(qt)
+                return promote_bits(qt)
             return qt
 
-        for i in range(cfg.num_hidden_layers):
-            lp = params["layers"][i]
-            for name in LINEAR_NAMES:
-                w = load_one(
-                    f"model.layers.{i}.{_HF_PREFIX[name]}",
+        def fill_fused(lp, lbase, i, fused_path, names, indices):
+            """Load a fused projection: split-saved sub-names first (our
+            act_order fallback dialect), else the fused native tensor
+            split by column indices."""
+            found = False
+            for name in names:
+                w = import_group(
+                    f"{lbase}.{fused_path}.{name}",
                     f"model.layers.{i}.{name}",
                 )
                 if w is not None:
-                    lp[name] = w
+                    lp[name] = maybe_promote(w)
+                    found = True
+            if found:
+                return
+            qt = import_group(
+                f"{lbase}.{fused_path}", f"model.layers.{i}.{names[0]}"
+            )
+            if qt is None:
+                return
+            if not isinstance(qt, QuantizedTensor):
+                raise NotImplementedError(
+                    "fused projections in VPTQ checkpoints are stored "
+                    "split; found a fused VPTQ tensor"
+                )
+            for name, idx in zip(names, indices):
+                lp[name] = maybe_promote(take_columns(qt, idx))
+
+        for i in range(cfg.num_hidden_layers):
+            lbase = f"{spec.layers_prefix}.{i}"
+            lp = params["layers"][i]
+            for name, rel in spec.linears.items():
+                w = import_group(
+                    f"{lbase}.{rel}", f"model.layers.{i}.{name}"
+                )
+                if w is not None:
+                    lp[name] = maybe_promote(w)
+            if spec.fused_qkv is not None:
+                fill_fused(
+                    lp, lbase, i, spec.fused_qkv, _QKV, qkv_split_indices(cfg)
+                )
+            if spec.fused_gate_up is not None:
+                fill_fused(
+                    lp,
+                    lbase,
+                    i,
+                    spec.fused_gate_up,
+                    ("gate_proj", "up_proj"),
+                    gate_up_split_indices(cfg),
+                )
             for e, ep in enumerate(lp.get("experts", [])):
                 for name, wtag in _MOE_WMAP.items():
-                    w = load_one(
-                        f"model.layers.{i}.block_sparse_moe.experts.{e}.{wtag}",
+                    w = import_group(
+                        f"{lbase}.block_sparse_moe.experts.{e}.{wtag}",
                         f"model.layers.{i}.experts.{e}.{name}",
                     )
                     if w is not None:
-                        ep[name] = w
+                        ep[name] = maybe_promote(w)
         return params, cfg
 
     # ------------------------------------------------------------------ save
@@ -224,6 +279,7 @@ class AutoQuantizedModelForCausalLM:
                 "unstack_layer_params(params, cfg.num_hidden_layers) "
                 "before saving"
             )
+        spec = spec_from_model_config(cfg)
         if compatible_with_autogptq is None:
             compatible_with_autogptq = bool(
                 int(os.environ.get("COMPATIBLE_WITH_AUTOGPTQ", "0"))
@@ -231,94 +287,201 @@ class AutoQuantizedModelForCausalLM:
         tensors: Dict[str, np.ndarray] = {}
         bits_seen, gs_seen, sym_seen = set(), set(), set()
         layer_configs = dict(layer_configs or {})
+        saved_pack_mode = [pack_mode]
 
-        def put_dense(key, arr):
+        def put_dense(key, arr, transpose=False):
+            arr = arr.T if transpose else arr
             tensors[key] = np.asarray(arr.astype(jnp.float16))
 
-        put_dense("model.embed_tokens.weight", params["embed_tokens"])
-        put_dense("model.norm.weight", params["norm"])
-        if "lm_head" in params:
-            # torch convention stores [out, in]
-            put_dense("lm_head.weight", params["lm_head"].T)
-        for i, lp in enumerate(params["layers"]):
-            pre = f"model.layers.{i}"
-            put_dense(f"{pre}.input_layernorm.weight", lp["input_layernorm"])
-            put_dense(
-                f"{pre}.post_attention_layernorm.weight",
-                lp["post_attention_layernorm"],
-            )
-            if "router" in lp:
-                put_dense(f"{pre}.block_sparse_moe.gate.weight", lp["router"].T)
-            moe_items = [
-                (
-                    f"{pre}.block_sparse_moe.experts.{e}.{_MOE_WMAP[name]}",
-                    f"model.layers.{i}.experts.{e}.{name}",
-                    ep[name],
-                    None,
-                )
-                for e, ep in enumerate(lp.get("experts", []))
-                for name in ("gate_proj", "up_proj", "down_proj")
-                if name in ep
-            ]
-            dense_items = [
-                (
-                    f"{pre}.{_HF_PREFIX[name]}",
-                    f"model.layers.{i}.{name}",
-                    lp[name],
-                    lp.get(f"{name}_bias"),
-                )
-                for name in LINEAR_NAMES
-                if name in lp
-            ]
-            for base, lname, w, bias in dense_items + moe_items:
-                if bias is not None:
-                    put_dense(f"{base}.bias", bias)
-                from ..quant.vptq import VPTQTensor
+        def put_weight(base, w, bias=None):
+            """Dense linear in torch convention ([out, in]; Conv1D archs
+            keep [in, out])."""
+            put_dense(f"{base}.weight", w, transpose=not spec.conv1d)
+            if bias is not None:
+                put_dense(f"{base}.bias", bias)
 
-                if isinstance(w, QuantizedTensor):
-                    exported = export_layout(
-                        w, pack_mode, autogptq=compatible_with_autogptq
+        def put_quantized(base, lname, w: QuantizedTensor):
+            exported = export_layout(
+                w, saved_pack_mode[0], autogptq=compatible_with_autogptq
+            )
+            for suf, arr in exported.items():
+                tensors[f"{base}.{suf}"] = arr
+            bits_seen.add(w.bits)
+            gs_seen.add(w.group_size)
+            sym_seen.add(w.sym)
+            layer_configs.setdefault(
+                lname, {"wbits": w.bits, "groupsize": w.group_size}
+            )
+
+        def put_vptq(base, lname, w):
+            saved_pack_mode[0] = "VPTQ"
+            vq = {
+                "indices": np.asarray(w.indices).astype(np.int32),
+                "centroids": np.asarray(w.centroids),
+                "res_indices": w.res_indices,
+                "res_centroids": w.res_centroids,
+                "outlier_ids": w.outlier_ids,
+                "outlier_weight": w.outlier_weight,
+                "vq_perm": w.perm,
+            }
+            for suf, arr in vq.items():
+                if arr is not None:
+                    tensors[f"{base}.{suf}"] = np.asarray(arr)
+            lc = layer_configs.setdefault(lname, {})
+            lc.update(
+                vector_len=w.vector_len,
+                n_outlier=w.n_outlier,
+                in_features=w.in_features,
+                out_features=w.out_features,
+            )
+
+        def put_any(base, lname, w, bias=None):
+            from ..quant.vptq import VPTQTensor
+
+            if isinstance(w, QuantizedTensor):
+                put_quantized(base, lname, w)
+            elif isinstance(w, VPTQTensor):
+                put_vptq(base, lname, w)
+            else:
+                put_weight(base, w, bias)
+                return
+            if bias is not None:
+                put_dense(f"{base}.bias", bias)
+
+        def put_fused(lbase, i, fused_path, names, indices, n_total):
+            """Save a fused projection in its native fused form when the
+            parts re-fuse exactly; act_order (per-part K perms) falls
+            back to split sub-names which from_quantized understands."""
+            parts = [params["layers"][i].get(n) for n in names]
+            parts = [p for p in parts if p is not None]
+            if len(parts) != len(names):
+                return
+            lp = params["layers"][i]
+            biases = [lp.get(f"{n}_bias") for n in names]
+            base = f"{lbase}.{fused_path}"
+            if all(not isinstance(p, QuantizedTensor) for p in parts) and all(
+                not hasattr(p, "indices") for p in parts
+            ):
+                K = parts[0].shape[0]
+                wf = jnp.zeros((K, n_total), parts[0].dtype)
+                for p, idx in zip(parts, indices):
+                    wf = wf.at[:, jnp.asarray(idx, jnp.int32)].set(p)
+                bias = None
+                if any(b is not None for b in biases):
+                    bf = jnp.zeros((n_total,), parts[0].dtype)
+                    for b, idx in zip(biases, indices):
+                        if b is not None:
+                            bf = bf.at[jnp.asarray(idx, jnp.int32)].set(b)
+                    bias = bf
+                put_weight(base, wf, bias)
+                return
+            if all(isinstance(p, QuantizedTensor) for p in parts):
+                try:
+                    fused = concat_columns(parts, indices, n_total)
+                except ValueError:
+                    fused = None
+                if fused is not None:
+                    put_quantized(
+                        base, f"model.layers.{i}.{names[0]}", fused
                     )
-                    for suf, arr in exported.items():
-                        tensors[f"{base}.{suf}"] = arr
-                    bits_seen.add(w.bits)
-                    gs_seen.add(w.group_size)
-                    sym_seen.add(w.sym)
-                    layer_configs.setdefault(
-                        lname,
-                        {"wbits": w.bits, "groupsize": w.group_size},
+                    for n in names[1:]:
+                        layer_configs.setdefault(
+                            n, {"wbits": fused.bits, "groupsize": fused.group_size}
+                        )
+                    if any(b is not None for b in biases):
+                        bf = jnp.zeros((n_total,), jnp.float32)
+                        for b, idx in zip(biases, indices):
+                            if b is not None:
+                                bf = bf.at[jnp.asarray(idx, jnp.int32)].set(
+                                    b.astype(jnp.float32)
+                                )
+                        put_dense(f"{base}.bias", bf)
+                    return
+            # mixed or act_order: split sub-name dialect
+            for name, p, b in zip(names, parts, biases):
+                put_any(f"{base}.{name}", f"model.layers.{i}.{name}", p, b)
+
+        put_dense(spec.embed, params["embed_tokens"])
+        put_dense(f"{spec.final_norm}.weight", params["norm"])
+        if "norm_bias" in params:
+            put_dense(f"{spec.final_norm}.bias", params["norm_bias"])
+        if spec.pos_embed and "pos_embed" in params:
+            put_dense(spec.pos_embed, params["pos_embed"])
+        if spec.embed_ln and "embed_layernorm" in params:
+            put_dense(f"{spec.embed_ln}.weight", params["embed_layernorm"])
+            if "embed_layernorm_bias" in params:
+                put_dense(
+                    f"{spec.embed_ln}.bias", params["embed_layernorm_bias"]
+                )
+        if "lm_head" in params and not cfg.tie_word_embeddings:
+            if spec.lm_head is None:
+                raise ValueError(f"{cfg.arch} never stores an lm_head")
+            put_dense(f"{spec.lm_head}.weight", params["lm_head"], transpose=True)
+            if "lm_head_bias" in params:
+                put_dense(f"{spec.lm_head}.bias", params["lm_head_bias"])
+
+        H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+        for i, lp in enumerate(params["layers"]):
+            lbase = f"{spec.layers_prefix}.{i}"
+            for cname, rel in spec.norms.items():
+                if cname in lp:
+                    put_dense(f"{lbase}.{rel}.weight", lp[cname])
+                if f"{cname}_bias" in lp:
+                    put_dense(f"{lbase}.{rel}.bias", lp[f"{cname}_bias"])
+            for name, rel in spec.linears.items():
+                if name in lp and lp[name] is not None:
+                    put_any(
+                        f"{lbase}.{rel}",
+                        f"model.layers.{i}.{name}",
+                        lp[name],
+                        lp.get(f"{name}_bias"),
                     )
-                elif isinstance(w, VPTQTensor):
-                    pack_mode = "VPTQ"
-                    vq = {
-                        "indices": np.asarray(w.indices).astype(np.int32),
-                        "centroids": np.asarray(w.centroids),
-                        "res_indices": w.res_indices,
-                        "res_centroids": w.res_centroids,
-                        "outlier_ids": w.outlier_ids,
-                        "outlier_weight": w.outlier_weight,
-                        "vq_perm": w.perm,
-                    }
-                    for suf, arr in vq.items():
-                        if arr is not None:
-                            tensors[f"{base}.{suf}"] = np.asarray(arr)
-                    # merge (not setdefault): quantizer-provided configs
-                    # may lack the structural fields needed to rebuild
-                    lc = layer_configs.setdefault(lname, {})
-                    lc.update(
-                        vector_len=w.vector_len,
-                        n_outlier=w.n_outlier,
-                        in_features=w.in_features,
-                        out_features=w.out_features,
+                if f"{name}_act_scale" in lp:
+                    # AWQ ScaledActivation divider (reference stores it
+                    # as the scales of an inserted module)
+                    put_dense(
+                        f"{lbase}.{rel}.act_scales",
+                        lp[f"{name}_act_scale"],
                     )
-                else:
-                    put_dense(f"{base}.weight", w.T)
+            if spec.fused_qkv is not None:
+                put_fused(
+                    lbase,
+                    i,
+                    spec.fused_qkv,
+                    _QKV,
+                    qkv_split_indices(cfg),
+                    (H + 2 * Hkv) * hd,
+                )
+            if spec.fused_gate_up is not None:
+                put_fused(
+                    lbase,
+                    i,
+                    spec.fused_gate_up,
+                    ("gate_proj", "up_proj"),
+                    gate_up_split_indices(cfg),
+                    2 * cfg.intermediate_size,
+                )
+            if "router" in lp:
+                put_dense(
+                    f"{lbase}.block_sparse_moe.gate.weight",
+                    lp["router"],
+                    transpose=True,
+                )
+            for e, ep in enumerate(lp.get("experts", [])):
+                for name in ("gate_proj", "up_proj", "down_proj"):
+                    if name in ep and ep[name] is not None:
+                        put_any(
+                            f"{lbase}.block_sparse_moe.experts.{e}."
+                            f"{_MOE_WMAP[name]}",
+                            f"model.layers.{i}.experts.{e}.{name}",
+                            ep[name],
+                        )
         _st_save(tensors, path)
         qconf = BaseQuantizeConfig(
             bits=max(bits_seen) if bits_seen else 16,
             group_size=min(gs_seen) if gs_seen else -1,
             quant_method=quant_method,
-            pack_mode=pack_mode.upper(),
+            pack_mode=saved_pack_mode[0].upper(),
             sym=all(sym_seen) if sym_seen else False,
             compatible_with_autogptq=compatible_with_autogptq,
             layer_configs=layer_configs,
@@ -367,42 +530,96 @@ class AutoQuantizedModelForCausalLM:
     def _float_params(
         tensors: Dict[str, np.ndarray],
         cfg: ModelConfig,
+        spec: ArchSpec,
         dtype,
         skip_quantized: bool = False,
     ) -> Dict[str, Any]:
         def get(key):
             return jnp.asarray(np.asarray(tensors[key])).astype(dtype)
 
+        def get_w(key):
+            """Linear weight in our [in, out] convention (torch stores
+            [out, in]; Conv1D archs — gpt2 — store [in, out] already)."""
+            w = get(key)
+            return w if spec.conv1d else w.T
+
         params: Dict[str, Any] = {
-            "embed_tokens": get("model.embed_tokens.weight"),
-            "norm": get("model.norm.weight"),
+            "embed_tokens": get(spec.embed),
+            "norm": get(f"{spec.final_norm}.weight"),
             "layers": [],
         }
-        if "lm_head.weight" in tensors:
-            params["lm_head"] = get("lm_head.weight").T  # -> [K, N]
+        if f"{spec.final_norm}.bias" in tensors:
+            params["norm_bias"] = get(f"{spec.final_norm}.bias")
+        if spec.pos_embed and spec.pos_embed in tensors:
+            params["pos_embed"] = get(spec.pos_embed)
+        if spec.embed_ln and f"{spec.embed_ln}.weight" in tensors:
+            params["embed_layernorm"] = get(f"{spec.embed_ln}.weight")
+            if f"{spec.embed_ln}.bias" in tensors:
+                params["embed_layernorm_bias"] = get(f"{spec.embed_ln}.bias")
+        if spec.lm_head and f"{spec.lm_head}.weight" in tensors:
+            params["lm_head"] = get(f"{spec.lm_head}.weight").T  # -> [K, N]
+            if f"{spec.lm_head}.bias" in tensors:
+                params["lm_head_bias"] = get(f"{spec.lm_head}.bias")
+
+        def load_fused(lp, lbase, fused_path, names, indices):
+            base = f"{lbase}.{fused_path}"
+            if f"{base}.weight" in tensors:
+                wf = get_w(f"{base}.weight")
+                for name, idx in zip(names, indices):
+                    lp[name] = wf[:, jnp.asarray(idx, jnp.int32)]
+                if f"{base}.bias" in tensors:
+                    bf = get(f"{base}.bias")
+                    for name, idx in zip(names, indices):
+                        lp[f"{name}_bias"] = bf[jnp.asarray(idx, jnp.int32)]
+            elif skip_quantized and any(
+                k.startswith(base + ".") for k in tensors
+            ):
+                for name in names:
+                    lp.setdefault(name, None)
+                if f"{base}.bias" in tensors:
+                    bf = get(f"{base}.bias")
+                    for name, idx in zip(names, indices):
+                        lp[f"{name}_bias"] = bf[jnp.asarray(idx, jnp.int32)]
+
         for i in range(cfg.num_hidden_layers):
-            pre = f"model.layers.{i}"
-            lp: Dict[str, Any] = {
-                "input_layernorm": get(f"{pre}.input_layernorm.weight"),
-                "post_attention_layernorm": get(
-                    f"{pre}.post_attention_layernorm.weight"
-                ),
-            }
-            for name in LINEAR_NAMES:
-                base = f"{pre}.{_HF_PREFIX[name]}"
+            lbase = f"{spec.layers_prefix}.{i}"
+            lp: Dict[str, Any] = {}
+            for cname, rel in spec.norms.items():
+                if f"{lbase}.{rel}.weight" in tensors:
+                    lp[cname] = get(f"{lbase}.{rel}.weight")
+                if f"{lbase}.{rel}.bias" in tensors:
+                    lp[f"{cname}_bias"] = get(f"{lbase}.{rel}.bias")
+            for name, rel in spec.linears.items():
+                base = f"{lbase}.{rel}"
                 if f"{base}.weight" in tensors:
-                    lp[name] = get(f"{base}.weight").T
-                elif skip_quantized and f"{base}.qweight" in tensors:
-                    lp[name] = None  # placeholder; filled by from_quantized
+                    lp[name] = get_w(f"{base}.weight")
+                elif skip_quantized and any(
+                    k.startswith(base + ".") for k in tensors
+                ):
+                    lp[name] = None  # filled by from_quantized
                 if f"{base}.bias" in tensors:
                     lp[f"{name}_bias"] = get(f"{base}.bias")
-            router_key = f"{pre}.block_sparse_moe.gate.weight"
+                if f"{base}.act_scales" in tensors:
+                    lp[f"{name}_act_scale"] = get(f"{base}.act_scales")
+            if spec.fused_qkv is not None:
+                load_fused(
+                    lp, lbase, spec.fused_qkv, _QKV, qkv_split_indices(cfg)
+                )
+            if spec.fused_gate_up is not None:
+                load_fused(
+                    lp,
+                    lbase,
+                    spec.fused_gate_up,
+                    ("gate_proj", "up_proj"),
+                    gate_up_split_indices(cfg),
+                )
+            router_key = f"{lbase}.block_sparse_moe.gate.weight"
             if router_key in tensors:  # Mixtral MoE layer
                 lp["router"] = get(router_key).T
                 experts = []
                 e = 0
                 while True:
-                    ebase = f"{pre}.block_sparse_moe.experts.{e}"
+                    ebase = f"{lbase}.block_sparse_moe.experts.{e}"
                     if not any(
                         k.startswith(ebase + ".") for k in tensors
                     ):
@@ -412,7 +629,9 @@ class AutoQuantizedModelForCausalLM:
                         key = f"{ebase}.{w}.weight"
                         if key in tensors:
                             ep[name] = get(key).T
-                        elif skip_quantized and f"{ebase}.{w}.qweight" in tensors:
+                        elif skip_quantized and any(
+                            k.startswith(f"{ebase}.{w}.") for k in tensors
+                        ):
                             ep[name] = None
                     experts.append(ep)
                     e += 1

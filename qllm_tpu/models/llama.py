@@ -74,6 +74,11 @@ class ModelConfig:
     embed_layernorm: bool = False  # bloom word_embeddings_layernorm
     embedding_multiplier: float = 1.0  # gemma sqrt(hidden)
     logit_scale: float = 1.0  # some archs scale final logits
+    alibi_style: str = "bloom"  # bloom | mpt (non-pow2 head-count ordering)
+    # checkpoint-dialect metadata (no effect on forward numerics):
+    # how the source arch fuses qkv columns (modeling.archs) + sub-variant
+    fused_qkv_layout: str = ""  # "" = arch stores split q/k/v
+    variant: str = ""  # e.g. falcon: "new" | "7b" | "rw"
     # MoE (mixtral-family); 0 experts = dense MLP
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
@@ -323,15 +328,28 @@ def apply_rope(q, k, cos, sin, style: str = "neox", rot_dim: int = 0):
     return rope1(q), rope1(k)
 
 
-def alibi_slopes(n_heads: int) -> jax.Array:
-    """Standard ALiBi head slopes (bloom/mpt formula: powers of
-    2^(-8/n) for the closest power of two, interleaved extras)."""
+def alibi_slopes(n_heads: int, style: str = "bloom") -> jax.Array:
+    """ALiBi head slopes. For power-of-two head counts both dialects
+    give 2^(-8(i+1)/n); they order the extra slopes differently for
+    non-power-of-two counts:
+
+    bloom: closest (lower) pow2 slopes + even-indexed slopes of 2x
+           (HF modeling_bloom.build_alibi_tensor)
+    mpt:   slopes for the CEILING pow2, reordered odd-first
+           (HF modeling_mpt.build_mpt_alibi_tensor, alibi_bias_max=8)
+    """
     import math
 
     def pow2_slopes(n):
         start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
         return [start * (start**i) for i in range(n)]
 
+    if style == "mpt":
+        n_ceil = 2 ** math.ceil(math.log2(n_heads))
+        sl = [2.0 ** (-8.0 * (i + 1) / n_ceil) for i in range(n_ceil)]
+        if n_ceil != n_heads:
+            sl = (sl[1::2] + sl[0::2])[:n_heads]
+        return jnp.asarray(sl, jnp.float32)
     if math.log2(n_heads).is_integer():
         sl = pow2_slopes(n_heads)
     else:
@@ -361,7 +379,7 @@ def build_mask(
         mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
         mask = jnp.broadcast_to(mask, (B, 1, T, S))
         if cfg.pos_embedding == "alibi":
-            sl = alibi_slopes(cfg.num_attention_heads)
+            sl = alibi_slopes(cfg.num_attention_heads, cfg.alibi_style)
             bias = sl[None, :, None, None] * jnp.arange(S, dtype=jnp.float32)[
                 None, None, None, :
             ]
@@ -371,7 +389,7 @@ def build_mask(
     mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
     mask = jnp.broadcast_to(mask.reshape(1, 1, T, S), (B, 1, T, S))
     if cfg.pos_embedding == "alibi":
-        sl = alibi_slopes(cfg.num_attention_heads)
+        sl = alibi_slopes(cfg.num_attention_heads, cfg.alibi_style)
         bias = sl[None, :, None, None] * jnp.arange(S, dtype=jnp.float32)[
             None, None, None, :
         ]
@@ -519,8 +537,12 @@ def _mlp_from_view(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
         gate = pv.apply("gate_proj", x)
         up = pv.apply("up_proj", x)
         return pv.apply("down_proj", act_fn(cfg.hidden_act, gate) * up)
-    up = pv.apply("up_proj", x)  # fc1
-    return pv.apply("down_proj", act_fn(cfg.hidden_act, up))  # fc2
+    up = act_fn(cfg.hidden_act, pv.apply("up_proj", x))  # fc1 + act
+    asc = pv.get("down_proj_act_scale")
+    if asc is not None:
+        # AWQ ScaledActivation divider (quant/awq.py act-kind group)
+        up = up / asc.astype(up.dtype)
+    return pv.apply("down_proj", up)  # fc2
 
 
 def _layer_forward(
@@ -654,7 +676,11 @@ def layer_intermediates(
     else:
         up = pv.apply("up_proj", x2)
         out["up_proj"] = x2
-        out["down_proj"] = act_fn(cfg.hidden_act, up)
+        dn = act_fn(cfg.hidden_act, up)
+        asc = pv.get("down_proj_act_scale")
+        if asc is not None:
+            dn = dn / asc.astype(dn.dtype)
+        out["down_proj"] = dn
     return out
 
 
@@ -694,7 +720,7 @@ def final_logits(
     params: Dict[str, Any], cfg: ModelConfig, h: jax.Array
 ) -> jax.Array:
     h = apply_norm(cfg, h, params["norm"], params.get("norm_bias"))
-    if cfg.tie_word_embeddings:
+    if cfg.tie_word_embeddings or "lm_head" not in params:
         logits = jnp.dot(
             h.astype(jnp.bfloat16),
             params["embed_tokens"].T.astype(jnp.bfloat16),

@@ -151,22 +151,40 @@ def awq_auto_clip(
     return wc.reshape(K, N)
 
 
-# scale groups for the llama family:
-# (prev_kind, prev_name, [linears], condition)
-_LLAMA_GROUPS = [
-    ("ln", "input_layernorm", ["q_proj", "k_proj", "v_proj"]),
-    ("fc", "v_proj", ["o_proj"]),  # only when shapes match (no GQA)
-    ("ln", "post_attention_layernorm", ["gate_proj", "up_proj"]),
-    ("fc", "up_proj", ["down_proj"]),
-]
+# archs where the nonlinear fc1->fc2 gap is bridged by a stored
+# activation divider — the reference's ScaledActivation insertion list
+# (_act_scales_map, sequential_layes_awq_config.py:1222-1231)
+_ACT_SCALE_ARCHS = {
+    "bloom",
+    "falcon",
+    "gpt_neox",
+    "gptj",
+    "gpt_bigcode",
+    "mpt",
+    "starcoder2",
+}
 
 
-def _layer_groups(lp) -> list:
-    """Scale groups for one layer; MoE layers route the post-LN group
-    into every expert's gate/up and add per-expert up->down groups
-    (the reference's mixtral AWQ table shape)."""
+def _layer_groups(lp, model_cfg=None) -> list:
+    """Scale groups for one layer, derived from the architecture shape
+    (the role of the reference's 24 per-arch get_*_layers functions,
+    sequential_layes_awq_config.py):
+
+      * input norm -> q/k/v (+ fc_in when the parallel block shares ONE
+        norm: gptj/falcon-7b/phi, reference get_gptj_layers)
+      * v -> o when shapes match (no GQA)
+      * post-attention norm -> gate/up (gated) or fc1 (plain)
+      * up -> down for gated MLPs (linear fold through the elementwise
+        product); plain MLPs on _ACT_SCALE_ARCHS get a stored activation
+        divider instead (ScaledActivation, _awq_quantizer.py:79-124)
+
+    MoE layers route the post-LN group into every expert's gate/up and
+    add per-expert up->down groups (the reference's mixtral table)."""
+    shared = model_cfg is not None and model_cfg.shared_input_norm
+    gated = "gate_proj" in lp or "experts" in lp
+    qkv = [n for n in ("q_proj", "k_proj", "v_proj") if n in lp]
     groups = [
-        ("ln", "input_layernorm", ["q_proj", "k_proj", "v_proj"]),
+        ("ln", "input_layernorm", qkv + (["up_proj"] if shared else [])),
         ("fc", "v_proj", ["o_proj"]),
     ]
     if "experts" in lp:
@@ -186,11 +204,14 @@ def _layer_groups(lp) -> list:
             groups.append(
                 ("fc", f"experts.{e}.up_proj", [f"experts.{e}.down_proj"])
             )
-    else:
-        groups.append(
-            ("ln", "post_attention_layernorm", ["gate_proj", "up_proj"])
-        )
+        return groups
+    if not shared:
+        mlp_in = ["gate_proj", "up_proj"] if gated else ["up_proj"]
+        groups.append(("ln", "post_attention_layernorm", mlp_in))
+    if gated:
         groups.append(("fc", "up_proj", ["down_proj"]))
+    elif model_cfg is not None and model_cfg.arch in _ACT_SCALE_ARCHS:
+        groups.append(("act", None, ["down_proj"]))
     return groups
 
 
@@ -251,9 +272,10 @@ class AWQQuantizer:
             if "experts" in lp:
                 nlp["experts"] = [dict(ep) for ep in lp["experts"]]
             # --- scale search + fold, group by group ---
-            for kind, prev, linears in _layer_groups(lp):
+            for kind, prev, linears in _layer_groups(lp, model_cfg):
                 if kind == "fc" and prev == "v_proj" and (
-                    nlp["v_proj"].shape != nlp["o_proj"].shape
+                    "v_proj" not in nlp
+                    or nlp["v_proj"].shape != nlp["o_proj"].shape
                 ):
                     continue  # GQA: v/o shapes differ (reference llama table)
                 xk = (
@@ -279,10 +301,20 @@ class AWQQuantizer:
                             _getw(nlp, n).dtype
                         ),
                     )
-                if kind == "ln":
+                if kind == "act":
+                    # nonlinear fc1->fc2 gap: store the divider (the
+                    # reference's ScaledActivation, _awq_quantizer.py:
+                    # 79-124); weights were already multiplied above
+                    nlp[f"{linears[0]}_act_scale"] = s
+                elif kind == "ln":
                     nlp[prev] = (nlp[prev].astype(jnp.float32) / s).astype(
                         nlp[prev].dtype
                     )
+                    bias_name = f"{prev}_bias"
+                    if bias_name in nlp:  # layernorm archs scale bias too
+                        nlp[bias_name] = (
+                            nlp[bias_name].astype(jnp.float32) / s
+                        ).astype(nlp[bias_name].dtype)
                     if "experts" in lp and prev == "post_attention_layernorm":
                         # router reads the SAME rescaled LN output
                         nlp["router"] = (

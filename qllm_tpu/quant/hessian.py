@@ -22,12 +22,15 @@ from ..models.llama import ModelConfig, layer_intermediates
 __all__ = ["collect_block_hessians", "hessian_update"]
 
 # q/k/v share one Hessian (same input); gate/up share one (per expert
-# in MoE layers, where keys look like "experts.3.gate_proj")
-def _share_key(name: str) -> str:
-    if name in ("q_proj", "k_proj", "v_proj"):
+# in MoE layers, where keys look like "experts.3.gate_proj"). Plain-MLP
+# archs (opt/gptj/bloom/...) have no gate_proj — up_proj stands alone.
+def _share_key(name: str, keys) -> str:
+    if name in ("k_proj", "v_proj") and "q_proj" in keys:
         return "q_proj"
     if name.endswith("up_proj"):
-        return name[: -len("up_proj")] + "gate_proj"
+        gate = name[: -len("up_proj")] + "gate_proj"
+        if gate in keys:
+            return gate
     return name
 
 
@@ -73,8 +76,9 @@ def collect_block_hessians(
             )
     out = dict(partial_Hs)
     # alias shared inputs back to every consumer name
-    for name in ("k_proj", "v_proj"):
-        out[name] = partial_Hs["q_proj"]
+    if "q_proj" in partial_Hs:
+        for name in ("k_proj", "v_proj"):
+            out[name] = partial_Hs["q_proj"]
     for key in list(partial_Hs):
         if key.endswith("gate_proj"):
             out[key[: -len("gate_proj")] + "up_proj"] = partial_Hs[key]
@@ -87,5 +91,5 @@ def _block_intermediates_jit(lp, cfg, h, cos, sin, mask):
     return {
         k: v
         for k, v in acts.items()
-        if _share_key(k) == k and k != "experts_input"
+        if _share_key(k, acts) == k and k != "experts_input"
     }

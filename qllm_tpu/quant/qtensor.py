@@ -336,6 +336,59 @@ def promote_bits(qt: QuantizedTensor) -> QuantizedTensor:
     )
 
 
+def take_columns(qt: QuantizedTensor, idx) -> QuantizedTensor:
+    """Select output columns ``idx`` — exact for every bit width because
+    qweight, scales and zeros are all column-indexed in the canonical
+    layout (and the act_order perm lives on the K axis, untouched).
+
+    This is how fused-qkv checkpoints (bloom/neox/falcon
+    ``query_key_value``, baichuan ``W_pack``, ... — modeling.archs) are
+    split into canonical q/k/v *without dequantizing*."""
+    if qt.planar or qt.zeros_prefolded:
+        raise ValueError("take_columns on a runtime-relayout tensor")
+    idx = jnp.asarray(np.asarray(idx), jnp.int32)
+    return dataclasses.replace(
+        qt,
+        qweight=qt.qweight[:, idx],
+        scales=qt.scales[:, idx],
+        zeros=qt.zeros[:, idx],
+        out_features=int(idx.shape[0]),
+    )
+
+
+def concat_columns(parts, col_indices, out_features: int) -> QuantizedTensor:
+    """Inverse of take_columns: scatter each part's columns back into a
+    fused [., out_features] tensor (save-side re-fusion for ecosystem
+    checkpoints).  Requires identical (bits, group_size, sym,
+    in_features) and no act_order perm (a per-part K permutation cannot
+    be represented in one fused tensor)."""
+    p0 = parts[0]
+    for p in parts:
+        if (p.bits, p.group_size, p.sym, p.in_features) != (
+            p0.bits,
+            p0.group_size,
+            p0.sym,
+            p0.in_features,
+        ):
+            raise ValueError("concat_columns: mismatched quantization params")
+        if p.perm is not None:
+            raise ValueError("concat_columns: act_order tensors cannot fuse")
+        if p.planar or p.zeros_prefolded:
+            raise ValueError("concat_columns on a runtime-relayout tensor")
+    rows = p0.qweight.shape[0]
+    qw = jnp.zeros((rows, out_features), p0.qweight.dtype)
+    sc = jnp.ones((p0.scales.shape[0], out_features), p0.scales.dtype)
+    zr = jnp.zeros((p0.zeros.shape[0], out_features), p0.zeros.dtype)
+    for p, idx in zip(parts, col_indices):
+        idx = jnp.asarray(np.asarray(idx), jnp.int32)
+        qw = qw.at[:, idx].set(p.qweight)
+        sc = sc.at[:, idx].set(p.scales)
+        zr = zr.at[:, idx].set(p.zeros)
+    return dataclasses.replace(
+        p0, qweight=qw, scales=sc, zeros=zr, out_features=out_features
+    )
+
+
 def unpermute_dense(qt: QuantizedTensor, w: jax.Array) -> jax.Array:
     """Undo the act_order permutation, returning rows in original feature order."""
     if qt.perm is None:
