@@ -93,7 +93,8 @@ def model_bytes_per_token(params, cfg, seq_pos, batch) -> int:
             elif hasattr(w, "nbytes"):
                 total += int(w.nbytes)
     # lm_head read fully; embed: one row per token
-    total += int(params["lm_head"].nbytes)
+    lm = params["lm_head"]
+    total += lm.nbytes() if isinstance(lm, QuantizedTensor) else int(lm.nbytes)
     total += cfg.hidden_size * params["embed_tokens"].dtype.itemsize
     # KV read: int8 k+v over current seq per layer (per sequence => *batch)
     kv = (
@@ -110,6 +111,11 @@ def model_bytes_per_token(params, cfg, seq_pos, batch) -> int:
 
 def main():
     t_start = time.time()
+    # honor JAX_PLATFORMS=cpu even though the image's sitecustomize
+    # eagerly registers the axon/TPU backend (same workaround as
+    # tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     model = os.environ.get("QLLM_BENCH_MODEL", "7b")
     steps = int(os.environ.get("QLLM_BENCH_STEPS", "64"))
     batch = int(os.environ.get("QLLM_BENCH_BATCH", "1"))
@@ -134,7 +140,12 @@ def main():
 
     cfg = ModelConfig(max_position_embeddings=2048, **MODEL_SHAPES[model])
     t0 = time.time()
-    params = random_quantized_params(cfg, jax.random.key(0), bits=4, group_size=128)
+    # quantized lm_head (default on): the dense head costs ~0.37 ms/token
+    # of pure HBM read on 7B — packing it is a straight serving win
+    q_head = os.environ.get("QLLM_BENCH_QLMHEAD", "1") != "0"
+    params = random_quantized_params(
+        cfg, jax.random.key(0), bits=4, group_size=128, quantize_lm_head=q_head
+    )
     jax.block_until_ready(params["layers"][-1]["down_proj"].qweight)
     log(f"[bench] params materialized in {time.time() - t0:.1f}s")
     bytes_params = params  # per-layer list view for byte accounting
@@ -180,6 +191,31 @@ def main():
         log(f"[bench] run {i}: {dt:.3f}s -> {steps * batch / dt:.1f} tok/s")
 
     tokens_per_s = steps * batch / best
+
+    # secondary: batch-8 serving throughput (continuous-batching regime) —
+    # recorded in detail so the driver captures it (VERDICT weak #5)
+    batch8_tok_s = None
+    if batch == 1 and os.environ.get("QLLM_BENCH_BATCH_SWEEP", "1") != "0":
+        try:
+            b8 = 8
+            cache8 = make_cache(cfg, b8, max_seq, quantized_kv=True)
+            token8 = jnp.ones((b8, 1), jnp.int32)
+
+            def run8():
+                t0 = time.time()
+                toks, _ = decode_loop(params, cfg, token8, cache8, pos0, steps)
+                np.asarray(toks[:, -1])
+                return time.time() - t0
+
+            t0 = time.time()
+            run8()
+            log(f"[bench] batch8 compile+first {time.time() - t0:.1f}s")
+            best8 = min(max(run8() - rtt, 1e-9) for _ in range(3))
+            batch8_tok_s = round(steps * b8 / best8, 1)
+            log(f"[bench] batch8: {batch8_tok_s} tok/s/chip")
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] batch8 sweep failed: {e}")
+
     bpt = model_bytes_per_token(bytes_params, cfg, prefill_len + steps // 2, batch)
     roofline = chip_bw() / bpt * batch  # batch amortizes weight reads
     target = 0.8 * roofline
@@ -195,6 +231,8 @@ def main():
             "bytes_per_token": bpt,
             "roofline_tokens_per_s": round(roofline, 1),
             "hbm_bw_GBps": chip_bw() / 1e9,
+            "batch8_tokens_per_s": batch8_tok_s,
+            "quantized_lm_head": q_head,
             "wall_s": round(time.time() - t_start, 1),
         },
     }

@@ -20,6 +20,7 @@ class FakeArgs:
     act_order: bool = False
     true_sequential: bool = False
     static_groups: bool = False
+    mse: bool = False
     allow_mix_bits: bool = False
     mix_qlayer_conf: Optional[str] = None
     quant_config: Optional[str] = None

@@ -54,6 +54,14 @@ class GPTQConfig(_ToMeta):
     static_groups: bool = False
     allow_mix_bits: bool = False
     mix_qlayer_conf: Optional[Dict[str, Any]] = None
+    # MSE grid search for scale/zero (reference _gptq_quantizer.py:74-91:
+    # shrink [wmin, wmax] by p = 1 - i/grid and keep the per-channel best
+    # under the L^norm error). Off by default, like the reference
+    # (quantizer.configure(..., mse=False), gptq.py:60).
+    mse: bool = False
+    mse_maxshrink: float = 0.8
+    mse_grid: int = 100
+    mse_norm: float = 2.4
     quant_method: str = "gptq"
 
 
@@ -124,6 +132,7 @@ def build_config(args) -> Any:
             static_groups=getattr(args, "static_groups", False),
             allow_mix_bits=getattr(args, "allow_mix_bits", False),
             mix_qlayer_conf=_load_json_arg(getattr(args, "mix_qlayer_conf", None)),
+            mse=getattr(args, "mse", False),
         )
     if method == "awq":
         return AWQConfig(

@@ -76,9 +76,69 @@ def _find_params_cols(wcols: jax.Array, bits: int, sym: bool):
     return scale, zero
 
 
+def _find_params_cols_mse(
+    wcols: jax.Array,
+    bits: int,
+    sym: bool,
+    maxshrink: float,
+    grid: int,
+    norm: float,
+):
+    """MSE grid search over shrink factors p = 1 - i/grid (reference
+    _gptq_quantizer.py:74-91): quantize the group at [p·wmin, p·wmax]
+    and keep, per out-channel, the (scale, zero) minimizing
+    Σ|dq - w|^norm. i=0 gives p=1 (the plain min/max params), so the
+    result never loses to ``_find_params_cols``."""
+    maxq = float((1 << bits) - 1)
+    wmin0 = jnp.minimum(jnp.min(wcols, axis=0), 0.0)
+    wmax0 = jnp.maximum(jnp.max(wcols, axis=0), 0.0)
+    if sym:
+        # reference sym: xmax = max(|min|, |max|), xmin = -xmax
+        mabs = jnp.maximum(jnp.abs(wmin0), wmax0)
+        wmax0, wmin0 = mabs, -mabs
+    n_steps = int(maxshrink * grid)
+
+    def step(i, carry):
+        best_err, best_scale, best_zero = carry
+        p = 1.0 - i.astype(jnp.float32) / grid
+        xmin1, xmax1 = p * wmin0, p * wmax0
+        scale1 = jnp.maximum((xmax1 - xmin1) / maxq, 1e-8)
+        if sym:
+            zero1 = jnp.full_like(scale1, (maxq + 1) / 2.0)
+        else:
+            zero1 = jnp.round(-xmin1 / scale1)
+        q = jnp.clip(jnp.round(wcols / scale1 + zero1), 0.0, maxq)
+        dq = (q - zero1) * scale1
+        err = jnp.sum(jnp.abs(dq - wcols) ** norm, axis=0)
+        better = err < best_err
+        return (
+            jnp.where(better, err, best_err),
+            jnp.where(better, scale1, best_scale),
+            jnp.where(better, zero1, best_zero),
+        )
+
+    init = (
+        jnp.full((wcols.shape[1],), jnp.inf, jnp.float32),
+        jnp.ones((wcols.shape[1],), jnp.float32),
+        jnp.zeros((wcols.shape[1],), jnp.float32),
+    )
+    _, scale, zero = jax.lax.fori_loop(0, n_steps, step, init)
+    return scale, zero
+
+
 @partial(
     jax.jit,
-    static_argnames=("bits", "group_size", "actorder", "static_groups", "sym"),
+    static_argnames=(
+        "bits",
+        "group_size",
+        "actorder",
+        "static_groups",
+        "sym",
+        "mse",
+        "mse_maxshrink",
+        "mse_grid",
+        "mse_norm",
+    ),
 )
 def _gptq_core(
     w: jax.Array,  # [K, N] fp32 — K = in_features ("columns" in GPTQ speak)
@@ -89,6 +149,10 @@ def _gptq_core(
     actorder: bool,
     static_groups: bool,
     sym: bool,
+    mse: bool = False,
+    mse_maxshrink: float = 0.8,
+    mse_grid: int = 100,
+    mse_norm: float = 2.4,
 ):
     """Returns (Q int [K, N], scales [G, N], zeros [G, N], perm [K], err [N]).
 
@@ -128,10 +192,17 @@ def _gptq_core(
     # static_groups: precompute scale/zero per group from the ORIGINAL
     # (pre-permutation would be wrong — reference computes them before
     # permuting, gptq.py:157-165, so we do too, then index via perm)
+    def find_params(wcols):
+        if mse:
+            return _find_params_cols_mse(
+                wcols, bits, sym, mse_maxshrink, mse_grid, mse_norm
+            )
+        return _find_params_cols(wcols, bits, sym)
+
     if static_groups:
         w_orig = w[jnp.argsort(perm)] if actorder else w
         wg = w_orig.reshape(G, g, N)
-        sg, zg = jax.vmap(lambda x: _find_params_cols(x, bits, sym))(wg)
+        sg, zg = jax.lax.map(find_params, wg)
         # per-(permuted)position group index
         gidx_of_pos = perm // g  # group of the original feature at pos i
     else:
@@ -158,11 +229,21 @@ def _gptq_core(
             is_boundary = (i % g) == 0
             start = (i // g) * g
             grp_rows = jax.lax.dynamic_slice(W, (start, 0), (g, N))
-            new_scale, new_zero = _find_params_cols(grp_rows, bits, sym)
             prev_scale = S[jnp.maximum(i - 1, 0)]
             prev_zero = Z[jnp.maximum(i - 1, 0)]
-            scale = jnp.where(is_boundary, new_scale, prev_scale)
-            zero = jnp.where(is_boundary, new_zero, prev_zero)
+            if mse:
+                # the grid search is ~80x a min/max pass — gate it behind
+                # the boundary predicate so only K/g iterations pay it
+                scale, zero = jax.lax.cond(
+                    is_boundary,
+                    lambda rows: find_params(rows),
+                    lambda rows: (prev_scale, prev_zero),
+                    grp_rows,
+                )
+            else:
+                new_scale, new_zero = _find_params_cols(grp_rows, bits, sym)
+                scale = jnp.where(is_boundary, new_scale, prev_scale)
+                zero = jnp.where(is_boundary, new_zero, prev_zero)
             S = S.at[i].set(scale)
             Z = Z.at[i].set(zero)
         wrow = W[i]
@@ -222,11 +303,17 @@ def gptq_quantize_weight(
     perm is composed accordingly.
     """
     cfg = config or GPTQConfig(wbits=bits, groupsize=group_size)
+    mse_kw = dict(
+        mse=cfg.mse,
+        mse_maxshrink=cfg.mse_maxshrink,
+        mse_grid=cfg.mse_grid,
+        mse_norm=cfg.mse_norm,
+    )
     if cfg.static_groups and cfg.act_order:
         # canonical layout needs group-contiguous rows: stable-sort the
         # act_order permutation within each original group id
         Q, sg, zg, perm, err, gidx = _gptq_core(
-            w, H, bits, group_size, cfg.percdamp, True, True, cfg.sym
+            w, H, bits, group_size, cfg.percdamp, True, True, cfg.sym, **mse_kw
         )
         order = jnp.argsort(gidx, stable=True)  # group-major, act-sorted inside
         Q = Q[order]
@@ -242,6 +329,7 @@ def gptq_quantize_weight(
             cfg.act_order,
             cfg.static_groups,
             cfg.sym,
+            **mse_kw,
         )
     scales = scales.astype(scale_dtype)
     zeros = zeros.astype(scale_dtype)

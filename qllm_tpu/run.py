@@ -43,6 +43,12 @@ def define_basic_args() -> argparse.ArgumentParser:
         "--true-sequential", dest="true_sequential", action="store_true"
     )
     p.add_argument("--static-groups", dest="static_groups", action="store_true")
+    p.add_argument(
+        "--mse",
+        action="store_true",
+        help="GPTQ scale/zero MSE grid search (reference "
+        "_gptq_quantizer.py:74-91; maxshrink=0.8 grid=100 norm=2.4)",
+    )
     p.add_argument("--allow_mix_bits", action="store_true")
     p.add_argument("--mix_qlayer_conf", type=str, default=None)
     p.add_argument(

@@ -57,8 +57,11 @@ def random_quantized_params(
     bits: int = 4,
     group_size: int = 128,
     dtype=jnp.bfloat16,
+    quantize_lm_head: bool = False,
 ) -> Dict[str, Any]:
-    """Random W-quantized model params with dense embed/norm/lm_head."""
+    """Random W-quantized model params with dense embed/norm (and, when
+    ``quantize_lm_head``, a packed lm_head — the serving option the
+    reference lacks; it reads the dense head every decode step)."""
     D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
     shapes = {
@@ -91,8 +94,12 @@ def random_quantized_params(
         ).astype(dtype),
         "layers": layers,
         "norm": jnp.ones((D,), dtype),
-        "lm_head": (jax.random.normal(keys[-1], (D, V), dtype) * 0.02).astype(
-            dtype
+        "lm_head": (
+            random_quantized_tensor(keys[-1], D, V, bits, group_size)
+            if quantize_lm_head
+            else (jax.random.normal(keys[-1], (D, V), dtype) * 0.02).astype(
+                dtype
+            )
         ),
     }
     return params

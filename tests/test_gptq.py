@@ -99,6 +99,35 @@ def test_gptq_act_order_static_groups_contiguous():
     assert np.all(np.diff(perm // g) >= 0)
 
 
+@pytest.mark.parametrize("static_groups", [False, True])
+def test_gptq_mse_grid_search(static_groups):
+    """MSE grid search (reference _gptq_quantizer.py:74-91) must not lose
+    to plain min/max under the Hessian-weighted proxy loss, and should
+    WIN on outlier-heavy weights (shrinking clips the tails)."""
+    rng = np.random.default_rng(8)
+    K, N, g = 128, 32, 32
+    w = rng.normal(size=(K, N)).astype(np.float32) * 0.1
+    # heavy outliers: 1% of entries 20x larger
+    mask = rng.random(size=w.shape) < 0.01
+    w = np.where(mask, w * 20.0, w).astype(np.float32)
+    X = _calib_data(rng, 128, K)
+    H = jnp.asarray(2.0 / X.shape[0] * (X.T @ X))
+
+    def dq(cfg):
+        qt, _ = gptq_quantize_weight(jnp.asarray(w), H, 3, g, cfg)
+        return np.asarray(dequant_ref(qt, jnp.float32))
+
+    base = GPTQConfig(wbits=3, groupsize=g, static_groups=static_groups)
+    w_plain = dq(base)
+    w_mse = dq(GPTQConfig(wbits=3, groupsize=g, static_groups=static_groups, mse=True))
+
+    def loss(what):
+        d = what - w
+        return float(np.trace(d.T @ np.asarray(H) @ d))
+
+    assert loss(w_mse) < loss(w_plain), (loss(w_mse), loss(w_plain))
+
+
 def test_gptq_model_driver():
     params = init_params(CFG, jax.random.key(0))
     rng = np.random.default_rng(5)

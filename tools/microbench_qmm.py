@@ -1,0 +1,259 @@
+#!/usr/bin/env python
+"""Microbenchmark the stacked decode qmm kernel vs the streaming ceiling.
+
+Times, per (K, N) geometry at decode M:
+  * stream : a read-only Pallas kernel over the SAME qweight blocks —
+             the practical HBM streaming ceiling for that access pattern
+  * v3     : the shipping stacked kernel (env-tunable bk/bn)
+  * planar : the planar stacked kernel (when geometry admits it)
+
+Each timing runs ITERS chained kernel calls inside one jit (output feeds
+a dummy dependency into the next call) so the ~30 ms tunnel RTT
+amortizes away.
+
+Usage: python tools/microbench_qmm.py [case ...]
+  case = K,N[,g]   (default cases: 4096,4096 4096,11264 11264,4096)
+Env: QLLM_TPU_QMM_BK / QLLM_TPU_QMM_BN (kernel block sizes),
+     QLLM_MB_ITERS (default 512), QLLM_MB_M (default 8).
+"""
+
+import functools
+import os
+import sys
+import time
+
+import faulthandler
+
+faulthandler.dump_traceback_later(3000, exit=True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+ITERS = int(os.environ.get("QLLM_MB_ITERS", "512"))
+M = int(os.environ.get("QLLM_MB_M", "8"))
+L = 4  # stacked depth (any small value; kernel reads one layer)
+
+
+def _stream_kernel(layer_ref, qw_ref, out_ref, acc_ref):
+    del layer_ref
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # touch every word: one add per block row-chunk; reduce to [8, bn]
+    qw = pltpu.bitcast(qw_ref[0], jnp.int32)
+    r = qw.shape[0]
+    acc = acc_ref[:]
+    step = max(8, r // 8)
+    s = jnp.zeros((8, qw.shape[1]), jnp.int32)
+    for i in range(0, r, step):
+        s = s + jnp.sum(
+            qw[i : i + step].reshape(8, -1, qw.shape[1]), axis=1
+        )
+    acc_ref[:] = acc + s.astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def stream_time(qweight, bk, bn, pf=8):
+    """Time a read-only pass over one layer's blocks of the packed
+    stack, layer-selected by scalar prefetch exactly like the real
+    kernel (the layer cycles per iteration so XLA cannot CSE)."""
+    Lw, rows, N = qweight.shape
+    K = rows * pf
+    grid = (1, N // bn, K // bk)
+
+    def call(l):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, bk // pf, bn),
+                    lambda i, j, k, l: (l[0], k, j),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (8, bn), lambda i, j, k, l: (0, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((8, bn), jnp.float32)],
+        )
+        return pl.pallas_call(
+            _stream_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+        )(jnp.asarray([l], jnp.int32), qweight)
+
+    def one(l, _):
+        out = call(l)
+        return (l + 1 + 0 * out.astype(jnp.int32)[0, 0]) % Lw, None
+
+    @jax.jit
+    def loop(l0):
+        l, _ = jax.lax.scan(one, l0, None, length=ITERS)
+        return l
+
+    l0 = jnp.int32(0)
+    np.asarray(loop(l0))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(loop(l0))
+        best = min(best, time.time() - t0)
+    traced = trace_op_us(lambda: np.asarray(loop(l0)))
+    return best / ITERS, traced
+
+
+def kernel_time(fn, x, *args):
+    """Chain ITERS dependent calls of fn(x, *args) in one jit; report
+    (wall_per_call, traced_kernel_us): the trace-derived number is the
+    on-device duration of the Pallas op itself (per call), immune to the
+    harness's per-iteration overhead."""
+
+    def one(c, _):
+        y = fn(c, *args)
+        c2 = c * (1 + 0 * y[0, 0]).astype(c.dtype)
+        return c2, None
+
+    @jax.jit
+    def loop(x0):
+        xx, _ = jax.lax.scan(one, x0, None, length=ITERS)
+        return xx
+
+    np.asarray(loop(x))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(loop(x))
+        best = min(best, time.time() - t0)
+    traced = trace_op_us(lambda: np.asarray(loop(x)))
+    return best / ITERS, traced
+
+
+def trace_op_us(run):
+    """Run ``run()`` under the JAX profiler; return {op: us_per_iter}
+    for the top TPU ops (keyed by cleaned op name)."""
+    import glob
+    import gzip
+    import json
+    import re
+
+    trace_dir = "/tmp/qllm_mb_trace"
+    os.system(f"rm -rf {trace_dir}")
+    with jax.profiler.trace(trace_dir):
+        run()
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return {}
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    ev = trace["traceEvents"]
+    tpu_pids = {
+        e["pid"]
+        for e in ev
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "tpu" in e.get("args", {}).get("name", "").lower()
+    }
+    agg = {}
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        key = re.sub(r"[.\d]+$", "", e.get("name", ""))
+        agg[key] = agg.get(key, 0.0) + e.get("dur", 0)
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    return {k: v / ITERS for k, v in rows[:6]}
+
+
+def main():
+    from qllm_tpu.quant.qtensor import quantize_tensor, planarize_packed
+    from qllm_tpu.ops.pallas_qmm import (
+        qmatmul_pallas_stacked,
+        planar_bk,
+        _choose_bk,
+        _pick_block,
+    )
+    import dataclasses
+
+    cases = sys.argv[1:] or ["4096,4096", "4096,11264", "11264,4096"]
+    rng = np.random.default_rng(0)
+    for case in cases:
+        parts = [int(v) for v in case.split(",")]
+        K, N = parts[0], parts[1]
+        g = parts[2] if len(parts) > 2 else 128
+        w = rng.normal(size=(K, N)).astype(np.float32) * 0.02
+        qt = quantize_tensor(jnp.asarray(w), bits=4, group_size=g)
+        # stack L copies + f32 scales + prefold (mirrors models.stacked)
+        qw_st = jnp.broadcast_to(qt.qweight[None], (L, *qt.qweight.shape))
+        sc = qt.scales.astype(jnp.float32)
+        zr = qt.zeros.astype(jnp.float32)
+        sc_st = jnp.broadcast_to(sc[None], (L, *sc.shape))
+        zs_st = jnp.broadcast_to((zr * sc)[None], (L, *zr.shape))
+        qt_st = dataclasses.replace(
+            qt,
+            qweight=qw_st,
+            scales=sc_st,
+            zeros=zs_st,
+            zeros_prefolded=True,
+        )
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        layer = jnp.int32(1)
+
+        wbytes = qt.qweight.size * 4
+        sbytes = sc.size * 4 * 2
+        bk_env = int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
+        bn = _pick_block(N, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
+        bk = _choose_bk(K, g, 8, bk_env)
+        dt_s, tr_s = stream_time(qw_st, bk, bn)
+        log(
+            f"[{K}x{N} g{g}] stream bk={bk} bn={bn}: {dt_s*1e6:.1f} us wall"
+            f" = {wbytes/dt_s/1e9:.0f} GB/s; traced: "
+            + ", ".join(f"{k}={v:.1f}us" for k, v in tr_s.items())
+        )
+
+        dt, tr = kernel_time(lambda xx: qmatmul_pallas_stacked(xx, qt_st, layer), x)
+        log(
+            f"[{K}x{N} g{g}] v3     bk={bk} bn={bn}: {dt*1e6:.1f} us wall"
+            f" = {(wbytes+sbytes)/dt/1e9:.0f} GB/s; traced: "
+            + ", ".join(f"{k}={v:.1f}us" for k, v in tr.items())
+        )
+
+        pbk = planar_bk(K, g, bk_env)
+        if pbk is not None:
+            qw_pl = jnp.stack(
+                [planarize_packed(qw_st[i], K) for i in range(L)]
+            )
+            qt_pl = dataclasses.replace(qt_st, qweight=qw_pl, planar=True)
+            dtp, trp = kernel_time(
+                lambda xx: qmatmul_pallas_stacked(xx, qt_pl, layer), x
+            )
+            log(
+                f"[{K}x{N} g{g}] planar bk={pbk} bn={bn}: {dtp*1e6:.1f} us wall"
+                f" = {(wbytes+sbytes)/dtp/1e9:.0f} GB/s; traced: "
+                + ", ".join(f"{k}={v:.1f}us" for k, v in trp.items())
+            )
+
+
+if __name__ == "__main__":
+    main()
