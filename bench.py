@@ -149,8 +149,14 @@ def main():
     jax.block_until_ready(params["layers"][-1]["down_proj"].qweight)
     log(f"[bench] params materialized in {time.time() - t0:.1f}s")
     bytes_params = params  # per-layer list view for byte accounting
-    # scan-over-layers: one compiled layer body instead of L unrolled
-    params = stack_layer_params(params)
+    # scan-over-layers: one compiled layer body instead of L unrolled.
+    # bf16 scale storage (default on): halves scale/zs bytes; requires
+    # the fused-correction kernels, which are the serving default.
+    scales_bf16 = os.environ.get("QLLM_TPU_SCALES_BF16", "1") != "0"
+    params = stack_layer_params(
+        params,
+        scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
+    )
 
     max_seq = 256
     prefill_len = 128

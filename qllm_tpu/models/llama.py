@@ -471,16 +471,47 @@ def _block_attn_mlp(
     if cfg.pos_embedding == "rope":
         q, k = apply_rope(q, k, cos, sin, cfg.rope_style, cfg.rotary_dim)
 
-    use_kernel = False
     if cache is not None:
-        cache = cache.update(layer_idx, k, v, pos)
-        use_kernel = (
+        import os as _os
+
+        can_kernel = (
             T == 1
             and cache.quantized
             and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
             and _pallas_attn_enabled()
         )
-        if use_kernel:
+        if (
+            can_kernel
+            and cache.max_seq % 8 == 0  # 8-row aligned write windows
+            and _os.environ.get("QLLM_TPU_FUSED_KV", "1") != "0"
+        ):
+            # fused path: quantize+write the new token INSIDE the
+            # attention kernel via buffer aliasing — no XLA-side cache
+            # mutation (cache.update's dynamic_update_slices made the
+            # scan double-buffer the whole cache, ~0.5 ms/token on 7B)
+            import dataclasses as _dc
+
+            from ..ops.pallas_attention import decode_attention_update_pallas
+
+            pos_b = jnp.broadcast_to(jnp.asarray(pos), (B,)).astype(jnp.int32)
+            attn, k2, v2, ks2, vs2 = decode_attention_update_pallas(
+                q[:, 0],
+                k[:, 0],
+                v[:, 0],
+                cache.k,
+                cache.v,
+                cache.k_scale,
+                cache.v_scale,
+                pos_b + 1,
+                layer_idx,
+                pos_b,
+            )
+            cache = _dc.replace(
+                cache, k=k2, v=v2, k_scale=ks2, v_scale=vs2
+            )
+            attn = attn[:, None].astype(h.dtype)
+        elif can_kernel:
+            cache = cache.update(layer_idx, k, v, pos)
             from ..ops.pallas_attention import decode_attention_pallas
 
             lengths = jnp.broadcast_to(jnp.asarray(pos) + 1, (B,)).astype(
@@ -499,6 +530,7 @@ def _block_attn_mlp(
                 layer=layer_idx,
             )[:, None].astype(h.dtype)
         else:
+            cache = cache.update(layer_idx, k, v, pos)
             k_all, v_all = cache.layer_kv(layer_idx, dtype=h.dtype)
             attn = _attention(q, k_all, v_all, mask, cfg.n_rep)
     else:

@@ -58,12 +58,23 @@ def is_stackable(params: Dict[str, Any]) -> bool:
     return True
 
 
-def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
+def stack_layer_params(
+    params: Dict[str, Any],
+    lane_quantum: int = 512,
+    planar: bool = True,
+    scale_store_dtype=jnp.float32,
+) -> Dict[str, Any]:
     """Replace the per-layer list with one pytree of [L, ...] leaves.
 
     Quantized scales/zeros are converted to f32 ONCE here — per-call
     casting of a whole [L, G, N] stack inside the decode loop profiled
-    at ~25% of token latency."""
+    at ~25% of token latency.
+
+    ``lane_quantum``: out-feature padding quantum (tensor-parallel
+    serving passes lcm(512, 128*tp) so every shard stays lane-aligned).
+    ``planar``: apply the 4-bit planar relayout (disable for TP — the
+    planar word mixes rows k and K/2+k, which a row-sharded shard
+    cannot consume; parallel.tp_step re-planarizes per shard)."""
     import dataclasses
 
     if not is_stackable(params):
@@ -79,12 +90,12 @@ def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
             scales = node.scales.astype(jnp.float32)
             zeros = node.zeros.astype(jnp.float32)
             qweight = node.qweight
-            # pad out-features to a 512 multiple so the kernel can use
-            # wide lane blocks (profiled: bn=256 runs at ~60% of bn=512
-            # streaming; e.g. llama N=11008 -> 11264). The logical width
-            # stays in out_features; consumers slice.
+            # pad out-features to a lane_quantum multiple so the kernel
+            # can use wide lane blocks (profiled: bn=256 runs at ~60% of
+            # bn=512 streaming; e.g. llama N=11008 -> 11264). The logical
+            # width stays in out_features; consumers slice.
             N = qweight.shape[-1]
-            pad = (-N) % 512
+            pad = (-N) % lane_quantum
             if pad:
                 qweight = jnp.pad(qweight, ((0, 0), (0, 0), (0, pad)))
                 scales = jnp.pad(
@@ -93,15 +104,21 @@ def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
                 zeros = jnp.pad(zeros, ((0, 0), (0, 0), (0, pad)))
             # planar relayout (4-bit): bitcast-to-int8 becomes k-ordered
             # so the kernel consumes x without any transpose
-            planar = False
-            from ..ops.pallas_qmm import planar_bk
+            is_planar = False
+            from ..ops.pallas_qmm import planar_bk, planar_full_ok
             from ..quant.qtensor import planarize_packed
 
             if (
-                node.bits == 4
+                planar
+                and node.bits == 4
                 and node.perm is None
-                and planar_bk(node.in_features, node.effective_group_size)
-                is not None
+                and (
+                    planar_bk(node.in_features, node.effective_group_size)
+                    is not None
+                    or planar_full_ok(
+                        node.in_features, node.effective_group_size
+                    )
+                )
             ):
                 qweight = jnp.stack(
                     [
@@ -109,18 +126,24 @@ def stack_layer_params(params: Dict[str, Any]) -> Dict[str, Any]:
                         for i in range(qweight.shape[0])
                     ]
                 )
-                planar = True
+                is_planar = True
             # pre-fold the zero-point term: the decode-loop correction is
             # y -= xsum @ (zeros * scales); computing that product per
             # call re-reads BOTH [L, G, N] stacks every token (profiled
             # ~0.4 ms/token on 7B). Store zs once; unstack inverts.
             zs = zeros * scales
+            if scale_store_dtype != jnp.float32:
+                # bf16 scale storage (fused-correction kernels only):
+                # halves scale/zs HBM bytes; ~2^-9 relative scale error,
+                # far below 4-bit quantization noise
+                scales = scales.astype(scale_store_dtype)
+                zs = zs.astype(scale_store_dtype)
             return dataclasses.replace(
                 node,
                 qweight=qweight,
                 scales=scales,
                 zeros=zs,
-                planar=planar,
+                planar=is_planar,
                 zeros_prefolded=True,
             )
         return node
@@ -151,8 +174,8 @@ def unstack_layer_params(params: Dict[str, Any], n_layers: int) -> Dict[str, Any
                     from ..quant.qtensor import unplanarize_packed
 
                     qw = unplanarize_packed(qw, v.in_features)
-                scales = v.scales[i, :, :N]
-                zeros = v.zeros[i, :, :N]
+                scales = v.scales[i, :, :N].astype(jnp.float32)
+                zeros = v.zeros[i, :, :N].astype(jnp.float32)
                 if v.zeros_prefolded:
                     # invert zs -> zeros (scales are >= eps by
                     # construction; f32 divide is exact to ~2^-24)

@@ -464,6 +464,290 @@ def _qmm_kernel_v3_stacked(
     )
 
 
+def _qmm_kernel_v4_stacked(
+    layer_ref,  # scalar prefetch [1]
+    xq_ref,  # [npar, gpb, bm, seg] f32
+    qw_ref,  # [1, bk/pf, bn] uint32
+    scale_ref,  # [1, gpb, bn] f32 or bf16
+    zs_ref,  # [1, gpb, bn] f32 or bf16 (zs = zeros * scales, prefolded)
+    out_ref,  # [bm, bn] f32
+    acc_ref,
+    *,
+    bits: int,
+    bk: int,
+    g: int,
+):
+    """v3 + IN-KERNEL zero-point correction: per group the kernel also
+    accumulates -xsum_g ⊗ zs_g (one [bm,1]x[1,bn] outer product on the
+    VPU). Unlike round-1's reverted experiment (a full correction DOT at
+    k==0, which stalled the k-pipeline), the subtraction is distributed
+    across the k grid alongside the group dots, so nothing outside the
+    kernel reads the [L, G, N] zs stack — that external dot profiled at
+    ~0.4 ms/token on 7B. Scales/zs may be stored bf16 (cast per block
+    in VMEM): halves scale bytes; ~2^-9 relative scale error, well under
+    4-bit quantization noise."""
+    del layer_ref
+    pf = 32 // bits
+    npar = 8 // bits
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpb = bk // g
+    seg = g // npar
+    word_mask = 0
+    for b in range(4):
+        word_mask |= ((1 << bits) - 1) << (8 * b)
+
+    qw = pltpu.bitcast(qw_ref[0], jnp.int32)
+    vs = []
+    for p in range(npar):
+        vp = (
+            jax.lax.shift_right_logical(qw, jnp.int32(bits * p))
+            & jnp.int32(word_mask)
+        )
+        vs.append(pltpu.bitcast(vp, jnp.int8).astype(jnp.float32))
+    sc = scale_ref[0].astype(jnp.float32)
+    zs = zs_ref[0].astype(jnp.float32)
+    acc = acc_ref[:]
+    for gi in range(gpb):
+        part = None
+        xsum = None
+        for p in range(npar):
+            xpg = xq_ref[p, gi]  # [bm, seg]
+            d = jnp.dot(
+                xpg,
+                vs[p][gi * seg : (gi + 1) * seg],
+                preferred_element_type=jnp.float32,
+            )
+            part = d if part is None else part + d
+            s1 = jnp.sum(xpg, axis=1, keepdims=True)
+            xsum = s1 if xsum is None else xsum + s1
+        acc = acc + part * sc[gi : gi + 1, :] - xsum * zs[gi : gi + 1, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _choose_bk_odd(K: int, g: int, target: int):
+    """k-block for the odd-bit (bit-plane) stacked kernel, or None.
+
+    Constraints: bk % g == 0 (group boundary), bk % 256 == 0 (the
+    [bk/32, bn] plane block's sublane dim must be a multiple of 8), and
+    (bk//g) % 8 == 0 for the scale block's sublane quantum — unless
+    bk == K, where the scale block spans the full group axis (full-dim
+    blocks are exempt from the sublane quantum)."""
+    import math
+
+    if g <= 0 or K % 32 or K % g:
+        return None
+    quantum = math.lcm(256, 8 * g)
+    best = None
+    for bk in range(quantum, K + 1, quantum):
+        if K % bk == 0 and bk <= target:
+            best = bk
+    if best is None and K % 256 == 0:
+        best = K
+    return best
+
+
+def odd_stacked_kernel_ok(K: int, g: int) -> bool:
+    """Whether the fused bit-plane decode kernel can serve this (K, g)
+    geometry at packed bytes (no promote_bits repack needed)."""
+    g_eff = K if g == -1 else g
+    target = int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
+    return g_eff % 8 == 0 and _choose_bk_odd(K, g_eff, target) is not None
+
+
+def _qmm_kernel_odd_stacked(
+    layer_ref,  # scalar prefetch [1]
+    xq_ref,  # [8, gpb, bm, g/8] f32 — stride-8 field split of x
+    qw_ref,  # [1, bits, bk/32, bn] uint32 bit-plane block
+    scale_ref,  # [1, gpb, bn] f32 or bf16
+    *rest,  # [zs_ref,] out_ref, acc_ref
+    bits: int,
+    bk: int,
+    g: int,
+    fuse_corr: bool,
+):
+    """Fused dequant+matmul for odd widths (3/5/6/7) on the bit-plane
+    layout — the TPU answer to the reference's `..._357_g`/`3567_v2`
+    CUDA families (csrc/ort_cuda/dq_gemv.cu:189-544), which serve odd
+    widths at packed bytes instead of promote_bits' +33% repack.
+
+    SIMD-in-register reconstruction: plane word bits (8c + p) hold rows
+    k = 32w + 8c + p, so shifting plane b right by p and masking
+    0x01010101 extracts field p's bit-b as bytes; summing planes shifted
+    left by b rebuilds q (< 2**bits <= 128: no byte overflow) entirely
+    in int32 lanes, then ONE bitcast lands rows on sublanes in k-order
+    (stride 8). The dot structure matches _qmm_kernel_v3 with npar=8."""
+    del layer_ref
+    if fuse_corr:
+        zs_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpb = bk // g
+    seg = g // 8
+    planes = [pltpu.bitcast(qw_ref[0, b], jnp.int32) for b in range(bits)]
+    sc = scale_ref[0].astype(jnp.float32)
+    zs = zs_ref[0].astype(jnp.float32) if fuse_corr else None
+    vs = []
+    for p in range(8):
+        v32 = None
+        for b in range(bits):
+            f = jax.lax.shift_right_logical(planes[b], jnp.int32(p)) & jnp.int32(
+                0x01010101
+            )
+            if b:
+                f = jax.lax.shift_left(f, jnp.int32(b))
+            v32 = f if v32 is None else v32 + f
+        vs.append(pltpu.bitcast(v32, jnp.int8).astype(jnp.float32))
+    acc = acc_ref[:]
+    for gi in range(gpb):
+        part = None
+        xsum = None
+        for p in range(8):
+            xpg = xq_ref[p, gi]  # [bm, seg]
+            d = jnp.dot(
+                xpg,
+                vs[p][gi * seg : (gi + 1) * seg],
+                preferred_element_type=jnp.float32,
+            )
+            part = d if part is None else part + d
+            if fuse_corr:
+                s1 = jnp.sum(xpg, axis=1, keepdims=True)
+                xsum = s1 if xsum is None else xsum + s1
+        acc = acc + part * sc[gi : gi + 1, :]
+        if fuse_corr:
+            acc = acc - xsum * zs[gi : gi + 1, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _qmm_kernel_planar_fused(
+    layer_ref,  # scalar prefetch [1]
+    xlo_ref,  # [bm, bk/2] f32
+    xhi_ref,
+    qw_ref,  # [1, bk/8, bn] uint32 planar
+    slo_ref,  # [1, gpbh, bn]
+    shi_ref,
+    zlo_ref,  # [1, gpbh, bn] (prefolded zs)
+    zhi_ref,
+    out_ref,
+    acc_ref,
+    *,
+    bk: int,
+    g: int,
+):
+    """Planar kernel + in-kernel correction (see _qmm_kernel_v4_stacked)."""
+    del layer_ref
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpbh = (bk // 2) // g
+    qw = pltpu.bitcast(qw_ref[0], jnp.int32)
+    v_lo = pltpu.bitcast(qw & jnp.int32(0x0F0F0F0F), jnp.int8).astype(
+        jnp.float32
+    )
+    v_hi = pltpu.bitcast(
+        jax.lax.shift_right_logical(qw, jnp.int32(4)) & jnp.int32(0x0F0F0F0F),
+        jnp.int8,
+    ).astype(jnp.float32)
+    acc = acc_ref[:]
+    for x_ref, v, s_ref, z_ref in (
+        (xlo_ref, v_lo, slo_ref, zlo_ref),
+        (xhi_ref, v_hi, shi_ref, zhi_ref),
+    ):
+        sc = s_ref[0].astype(jnp.float32)
+        zs = z_ref[0].astype(jnp.float32)
+        for gi in range(gpbh):
+            xg = x_ref[:, gi * g : (gi + 1) * g]
+            d = jnp.dot(
+                xg, v[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
+            )
+            xsum = jnp.sum(xg, axis=1, keepdims=True)
+            acc = acc + d * sc[gi : gi + 1, :] - xsum * zs[gi : gi + 1, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def planar_full_ok(K: int, g: int) -> bool:
+    """Eligibility for the single-k-step full-K planar kernel: needs
+    only K % 256 == 0 and a group split at K/2 — covers geometries the
+    blocked variant cannot (e.g. llama down_proj K=11008, which has no
+    2048-multiple divisor). Scale blocks span the FULL group axis (a
+    whole-dim block is exempt from the 8-sublane quantum), so the
+    16g-alignment constraint of planar_bk disappears."""
+    return g > 0 and K % 256 == 0 and (K // 2) % g == 0
+
+
+def _qmm_kernel_planar_full(
+    layer_ref,  # scalar prefetch [1]
+    x_ref,  # [bm, K] f32 — the whole activation row
+    qw_ref,  # [1, K/8, bn] uint32 planar (full K)
+    s_ref,  # [1, G, bn] scales (f32 or bf16)
+    z_ref,  # [1, G, bn] prefolded zs
+    out_ref,  # [bm, bn] f32
+    *,
+    K: int,
+    g: int,
+):
+    """Full-K planar kernel with fused correction: one k step (the k
+    pipeline moves to the j/N grid axis, whose blocks are bigger and
+    stream better — down_proj profiled at ~690 GB/s with full-K blocks
+    vs ~460 GB/s blocked)."""
+    del layer_ref
+    Gh = (K // 2) // g
+    qw = pltpu.bitcast(qw_ref[0], jnp.int32)
+    v_lo = pltpu.bitcast(qw & jnp.int32(0x0F0F0F0F), jnp.int8).astype(
+        jnp.float32
+    )
+    v_hi = pltpu.bitcast(
+        jax.lax.shift_right_logical(qw, jnp.int32(4)) & jnp.int32(0x0F0F0F0F),
+        jnp.int8,
+    ).astype(jnp.float32)
+    sc = s_ref[0].astype(jnp.float32)  # [G, bn]
+    zs = z_ref[0].astype(jnp.float32)
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for half, v in ((0, v_lo), (1, v_hi)):
+        base = half * Gh
+        off = half * (K // 2)
+        for gi in range(Gh):
+            xg = x_ref[:, off + gi * g : off + (gi + 1) * g]
+            d = jnp.dot(
+                xg, v[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
+            )
+            xsum = jnp.sum(xg, axis=1, keepdims=True)
+            acc = (
+                acc
+                + d * sc[base + gi : base + gi + 1, :]
+                - xsum * zs[base + gi : base + gi + 1, :]
+            )
+    out_ref[:] = acc
+
+
 def planar_bk(K: int, g: int, target: int = 2048):
     """k-block for the planar kernel, or None when the geometry does not
     admit one: bk | K, bk % 16g == 0 (half-block holds >=8 whole groups
@@ -540,6 +824,7 @@ def _qmm_kernel_planar(
         "out_features",
         "planar",
         "prefolded",
+        "fuse_corr",
     ),
 )
 def _qmm_2d_stacked(
@@ -554,6 +839,7 @@ def _qmm_2d_stacked(
     out_features: int,
     planar: bool = False,
     prefolded: bool = False,
+    fuse_corr: bool = False,
 ) -> jax.Array:
     """v3 decode kernel reading DIRECTLY from a layer-stacked weight
     pytree: the layer index arrives by scalar prefetch and selects
@@ -572,46 +858,104 @@ def _qmm_2d_stacked(
     bk_target = int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
 
     if planar:
+        if fuse_corr and not prefolded:
+            raise ValueError("fuse_corr requires prefolded zeros (zs)")
         bkp = planar_bk(K, g, bk_target)
+        full_bytes = (K // 8) * bn * 4
+        use_full = (
+            fuse_corr
+            and planar_full_ok(K, g)
+            and full_bytes
+            <= int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
+        )
+        if use_full or bkp is None:
+            if not use_full:
+                raise ValueError(
+                    f"planar tensor with no admissible k-block (K={K}, g={g})"
+                )
+            G_all = K // g
+            grid = (M // bm, N // bn)
+            kernel = functools.partial(_qmm_kernel_planar_full, K=K, g=g)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(
+                        (bm, K), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
+                    ),
+                    pl.BlockSpec(
+                        (1, K // 8, bn),
+                        lambda i, j, l: (l[0], 0, j),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, G_all, bn),
+                        lambda i, j, l: (l[0], 0, j),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, G_all, bn),
+                        lambda i, j, l: (l[0], 0, j),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (bm, bn), lambda i, j, l: (i, j), memory_space=pltpu.VMEM
+                ),
+            )
+            out = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel"),
+                ),
+                interpret=jax.default_backend() == "cpu",
+            )(
+                jnp.asarray([layer], jnp.int32),
+                x.astype(jnp.float32),
+                qweight,
+                scales,
+                zeros,
+            )
+            return out.astype(jnp.bfloat16)
         grid = (M // bm, N // bn, K // bkp)
         nk = K // bkp
         gpbh = (bkp // 2) // g
         scales_f = (
             scales
-            if scales.dtype == jnp.float32
+            if scales.dtype == jnp.float32 or fuse_corr
             else scales.astype(jnp.float32)
         )
-        kernel = functools.partial(_qmm_kernel_planar, bk=bkp, g=g)
+        x_spec = lambda i, j, k, l: (i, k)  # noqa: E731
+        x_spec_hi = lambda i, j, k, l: (i, nk + k)  # noqa: E731
+        s_spec = lambda i, j, k, l: (l[0], k, j)  # noqa: E731
+        s_spec_hi = lambda i, j, k, l: (l[0], nk + k, j)  # noqa: E731
+        in_specs = [
+            pl.BlockSpec((bm, bkp // 2), x_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bkp // 2), x_spec_hi, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bkp // 8, bn), s_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, gpbh, bn), s_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gpbh, bn), s_spec_hi, memory_space=pltpu.VMEM),
+        ]
+        operands = []
+        if fuse_corr:
+            kernel = functools.partial(_qmm_kernel_planar_fused, bk=bkp, g=g)
+            in_specs += [
+                pl.BlockSpec((1, gpbh, bn), s_spec, memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, gpbh, bn), s_spec_hi, memory_space=pltpu.VMEM
+                ),
+            ]
+            operands = [zeros, zeros]
+        else:
+            kernel = functools.partial(_qmm_kernel_planar, bk=bkp, g=g)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (bm, bkp // 2),
-                    lambda i, j, k, l: (i, k),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (bm, bkp // 2),
-                    lambda i, j, k, l: (i, nk + k),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, bkp // 8, bn),
-                    lambda i, j, k, l: (l[0], k, j),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, gpbh, bn),
-                    lambda i, j, k, l: (l[0], k, j),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, gpbh, bn),
-                    lambda i, j, k, l: (l[0], nk + k, j),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (bm, bn), lambda i, j, k, l: (i, j), memory_space=pltpu.VMEM
             ),
@@ -633,8 +977,85 @@ def _qmm_2d_stacked(
             qweight,
             scales_f,
             scales_f,
+            *operands,
         )
+        if fuse_corr:
+            return out.astype(jnp.bfloat16)
         xsum = xf32.reshape(M, G, g).sum(axis=2)
+        zs = (
+            zeros[layer]
+            if prefolded
+            else zeros[layer].astype(jnp.float32) * scales_f[layer]
+        )
+        corr = jnp.dot(xsum, zs, preferred_element_type=jnp.float32)
+        return (out - corr).astype(jnp.bfloat16)
+
+    if bits in (3, 5, 6, 7):
+        bko = _choose_bk_odd(K, g, bk_target)
+        if bko is None:
+            raise ValueError(f"odd-bit kernel: no k-block for K={K}, g={g}")
+        # plane-major rows [bits*K/32, N] -> [bits, K/32, N] is a pure
+        # reshape (planes are contiguous row blocks)
+        qw4 = qweight.reshape(qweight.shape[0], bits, K // 32, -1)
+        gpb = bko // g
+        seg8 = g // 8
+        xq = (
+            x.astype(jnp.float32).reshape(M, G, seg8, 8).transpose(3, 1, 0, 2)
+        )
+        scales_f = (
+            scales
+            if scales.dtype == jnp.float32 or fuse_corr
+            else scales.astype(jnp.float32)
+        )
+        x_spec = lambda i, j, k, l: (0, k, i, 0)  # noqa: E731
+        w4_spec = lambda i, j, k, l: (l[0], 0, k, j)  # noqa: E731
+        s_spec = lambda i, j, k, l: (l[0], k, j)  # noqa: E731
+        in_specs = [
+            pl.BlockSpec(
+                (8, gpb, bm, seg8), x_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bits, bko // 32, bn), w4_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, gpb, bn), s_spec, memory_space=pltpu.VMEM),
+        ]
+        operands = []
+        if fuse_corr:
+            if not prefolded:
+                raise ValueError("fuse_corr requires prefolded zeros (zs)")
+            in_specs.append(
+                pl.BlockSpec((1, gpb, bn), s_spec, memory_space=pltpu.VMEM)
+            )
+            operands = [zeros]
+        kernel = functools.partial(
+            _qmm_kernel_odd_stacked, bits=bits, bk=bko, g=g, fuse_corr=fuse_corr
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(M // bm, N // bn, K // bko),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j, k, l: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * K,
+                bytes_accessed=bits * (K // 32) * N * 4 + M * N * 4,
+                transcendentals=0,
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(jnp.asarray([layer], jnp.int32), xq, qw4, scales_f, *operands)
+        if fuse_corr:
+            return out.astype(jnp.bfloat16)
+        xsum = x.astype(jnp.float32).reshape(M, G, g).sum(axis=2)
         zs = (
             zeros[layer]
             if prefolded
@@ -650,36 +1071,45 @@ def _qmm_2d_stacked(
         .reshape(M, G, seg, npar)
         .transpose(3, 1, 0, 2)
     )
-    # scales must arrive f32 (stack_layer_params converts once):
-    # casting the [L, G, N] stack here would materialize the whole
-    # stack EVERY call (profiled at ~25% of decode time)
+    if fuse_corr and not prefolded:
+        raise ValueError("fuse_corr requires prefolded zeros (zs)")
+    # scales must arrive f32 for the non-fused kernels
+    # (stack_layer_params converts once — casting the [L, G, N] stack
+    # here would materialize the whole stack EVERY call, profiled at
+    # ~25% of decode time). The fused kernel casts per block in VMEM,
+    # so bf16 storage is allowed there.
     scales_f = (
-        scales if scales.dtype == jnp.float32 else scales.astype(jnp.float32)
+        scales
+        if scales.dtype == jnp.float32 or fuse_corr
+        else scales.astype(jnp.float32)
     )
     grid = (M // bm, N // bn, K // bk)
-    kernel = functools.partial(
-        _qmm_kernel_v3_stacked, bits=bits, bk=bk, g=g, f32_dot=True
-    )
+    x_spec = lambda i, j, k, l: (0, k, i, 0)  # noqa: E731
+    w_spec = lambda i, j, k, l: (l[0], k, j)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec(
+            (npar, bk // g, bm, seg), x_spec, memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, bk // pf, bn), w_spec, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk // g, bn), w_spec, memory_space=pltpu.VMEM),
+    ]
+    operands = []
+    if fuse_corr:
+        kernel = functools.partial(
+            _qmm_kernel_v4_stacked, bits=bits, bk=bk, g=g
+        )
+        in_specs.append(
+            pl.BlockSpec((1, bk // g, bn), w_spec, memory_space=pltpu.VMEM)
+        )
+        operands = [zeros]
+    else:
+        kernel = functools.partial(
+            _qmm_kernel_v3_stacked, bits=bits, bk=bk, g=g, f32_dot=True
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (npar, bk // g, bm, seg),
-                lambda i, j, k, l: (0, k, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, bk // pf, bn),
-                lambda i, j, k, l: (l[0], k, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, bk // g, bn),
-                lambda i, j, k, l: (l[0], k, j),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, k, l: (i, j), memory_space=pltpu.VMEM
         ),
@@ -698,7 +1128,9 @@ def _qmm_2d_stacked(
             transcendentals=0,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(jnp.asarray([layer], jnp.int32), xq, qweight, scales_f)
+    )(jnp.asarray([layer], jnp.int32), xq, qweight, scales_f, *operands)
+    if fuse_corr:
+        return out.astype(jnp.bfloat16)
     # zero-point correction with the selected layer's (z*s) — slice the
     # stack FIRST (multiplying the whole [L, G, N] stack per call was a
     # profiled hot spot)
@@ -727,17 +1159,50 @@ def qmatmul_pallas_stacked(
     M = 1
     for d in lead:
         M *= d
+    # fused in-kernel correction: DEFAULT ON for planar (microbenched
+    # faster: no external zs read/dot), OFF for v3 (the per-group outer
+    # products measurably slow that layout), FORCED whenever scales are
+    # stored bf16 (the external corr path cannot consume bf16 stacks
+    # without a full-stack cast)
+    bf16_scales = qt_stacked.scales.dtype != jnp.float32
+    if qt_stacked.planar:
+        fuse_env = qt_stacked.zeros_prefolded and (
+            bf16_scales or os.environ.get("QLLM_TPU_FUSED_CORR", "1") != "0"
+        )
+    else:
+        fuse_env = qt_stacked.zeros_prefolded and (
+            bf16_scales
+            or os.environ.get("QLLM_TPU_FUSED_CORR_V3", "0") == "1"
+        )
     ok = (
-        bits in (2, 4)
+        bits in (2, 3, 4, 5, 6, 7)
         and qt_stacked.perm is None
         and M <= 32
-        and _choose_bk(K, g, 32 // bits, 2048) % g == 0
-        and (g // npar) % 8 == 0
         and (
             jax.default_backend() != "cpu"
             or bool(os.environ.get("QLLM_TPU_FORCE_STACKED_KERNEL"))
         )
     )
+    if ok and bits in (3, 5, 6, 7):
+        ok = not qt_stacked.planar and odd_stacked_kernel_ok(
+            K, qt_stacked.group_size
+        )
+    elif ok and qt_stacked.planar:
+        bk_t = int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
+        bn_t = _pick_block(
+            N_buf, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512"))
+        )
+        full_max = int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
+        ok = planar_bk(K, g, bk_t) is not None or (
+            fuse_env
+            and planar_full_ok(K, g)
+            and (K // 8) * bn_t * 4 <= full_max
+        )
+    elif ok:
+        ok = (
+            _choose_bk(K, g, 32 // bits, 2048) % g == 0
+            and (g // npar) % 8 == 0
+        )
     if not ok:
         from .ref_matmul import qmatmul
 
@@ -766,6 +1231,7 @@ def qmatmul_pallas_stacked(
     Mp = max(8, ((M + 7) // 8) * 8)
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    fuse_corr = fuse_env
     y = _qmm_2d_stacked(
         x2,
         layer,
@@ -778,6 +1244,7 @@ def qmatmul_pallas_stacked(
         N_buf,
         planar=qt_stacked.planar,
         prefolded=qt_stacked.zeros_prefolded,
+        fuse_corr=fuse_corr,
     )
     if Mp != M:
         y = y[:M]

@@ -389,6 +389,76 @@ def concat_columns(parts, col_indices, out_features: int) -> QuantizedTensor:
     )
 
 
+def pad_out_features(qt: QuantizedTensor, n_new: int) -> QuantizedTensor:
+    """Zero-pad the N axis to ``n_new`` (pad columns dequantize to 0 and
+    are treated as logical by consumers that can absorb zeros — see
+    parallel.tp_step, which pads gate/up so each tensor-parallel shard
+    is lane-aligned)."""
+    N = qt.out_features
+    if n_new == N:
+        return qt
+    if qt.planar or qt.zeros_prefolded:
+        raise ValueError("pad_out_features on a runtime-relayout tensor")
+    if n_new < N:
+        raise ValueError(f"n_new={n_new} < out_features={N}")
+    pad = n_new - N
+    return dataclasses.replace(
+        qt,
+        qweight=jnp.pad(qt.qweight, ((0, 0), (0, pad))),
+        scales=jnp.pad(qt.scales, ((0, 0), (0, pad)), constant_values=1.0),
+        zeros=jnp.pad(qt.zeros, ((0, 0), (0, pad))),
+        out_features=n_new,
+    )
+
+
+def pad_in_features(qt: QuantizedTensor, k_new: int) -> QuantizedTensor:
+    """Zero-pad the K axis to ``k_new`` (must be a group_size multiple).
+
+    Pad rows dequantize to (0 - 0) * 1 = 0, so ``x_padded @ W_padded ==
+    x @ W`` exactly when the activation pad is also zero — used by
+    tensor-parallel serving to align a row-sharded weight's K with its
+    column-sharded producer's padded N (parallel.tp_step)."""
+    K = qt.in_features
+    if k_new == K:
+        return qt
+    if qt.planar or qt.zeros_prefolded:
+        raise ValueError("pad_in_features on a runtime-relayout tensor")
+    if qt.perm is not None:
+        raise ValueError("pad_in_features with act_order perm")
+    g = qt.effective_group_size
+    if k_new % g or k_new < K:
+        raise ValueError(f"k_new={k_new} must be a group multiple >= K={K}")
+    if qt.group_size == -1:
+        raise ValueError("pad_in_features requires grouped quantization")
+    rows_old = qt.qweight.shape[0]
+    rows_new = (
+        k_new // (32 // qt.bits)
+        if _is_pow2_field(qt.bits)
+        else qt.bits * k_new // 32
+    )
+    if not _is_pow2_field(qt.bits) and K % 32:
+        raise ValueError("bit-plane padding requires K % 32 == 0")
+    qw = jnp.zeros((rows_new, qt.qweight.shape[1]), qt.qweight.dtype)
+    if _is_pow2_field(qt.bits):
+        qw = qw.at[:rows_old].set(qt.qweight)
+    else:
+        # bit-plane layout: planes are contiguous [K//32] row blocks
+        wpp_old, wpp_new = K // 32, k_new // 32
+        for b in range(qt.bits):
+            qw = qw.at[b * wpp_new : b * wpp_new + wpp_old].set(
+                qt.qweight[b * wpp_old : (b + 1) * wpp_old]
+            )
+    G_new = k_new // g
+    G_old = qt.n_groups
+    sc = jnp.ones((G_new, qt.scales.shape[1]), qt.scales.dtype)
+    sc = sc.at[:G_old].set(qt.scales)
+    zr = jnp.zeros((G_new, qt.zeros.shape[1]), qt.zeros.dtype)
+    zr = zr.at[:G_old].set(qt.zeros)
+    return dataclasses.replace(
+        qt, qweight=qw, scales=sc, zeros=zr, in_features=k_new
+    )
+
+
 def unpermute_dense(qt: QuantizedTensor, w: jax.Array) -> jax.Array:
     """Undo the act_order permutation, returning rows in original feature order."""
     if qt.perm is None:

@@ -82,3 +82,94 @@ def test_model_decode_with_pallas_attention_matches_xla():
     np.testing.assert_allclose(
         np.asarray(lp), np.asarray(lx), atol=5e-2, rtol=5e-2
     )
+
+
+def test_fused_update_attend_matches_update_then_attend():
+    """decode_attention_update_pallas (in-kernel quantize+write via
+    buffer aliasing) must reproduce cache.update + decode_attention
+    numerics AND leave identical cache contents."""
+    from qllm_tpu.ops.pallas_attention import decode_attention_update_pallas
+
+    rng = np.random.default_rng(3)
+    L, B, Hkv, S, d, n_rep = 3, 2, 2, 64, 128, 2
+    H = Hkv * n_rep
+    layer, pos = 1, np.array([13, 29], np.int32)
+
+    cache = QuantizedKVCache.create(L, B, S, Hkv, d, quantized=True)
+    # fill some history below pos
+    hist_k = rng.normal(size=(B, int(pos.min()), Hkv, d)).astype(np.float32)
+    hist_v = rng.normal(size=(B, int(pos.min()), Hkv, d)).astype(np.float32)
+    cache = cache.update(layer, jnp.asarray(hist_k), jnp.asarray(hist_v), jnp.int32(0))
+
+    q = rng.normal(size=(B, H, d)).astype(np.float32)
+    k_new = rng.normal(size=(B, Hkv, d)).astype(np.float32)
+    v_new = rng.normal(size=(B, Hkv, d)).astype(np.float32)
+
+    # reference: write then attend (per-slot positions)
+    ref_cache = cache.update(
+        layer,
+        jnp.asarray(k_new[:, None]),
+        jnp.asarray(v_new[:, None]),
+        jnp.asarray(pos),
+    )
+    ref_out = np.asarray(
+        decode_attention_pallas(
+            jnp.asarray(q),
+            ref_cache.k,
+            ref_cache.v,
+            ref_cache.k_scale,
+            ref_cache.v_scale,
+            jnp.asarray(pos + 1),
+            layer=jnp.int32(layer),
+        )
+    )
+
+    out, k2, v2, ks2, vs2 = decode_attention_update_pallas(
+        jnp.asarray(q),
+        jnp.asarray(k_new),
+        jnp.asarray(v_new),
+        cache.k,
+        cache.v,
+        cache.k_scale,
+        cache.v_scale,
+        jnp.asarray(pos + 1),
+        jnp.int32(layer),
+        jnp.asarray(pos),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-2, rtol=3e-2)
+    # cache contents identical to the write-then-attend reference
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_cache.k))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref_cache.v))
+    np.testing.assert_allclose(
+        np.asarray(ks2), np.asarray(ref_cache.k_scale), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vs2), np.asarray(ref_cache.v_scale), rtol=1e-6
+    )
+
+
+def test_decode_loop_fused_kv_matches_unfused(monkeypatch):
+    """End-to-end greedy decode: fused KV path vs cache.update path."""
+    import jax as _jax
+
+    from qllm_tpu.models import TINY_LLAMA_TEST_CONFIG as CFG
+    from qllm_tpu.models.decode_loop import decode_loop
+    from qllm_tpu.models.generate import make_cache
+    from qllm_tpu.utils.testing import random_quantized_params
+
+    params = random_quantized_params(CFG, _jax.random.key(2), bits=4, group_size=32)
+    token = jnp.ones((1, 1), jnp.int32)
+    monkeypatch.setenv("QLLM_TPU_FORCE_PALLAS_ATTN", "1")
+
+    monkeypatch.setenv("QLLM_TPU_FUSED_KV", "0")
+    cache = make_cache(CFG, 1, 64, quantized_kv=True)
+    t0, _ = decode_loop(params, CFG, token, cache, jnp.int32(0), 8)
+    t0 = np.asarray(t0)
+
+    # the env var is read at trace time — drop the cached trace so the
+    # second run really takes the fused path
+    _jax.clear_caches()
+    monkeypatch.setenv("QLLM_TPU_FUSED_KV", "1")
+    cache = make_cache(CFG, 1, 64, quantized_kv=True)
+    t1, _ = decode_loop(params, CFG, token, cache, jnp.int32(0), 8)
+    np.testing.assert_array_equal(t0, np.asarray(t1))

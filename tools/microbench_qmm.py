@@ -239,6 +239,29 @@ def main():
             + ", ".join(f"{k}={v:.1f}us" for k, v in tr.items())
         )
 
+        # fused-correction variants (in-kernel zero-point subtract)
+        os.environ["QLLM_TPU_FUSED_CORR"] = "1"
+        dt4, tr4 = kernel_time(
+            lambda xx: qmatmul_pallas_stacked(xx, qt_st, layer), x
+        )
+        log(
+            f"[{K}x{N} g{g}] v4fuse bk={bk} bn={bn}: traced: "
+            + ", ".join(f"{k}={v:.1f}us" for k, v in tr4.items())
+        )
+        qt_bf = dataclasses.replace(
+            qt_st,
+            scales=sc_st.astype(jnp.bfloat16),
+            zeros=zs_st.astype(jnp.bfloat16),
+        )
+        dt4b, tr4b = kernel_time(
+            lambda xx: qmatmul_pallas_stacked(xx, qt_bf, layer), x
+        )
+        log(
+            f"[{K}x{N} g{g}] v4bf16 bk={bk} bn={bn}: traced: "
+            + ", ".join(f"{k}={v:.1f}us" for k, v in tr4b.items())
+        )
+        del os.environ["QLLM_TPU_FUSED_CORR"]
+
         pbk = planar_bk(K, g, bk_env)
         if pbk is not None:
             qw_pl = jnp.stack(
@@ -253,6 +276,27 @@ def main():
                 f" = {(wbytes+sbytes)/dtp/1e9:.0f} GB/s; traced: "
                 + ", ".join(f"{k}={v:.1f}us" for k, v in trp.items())
             )
+            os.environ["QLLM_TPU_FUSED_CORR"] = "1"
+            _, trpf = kernel_time(
+                lambda xx: qmatmul_pallas_stacked(xx, qt_pl, layer), x
+            )
+            log(
+                f"[{K}x{N} g{g}] plfuse bk={pbk} bn={bn}: traced: "
+                + ", ".join(f"{k}={v:.1f}us" for k, v in trpf.items())
+            )
+            qt_plb = dataclasses.replace(
+                qt_pl,
+                scales=qt_pl.scales.astype(jnp.bfloat16),
+                zeros=qt_pl.zeros.astype(jnp.bfloat16),
+            )
+            _, trpb = kernel_time(
+                lambda xx: qmatmul_pallas_stacked(xx, qt_plb, layer), x
+            )
+            log(
+                f"[{K}x{N} g{g}] plbf16 bk={pbk} bn={bn}: traced: "
+                + ", ".join(f"{k}={v:.1f}us" for k, v in trpb.items())
+            )
+            del os.environ["QLLM_TPU_FUSED_CORR"]
 
 
 if __name__ == "__main__":

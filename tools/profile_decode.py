@@ -44,7 +44,13 @@ def main():
 
     cfg = ModelConfig(max_position_embeddings=2048, **MODEL_SHAPES[model])
     t0 = time.time()
-    params = random_quantized_params(cfg, jax.random.key(0), bits=4, group_size=128)
+    params = random_quantized_params(
+        cfg,
+        jax.random.key(0),
+        bits=4,
+        group_size=128,
+        quantize_lm_head=os.environ.get("QLLM_PROF_QLMHEAD", "1") != "0",
+    )
     jax.block_until_ready(params["layers"][-1]["down_proj"].qweight)
     log(f"params in {time.time()-t0:.1f}s")
     params = stack_layer_params(params)
@@ -84,6 +90,7 @@ def main():
             if "TPU" in nm or "tpu" in nm:
                 tpu_pids.add(e["pid"])
     agg = {}
+    full = {}
     total = 0.0
     for e in ev:
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
@@ -93,17 +100,23 @@ def main():
         total += dur
         key = re.sub(r"[.\d]+$", "", name)
         agg[key] = agg.get(key, 0.0) + dur
+        full[name] = full.get(name, 0.0) + dur
     rows = sorted(agg.items(), key=lambda kv: -kv[1])
+    frows = sorted(full.items(), key=lambda kv: -kv[1])
     log(f"\nTPU op time total {total/1e3:.1f} ms over {steps} steps "
         f"({total/1e3/steps:.3f} ms/token)")
     log(f"{'op':60s} {'ms':>9s} {'us/tok':>8s} {'%':>5s}")
     for k, v in rows[:40]:
         log(f"{k[:60]:60s} {v/1e3:9.2f} {v/steps:8.1f} {100*v/total:5.1f}")
+    log("\ntop individual ops (full names):")
+    for k, v in frows[:30]:
+        log(f"{k[:70]:70s} {v/steps:8.1f} us/tok")
     out = {
         "steps": steps,
         "tokens_per_s": steps / dt,
         "ms_per_token_traced": total / 1e3 / steps,
         "ops": {k: v / steps for k, v in rows},
+        "ops_full": {k: v / steps for k, v in frows[:60]},
     }
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof_decode.json"
     with open(out_path, "w") as f:
