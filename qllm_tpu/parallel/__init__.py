@@ -1,5 +1,14 @@
 from .mesh import make_mesh
 from .sharding import shard_params, shard_cache, param_pspecs, cache_pspec
+from .distributed import initialize_distributed, make_pod_mesh, is_multihost
+from .tp_step import (
+    make_tp_decode_loop,
+    prepare_tp_params,
+    place_tp,
+    stacked_tp_pspecs,
+    tp_cache_pspecs,
+    tp_forward_stacked,
+)
 
 __all__ = [
     "make_mesh",
@@ -7,4 +16,13 @@ __all__ = [
     "shard_cache",
     "param_pspecs",
     "cache_pspec",
+    "initialize_distributed",
+    "make_pod_mesh",
+    "is_multihost",
+    "make_tp_decode_loop",
+    "prepare_tp_params",
+    "place_tp",
+    "stacked_tp_pspecs",
+    "tp_cache_pspecs",
+    "tp_forward_stacked",
 ]

@@ -1,0 +1,470 @@
+"""Tensor-parallel serving via shard_map: the Pallas kernels under TP.
+
+GSPMD cannot partition a pallas_call, so NamedSharding alone silently
+degrades a multi-chip mesh to gathered/replicated matmuls. This module
+runs the WHOLE decode step inside ``jax.shard_map``: every device owns
+its weight shard, invokes the fused stacked kernels on local blocks,
+and the collectives are explicit:
+
+  * column-parallel (q/k/v, gate/up, lm_head): shard out-features; no
+    communication (attention heads are device-local).
+  * row-parallel (o_proj, down_proj): shard in-features; one psum of the
+    partial products per projection (Megatron layout — 2 psums/layer).
+  * embedding: vocab-sharded lookup, masked + psum.
+  * greedy sampling: local top-1 + pmax/pmin index reconciliation
+    (bit-identical to the single-device argmax incl. tie order).
+
+Alignment: out-features are padded to lcm(512, 128·tp) multiples at
+stack time so every shard is lane-aligned, and row-parallel in-features
+(down_proj's K) are padded to the SAME padded width as their
+column-parallel producer (gate/up's N) — zero weight rows are exact
+(see quant.qtensor.pad_in_features). This replaces the reference's only
+"model parallel" story (accelerate device_map layer placement,
+modeling/base.py:296-305) with true tensor parallelism over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import (
+    ModelConfig,
+    _block_attn_mlp,
+    _rope_cos_sin,
+    apply_norm,
+    build_mask,
+    layer_norm,
+)
+from ..models.stacked import StackedLayerView, stack_layer_params
+from ..ops.kv_cache import QuantizedKVCache
+from ..quant.qtensor import QuantizedTensor, pad_in_features, pad_out_features
+
+__all__ = [
+    "prepare_tp_params",
+    "stacked_tp_pspecs",
+    "tp_cache_pspecs",
+    "make_tp_decode_loop",
+    "tp_forward_stacked",
+]
+
+_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW = ("o_proj", "down_proj")
+
+
+# ---------------------------------------------------------------------------
+# Parameter preparation: pad + stack (planar off) for a tp-way split
+# ---------------------------------------------------------------------------
+
+
+def _lane_quantum(group_size: int, tp: int) -> int:
+    g = max(group_size, 1)
+    return math.lcm(512, 128 * tp, g * tp)
+
+
+def prepare_tp_params(
+    params: Dict[str, Any], cfg: ModelConfig, tp: int
+) -> Dict[str, Any]:
+    """Per-layer params -> [L]-stacked params laid out for a tp-way mesh.
+
+    Pads gate/up out-features (and the matching down_proj in-features)
+    to lcm(512, 128·tp, g·tp) so every shard stays lane-aligned and
+    down's G divides tp; q/k/v/o are NEVER padded (padding would break
+    the head layout — their dims must divide tp at head granularity,
+    asserted below). Stacks WITHOUT the planar relayout (the planar
+    word interleaves rows k and K/2+k, which row sharding would split)."""
+    if tp < 1:
+        raise ValueError(f"tp must be >= 1, got {tp}")
+    if cfg.num_attention_heads % tp or cfg.num_key_value_heads % tp:
+        raise ValueError(
+            f"attention heads ({cfg.num_attention_heads}/"
+            f"{cfg.num_key_value_heads} kv) must divide tp={tp}"
+        )
+    layers = params["layers"]
+    if not isinstance(layers, list):
+        raise ValueError("prepare_tp_params expects per-layer (list) params")
+
+    new_layers = []
+    for lp in layers:
+        nlp = dict(lp)
+        for name in ("gate_proj", "up_proj"):
+            w = nlp.get(name)
+            if isinstance(w, QuantizedTensor):
+                q = _lane_quantum(w.effective_group_size, tp)
+                i_pad = -(-w.out_features // q) * q
+                nlp[name] = pad_out_features(w, i_pad)
+                b = nlp.get(f"{name}_bias")
+                if b is not None and b.shape[-1] != i_pad:
+                    nlp[f"{name}_bias"] = jnp.concatenate(
+                        [b, jnp.zeros((i_pad - b.shape[-1],), b.dtype)]
+                    )
+        down = nlp.get("down_proj")
+        if isinstance(down, QuantizedTensor):
+            q = _lane_quantum(down.effective_group_size, tp)
+            i_pad = -(-down.in_features // q) * q
+            nlp["down_proj"] = pad_in_features(down, i_pad)
+            asc = nlp.get("down_proj_act_scale")
+            if asc is not None and asc.shape[-1] != i_pad:
+                nlp["down_proj_act_scale"] = jnp.concatenate(
+                    [asc, jnp.ones((i_pad - asc.shape[-1],), asc.dtype)]
+                )
+        # row-parallel scale shards need G % tp == 0 (o_proj's K is the
+        # head dim product and cannot be padded — assert instead)
+        for name in _ROW:
+            w = nlp.get(name)
+            if isinstance(w, QuantizedTensor) and w.n_groups % tp:
+                raise ValueError(
+                    f"{name}: groups {w.n_groups} % tp {tp} != 0 — "
+                    f"in_features {w.in_features} must be a multiple "
+                    f"of group_size*tp"
+                )
+        new_layers.append(nlp)
+
+    out = dict(params)
+    out["layers"] = new_layers
+    # stack with NO extra lane padding (done selectively above) and no
+    # planar relayout
+    out = stack_layer_params(out, lane_quantum=1, planar=False)
+
+    # lm_head: pad vocab columns to a lane-aligned per-shard width
+    # (pad logits are masked to -inf before the greedy pick)
+    lm = out.get("lm_head")
+    if lm is not None:
+        if isinstance(lm, QuantizedTensor):
+            vq = _lane_quantum(lm.effective_group_size, tp)
+            v_pad = -(-lm.out_features // vq) * vq
+            out["lm_head"] = pad_out_features(lm, v_pad)
+        else:
+            v_pad = -(-lm.shape[-1] // (128 * tp)) * (128 * tp)
+            if v_pad != lm.shape[-1]:
+                out["lm_head"] = jnp.pad(
+                    lm, ((0, 0), (0, v_pad - lm.shape[-1]))
+                )
+    # vocab-sharded embedding: pad rows so V % tp == 0 (ids never hit pads)
+    emb = out["embed_tokens"]
+    v_rows = -(-emb.shape[0] // tp) * tp
+    if v_rows != emb.shape[0]:
+        out["embed_tokens"] = jnp.pad(
+            emb, ((0, v_rows - emb.shape[0]), (0, 0))
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PartitionSpec trees
+# ---------------------------------------------------------------------------
+
+
+def _qt_pspec(qt: QuantizedTensor, kind: str, stacked: bool):
+    lead = (None,) if stacked else ()
+    if kind == "col":
+        spec = P(*lead, None, "tp")
+    else:
+        spec = P(*lead, "tp", None)
+    return dataclasses.replace(
+        qt,
+        qweight=spec,
+        scales=spec,
+        zeros=spec,
+        perm=None if qt.perm is None else P(),
+    )
+
+
+def stacked_tp_pspecs(params: Dict[str, Any]):
+    """Leafwise PartitionSpec tree for prepare_tp_params output."""
+    out = {}
+    for key, v in params.items():
+        if key == "embed_tokens":
+            out[key] = P("tp", None)
+        elif key == "lm_head":
+            out[key] = (
+                _qt_pspec(v, "col", stacked=False)
+                if isinstance(v, QuantizedTensor)
+                else P(None, "tp")
+            )
+        elif key == "layers":
+            lo = {}
+            for name, w in v.items():
+                if name in _COL and isinstance(w, QuantizedTensor):
+                    lo[name] = _qt_pspec(w, "col", stacked=True)
+                elif name in _ROW and isinstance(w, QuantizedTensor):
+                    lo[name] = _qt_pspec(w, "row", stacked=True)
+                elif name in _COL:
+                    lo[name] = P(None, None, "tp")
+                elif name in _ROW:
+                    lo[name] = P(None, "tp", None)
+                elif name.endswith("_bias") and name[: -len("_bias")] in _COL:
+                    lo[name] = P(None, "tp")
+                elif name == "down_proj_act_scale":
+                    lo[name] = P(None, "tp")
+                else:
+                    lo[name] = P()  # norms, row biases: replicated
+            out[key] = lo
+        else:
+            out[key] = P()  # norm(_bias), pos_embed, embed_layernorm, ...
+    return out
+
+
+def tp_cache_pspecs(cache: QuantizedKVCache) -> QuantizedKVCache:
+    kv = P(None, "dp", "tp", None, None)
+    sc = P(None, "dp", "tp", None) if cache.quantized else P(None)
+    return dataclasses.replace(cache, k=kv, v=kv, k_scale=sc, v_scale=sc)
+
+
+# ---------------------------------------------------------------------------
+# The per-device forward (runs INSIDE shard_map on local shards)
+# ---------------------------------------------------------------------------
+
+
+def _localize_qt(qt: QuantizedTensor, stacked: bool = True) -> QuantizedTensor:
+    """Rewrite static (in/out)_features metadata to the LOCAL shard's
+    shapes (shard_map hands the body local-shaped refs, but pytree meta
+    fields keep their global values)."""
+    qw = qt.qweight
+    rows = qw.shape[-2]
+    if qt.bits in (2, 4, 8):
+        k_local = rows * (32 // qt.bits)
+    else:
+        k_local = rows * 32 // qt.bits
+    n_local = qw.shape[-1]
+    # column shards treat their whole local width as logical (lane-pad
+    # columns compute exact zeros); an unsharded tensor keeps the
+    # logical slice semantics of the single-chip path
+    n_out = qt.out_features if n_local >= qt.out_features else n_local
+    return dataclasses.replace(qt, in_features=k_local, out_features=n_out)
+
+
+class TPStackedLayerView(StackedLayerView):
+    """StackedLayerView over LOCAL shards: localizes quantized metadata
+    and psums row-parallel partial products over the tp axis."""
+
+    def __init__(self, slp: Dict[str, Any], l, axis: str):
+        super().__init__(slp, l)
+        self.axis = axis
+
+    def get(self, name):
+        v = self.lp.get(name)
+        if isinstance(v, QuantizedTensor):
+            return _localize_qt(v)
+        if v is None:
+            return None
+        return v[self.l]
+
+    def apply(self, name, x):
+        w = self.lp[name]
+        b = self.lp.get(f"{name}_bias")
+        bias = None if b is None else b[self.l]
+        if isinstance(w, QuantizedTensor):
+            from ..ops.pallas_qmm import qmatmul_pallas_stacked
+
+            y = qmatmul_pallas_stacked(x, _localize_qt(w), self.l)
+        else:
+            y = jnp.dot(
+                x.astype(jnp.bfloat16),
+                w[self.l].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        if name in _ROW:
+            y = jax.lax.psum(y, self.axis)
+        if bias is not None:
+            y = y + bias
+        return y
+
+
+def _tp_embed(
+    params, cfg: ModelConfig, token_ids, positions, axis: str
+) -> jax.Array:
+    """Vocab-sharded embedding lookup: local take + mask + psum."""
+    emb = params["embed_tokens"]
+    vl = emb.shape[0]
+    rank = jax.lax.axis_index(axis)
+    local = token_ids - rank * vl
+    ok = (local >= 0) & (local < vl)
+    h = jnp.take(emb, jnp.clip(local, 0, vl - 1), axis=0)
+    h = jnp.where(ok[..., None], h, jnp.zeros_like(h))
+    h = jax.lax.psum(h, axis)
+    if cfg.embedding_multiplier != 1.0:
+        h = h * jnp.asarray(cfg.embedding_multiplier, h.dtype)
+    if cfg.pos_embedding == "learned":
+        h = h + jnp.take(
+            params["pos_embed"],
+            positions + cfg.learned_pos_offset,
+            axis=0,
+            mode="clip",
+        )
+    if cfg.embed_layernorm:
+        h = layer_norm(
+            h,
+            params["embed_layernorm"],
+            params.get("embed_layernorm_bias"),
+            cfg.rms_norm_eps,
+        )
+    return h
+
+
+def _tp_logits_local(params, cfg: ModelConfig, h) -> jax.Array:
+    """Final norm + column-sharded lm_head -> LOCAL logits [B, T, V/tp]."""
+    from ..models.llama import apply_linear
+
+    h = apply_norm(cfg, h, params["norm"], params.get("norm_bias"))
+    lm = params.get("lm_head")
+    if cfg.tie_word_embeddings or lm is None:
+        logits = jnp.dot(
+            h.astype(jnp.bfloat16),
+            params["embed_tokens"].T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    elif isinstance(lm, QuantizedTensor):
+        logits = apply_linear(
+            _localize_qt(lm, stacked=False), h, params.get("lm_head_bias")
+        ).astype(jnp.float32)
+    else:
+        logits = jnp.dot(
+            h.astype(jnp.bfloat16),
+            lm.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    if cfg.logit_scale != 1.0:
+        logits = logits * cfg.logit_scale
+    return logits.astype(jnp.float32)
+
+
+def _tp_greedy(logits_local: jax.Array, v_total: int, axis: str) -> jax.Array:
+    """argmax over vocab-sharded logits [B, Vl] — identical result
+    (incl. first-max tie order) to jnp.argmax on the gathered vector."""
+    B, vl = logits_local.shape
+    rank = jax.lax.axis_index(axis)
+    col = rank * vl + jnp.arange(vl)[None, :]
+    neg = jnp.finfo(jnp.float32).min
+    masked = jnp.where(col < v_total, logits_local, neg)
+    m_local = jnp.max(masked, axis=-1)
+    i_local = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+    m_global = jax.lax.pmax(m_local, axis)
+    cand = jnp.where(
+        m_local >= m_global, rank * vl + i_local, jnp.int32(2**31 - 1)
+    )
+    return jax.lax.pmin(cand, axis)
+
+
+def _local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
+    return dataclasses.replace(
+        cfg,
+        num_attention_heads=cfg.num_attention_heads // tp,
+        num_key_value_heads=cfg.num_key_value_heads // tp,
+    )
+
+
+def tp_forward_stacked(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # LOCAL [B/dp, T]
+    cache: QuantizedKVCache,  # LOCAL shards
+    pos,
+    tp: int,
+    axis: str = "tp",
+) -> Tuple[jax.Array, QuantizedKVCache]:
+    """models.stacked.forward_stacked on local shards inside shard_map.
+    Returns LOCAL logits [B/dp, T, V_pad/tp] and the updated cache."""
+    lcfg = _local_cfg(cfg, tp)
+    B, T = token_ids.shape
+    pos = jnp.asarray(pos if pos is not None else 0)
+    S = cache.max_seq
+    if pos.ndim == 0:
+        positions = pos + jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    else:
+        positions = pos[:, None] + jnp.arange(T)[None, :]
+    mask = build_mask(lcfg, B, T, S, pos)
+    h = _tp_embed(params, lcfg, token_ids, positions, axis)
+    if cfg.pos_embedding == "rope":
+        cos, sin = _rope_cos_sin(
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style
+        )
+    else:
+        cos = sin = None
+    slp = params["layers"]
+
+    def body(carry, l):
+        h, cache = carry
+        h, cache = _block_attn_mlp(
+            TPStackedLayerView(slp, l, axis),
+            lcfg,
+            h,
+            cos,
+            sin,
+            mask,
+            cache,
+            l,
+            pos,
+        )
+        return (h, cache), None
+
+    (h, cache), _ = jax.lax.scan(
+        body, (h, cache), jnp.arange(cfg.num_hidden_layers)
+    )
+    return _tp_logits_local(params, lcfg, h), cache
+
+
+def make_tp_decode_loop(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    params: Dict[str, Any],
+    cache: QuantizedKVCache,
+    steps: int,
+):
+    """Build the jitted shard_map multi-token greedy decode.
+
+    Returns fn(params, token, cache, pos0) -> (tokens [B, steps], cache).
+    ``params`` must come from prepare_tp_params; place operands with
+    jax.device_put on the matching NamedShardings (or let jit do it).
+    """
+    tp = mesh.shape["tp"]
+    pspecs = stacked_tp_pspecs(params)
+    cspecs = tp_cache_pspecs(cache)
+    v_total = cfg.vocab_size
+
+    def step_body(params, token, cache, pos0):
+        def body(carry, _):
+            token, cache, pos = carry
+            logits, cache = tp_forward_stacked(
+                params, cfg, token, cache, pos, tp
+            )
+            nxt = _tp_greedy(logits[:, -1], v_total, "tp")[:, None]
+            return (nxt, cache, pos + 1), nxt[:, 0]
+
+        (_, cache, _), toks = jax.lax.scan(
+            body, (token, cache, pos0), None, length=steps
+        )
+        return toks.T, cache
+
+    shmapped = jax.shard_map(
+        step_body,
+        mesh=mesh,
+        in_specs=(pspecs, P("dp", None), cspecs, P()),
+        out_specs=(P("dp", None), cspecs),
+        check_vma=False,
+    )
+    return jax.jit(shmapped)
+
+
+def place_tp(params, cache, mesh: Mesh):
+    """device_put params/cache onto the mesh with the TP layout."""
+    pspecs = stacked_tp_pspecs(params)
+    cspecs = tp_cache_pspecs(cache)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    params = jax.tree_util.tree_map(put, params, pspecs)
+    cache = jax.tree_util.tree_map(
+        put,
+        cache,
+        cspecs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return params, cache

@@ -1,0 +1,187 @@
+"""Tensor-parallel shard_map serving path: numerics vs single-device.
+
+VERDICT item 3: the Pallas kernels must run UNDER tensor-parallel
+sharding (GSPMD cannot partition a pallas_call, so the NamedSharding
+path silently degrades to the XLA fallback). These tests run the
+shard_map decode on the 8-device CPU mesh and assert bit-level
+agreement of the greedy tokens (and close logits) with the
+single-device stacked path — both with the fused kernels FORCED on
+(interpret mode) and with the XLA fallback.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qllm_tpu.models.decode_loop import decode_loop
+from qllm_tpu.models.generate import make_cache
+from qllm_tpu.models.llama import ModelConfig
+from qllm_tpu.models.stacked import stack_layer_params
+from qllm_tpu.parallel import make_mesh
+from qllm_tpu.parallel.tp_step import (
+    make_tp_decode_loop,
+    place_tp,
+    prepare_tp_params,
+    tp_forward_stacked,
+)
+from qllm_tpu.utils.testing import random_quantized_params
+
+CFG = ModelConfig(
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=512,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    head_dim=64,
+    max_position_embeddings=128,
+)
+
+
+def _params(key=0, g=32, quantize_lm_head=True):
+    return random_quantized_params(
+        CFG,
+        jax.random.key(key),
+        bits=4,
+        group_size=g,
+        quantize_lm_head=quantize_lm_head,
+    )
+
+
+def _single_device_tokens(params, batch, steps, g=32):
+    sp = stack_layer_params(params, lane_quantum=1, planar=False)
+    cache = make_cache(CFG, batch, 64, quantized_kv=True)
+    token = jnp.ones((batch, 1), jnp.int32)
+    toks, _ = decode_loop(sp, CFG, token, cache, jnp.int32(0), steps)
+    return np.asarray(toks)
+
+
+@pytest.mark.parametrize("force_kernel", [False, True])
+def test_tp_decode_matches_single_device(force_kernel, monkeypatch):
+    if force_kernel:
+        monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    else:
+        monkeypatch.delenv("QLLM_TPU_FORCE_STACKED_KERNEL", raising=False)
+    steps, batch = 6, 2
+    params = _params()
+    ref = _single_device_tokens(params, batch, steps)
+
+    mesh = make_mesh(dp=2, tp=4)
+    tp_params = prepare_tp_params(params, CFG, tp=4)
+    cache = make_cache(CFG, batch, 64, quantized_kv=True)
+    tp_params, cache = place_tp(tp_params, cache, mesh)
+    fn = make_tp_decode_loop(CFG, mesh, tp_params, cache, steps)
+    token = jnp.ones((batch, 1), jnp.int32)
+    toks, _ = fn(tp_params, token, cache, jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
+def test_tp_kernel_path_actually_runs(monkeypatch):
+    """With the kernel forced on, the shard_map body must call the
+    Pallas stacked kernel (not the XLA fallback) for local shards."""
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    calls = []
+    import qllm_tpu.ops.pallas_qmm as pq
+
+    orig = pq._qmm_2d_stacked
+
+    def spy(*a, **kw):
+        calls.append(kw.get("in_features") or a[7])
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pq, "_qmm_2d_stacked", spy)
+
+    params = _params()
+    mesh = make_mesh(dp=2, tp=4)
+    tp_params = prepare_tp_params(params, CFG, tp=4)
+    cache = make_cache(CFG, batch := 2, 64, quantized_kv=True)
+    tp_params, cache = place_tp(tp_params, cache, mesh)
+    fn = make_tp_decode_loop(CFG, mesh, tp_params, cache, 2)
+    fn(tp_params, jnp.ones((batch, 1), jnp.int32), cache, jnp.int32(0))
+    # local K values traced through the kernel: full K for col layers
+    # (256), sharded K for row layers (o: 256/4=64, down: 512/4=128)
+    assert calls, "stacked Pallas kernel was never invoked under TP"
+    assert 64 in calls or 128 in calls, calls
+
+
+def test_tp_forward_logits_close():
+    """Local logits (gathered) match the single-device stacked forward."""
+    from jax.sharding import PartitionSpec as P
+
+    params = _params()
+    sp = stack_layer_params(params, lane_quantum=1, planar=False)
+    cache = make_cache(CFG, 1, 64, quantized_kv=True)
+    token = jnp.asarray([[7]], jnp.int32)
+    from qllm_tpu.models.llama import forward
+
+    ref_logits, _ = forward(sp, CFG, token, cache, pos=jnp.int32(0))
+
+    mesh = make_mesh(n_devices=4, dp=1, tp=4)
+    tp_params = prepare_tp_params(params, CFG, tp=4)
+    cache2 = make_cache(CFG, 1, 64, quantized_kv=True)
+    tp_params, cache2 = place_tp(tp_params, cache2, mesh)
+    from qllm_tpu.parallel.tp_step import stacked_tp_pspecs, tp_cache_pspecs
+
+    fn = jax.jit(
+        jax.shard_map(
+            lambda p, t, c: tp_forward_stacked(p, CFG, t, c, jnp.int32(0), 4)[
+                0
+            ],
+            mesh=mesh,
+            in_specs=(
+                stacked_tp_pspecs(tp_params),
+                P("dp", None),
+                tp_cache_pspecs(cache2),
+            ),
+            out_specs=P("dp", None, "tp"),
+            check_vma=False,
+        )
+    )
+    got = fn(tp_params, token, cache2)
+    got = np.asarray(got)[:, :, : CFG.vocab_size]
+    np.testing.assert_allclose(
+        got, np.asarray(ref_logits), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_tp_requires_head_divisibility():
+    params = _params()
+    bad = ModelConfig(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=3,
+        num_key_value_heads=3,
+    )
+    with pytest.raises(ValueError, match="heads"):
+        prepare_tp_params(params, bad, tp=4)
+
+
+def test_pad_in_out_features_exact():
+    """Padded tensors compute the same product on zero-extended x."""
+    from qllm_tpu.quant.qtensor import (
+        dequantize_tensor,
+        pad_in_features,
+        pad_out_features,
+        quantize_tensor,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    qt = quantize_tensor(w, bits=4, group_size=32)
+    qo = pad_out_features(qt, 128)
+    d = np.asarray(dequantize_tensor(qo))
+    np.testing.assert_array_equal(d[:, 48:], 0.0)
+    np.testing.assert_allclose(
+        d[:, :48], np.asarray(dequantize_tensor(qt)), rtol=1e-6
+    )
+    qi = pad_in_features(qt, 128)
+    d = np.asarray(dequantize_tensor(qi))
+    np.testing.assert_array_equal(d[64:], 0.0)
+    np.testing.assert_allclose(
+        d[:64], np.asarray(dequantize_tensor(qt)), rtol=1e-6
+    )
