@@ -191,7 +191,15 @@ class AutoQuantizedModelForCausalLM:
                 and jax.default_backend() not in ("cpu",)
                 and not os.environ.get("QLLM_TPU_NO_PROMOTE")
             ):
-                # odd widths have no fused kernel; repack at the next
+                from ..ops.pallas_qmm import odd_stacked_kernel_ok
+
+                if odd_stacked_kernel_ok(
+                    qt.in_features, qt.group_size
+                ) and not os.environ.get("QLLM_TPU_FORCE_PROMOTE"):
+                    # the fused bit-plane decode kernel serves this
+                    # geometry at packed bytes — keep the odd width
+                    return qt
+                # no kernel for this geometry: repack at the next
                 # power-of-two so serving rides the fast path
                 # (disable with QLLM_TPU_NO_PROMOTE=1)
                 from ..quant.qtensor import promote_bits
