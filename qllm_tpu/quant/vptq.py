@@ -285,12 +285,42 @@ class VPTQQuantizer:
         layer_overrides=None,
         progress: bool = True,
         cache_dir: Optional[str] = None,
+        proxy_hessian_dir: Optional[str] = None,
     ) -> Dict[str, Any]:
+        """``proxy_hessian_dir``: stage-1/2 artifacts from
+        quant.hessian_pipeline.collect_proxy_hessians — when given,
+        per-layer Hessians load from disk (the reference's offline
+        RedPajama proxy pipeline, quant_vptq.py:93-125) instead of
+        being collected inline from ``calib_tokens``."""
         from ..models.llama import LINEAR_NAMES
         from .frame import embed_inputs, run_block
-        from .hessian import collect_block_hessians
+        from .hessian import _share_key, collect_block_hessians
 
         from .frame import load_layer_cache, save_layer_cache
+
+        def block_hessians(lp_, i_):
+            if proxy_hessian_dir is None:
+                return collect_block_hessians(
+                    lp_, model_cfg, h, cos, sin, mask
+                )
+            from .hessian_pipeline import load_proxy_hessian
+
+            names = [n for n in LINEAR_NAMES if n in lp_]
+            if "experts" in lp_:
+                for e, ep in enumerate(lp_["experts"]):
+                    names += [
+                        f"experts.{e}.{n}"
+                        for n in ("gate_proj", "up_proj", "down_proj")
+                        if n in ep
+                    ]
+            return {
+                n: jnp.asarray(
+                    load_proxy_hessian(
+                        proxy_hessian_dir, i_, _share_key(n, names)
+                    )
+                )
+                for n in names
+            }
 
         h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
         new_layers: List[Dict[str, Any]] = []
@@ -303,7 +333,7 @@ class VPTQQuantizer:
                 if progress:
                     print(f"[vptq] layer {i + 1} from cache", flush=True)
                 continue
-            Hs = collect_block_hessians(lp, model_cfg, h, cos, sin, mask)
+            Hs = block_hessians(lp, i)
             nlp = dict(lp)
             for name in LINEAR_NAMES:
                 if name not in lp:
@@ -323,6 +353,39 @@ class VPTQQuantizer:
                     "npercent": lcfg.npercent,
                     "bits_per_weight": vt.bits_per_weight,
                 }
+            if "experts" in lp:
+                # MoE: router-weighted Hessians per expert, re-collected
+                # after the attention projections are quantized (mirrors
+                # the GPTQ driver's expert branch — the reference VPTQ
+                # driver lacks one, quant_vptq.py:29-82 only walks plain
+                # linears)
+                Hs = block_hessians(nlp, i)
+                nexp = []
+                for e, ep in enumerate(lp["experts"]):
+                    nep = dict(ep)
+                    for name in ("gate_proj", "up_proj", "down_proj"):
+                        if name not in ep:
+                            continue
+                        full = f"model.layers.{i}.experts.{e}.{name}"
+                        lcfg = self._layer_cfg(full)
+                        vt = vptq_quantize_weight(
+                            ep[name].astype(jnp.float32),
+                            Hs[f"experts.{e}.{name}"],
+                            lcfg,
+                            seed=i * 1000 + e,
+                        )
+                        nep[name] = vt
+                        self.quant_config_by_layer[full] = {
+                            "vector_len": lcfg.vector_len,
+                            "num_centroids": int(vt.centroids.shape[0]),
+                            "num_res_centroids": 0
+                            if vt.res_centroids is None
+                            else int(vt.res_centroids.shape[0]),
+                            "npercent": lcfg.npercent,
+                            "bits_per_weight": vt.bits_per_weight,
+                        }
+                    nexp.append(nep)
+                nlp["experts"] = nexp
             save_layer_cache(cache_dir, i, nlp)
             h = run_block(nlp, model_cfg, h, cos, sin, mask)
             new_layers.append(nlp)
