@@ -485,31 +485,41 @@ def _block_attn_mlp(
             and cache.max_seq % 8 == 0  # 8-row aligned write windows
             and _os.environ.get("QLLM_TPU_FUSED_KV", "1") != "0"
         ):
-            # fused path: quantize+write the new token INSIDE the
-            # attention kernel via buffer aliasing — no XLA-side cache
-            # mutation (cache.update's dynamic_update_slices made the
-            # scan double-buffer the whole cache, ~0.5 ms/token on 7B)
+            # pallas write kernel: quantize+insert the token via
+            # buffer-aliased window writes — no XLA-side cache mutation
+            # (cache.update's dynamic_update_slices made the scan
+            # double-buffer the whole cache, ~0.5 ms/token on 7B)
             import dataclasses as _dc
 
-            from ..ops.pallas_attention import decode_attention_update_pallas
+            from ..ops.pallas_attention import (
+                decode_attention_pallas,
+                kv_cache_write_pallas,
+            )
 
             pos_b = jnp.broadcast_to(jnp.asarray(pos), (B,)).astype(jnp.int32)
-            attn, k2, v2, ks2, vs2 = decode_attention_update_pallas(
-                q[:, 0],
+            k2, v2, ks2, vs2 = kv_cache_write_pallas(
                 k[:, 0],
                 v[:, 0],
                 cache.k,
                 cache.v,
                 cache.k_scale,
                 cache.v_scale,
-                pos_b + 1,
                 layer_idx,
                 pos_b,
             )
             cache = _dc.replace(
                 cache, k=k2, v=v2, k_scale=ks2, v_scale=vs2
             )
-            attn = attn[:, None].astype(h.dtype)
+            lengths = pos_b + 1
+            attn = decode_attention_pallas(
+                q[:, 0],
+                cache.k,
+                cache.v,
+                cache.k_scale,
+                cache.v_scale,
+                lengths,
+                layer=layer_idx,
+            )[:, None].astype(h.dtype)
         elif can_kernel:
             cache = cache.update(layer_idx, k, v, pos)
             from ..ops.pallas_attention import decode_attention_pallas

@@ -92,41 +92,37 @@ def _attn_kernel_stacked(
     )
 
 
-def _attn_update_kernel(
-    lengths_ref,  # scalar prefetch: [B] valid lengths INCLUDING new token
+def _kv_write_kernel(
     layer_ref,  # scalar prefetch: [1]
     pos_ref,  # scalar prefetch: [B] write positions
-    q_ref,  # [1, hb, n_rep_p, d] bf16 (pre-scaled by 1/sqrt(d))
     kn_ref,  # [1, hb, 1, d] f32 — this step's k (post-rope)
     vn_ref,  # [1, hb, 1, d] f32
-    k_ref,  # [1, 1, hb, S, d] int8 (aliased cache, stale at pos)
-    v_ref,
-    ks_ref,  # [1, 1, hb, 1, S] f32
-    vs_ref,
-    kw_ref,  # [1, 1, hb, 8, d] int8 — 8-row window containing pos
+    kw_ref,  # [1, 1, hb, 8, d] int8 — 8-row cache window containing pos
     vw_ref,
-    o_ref,  # [1, hb, n_rep_p, d] f32
-    ko_ref,  # [1, 1, hb, 8, d] int8 out window (aliased, row pos replaced)
+    ksw_ref,  # [1, 1, hb, 1, S] f32 scale row
+    vsw_ref,
+    ko_ref,  # aliased outputs (window / scale row rewritten)
     vo_ref,
-    kso_ref,  # [1, 1, hb, 1, S] f32 out scale row (aliased, col pos replaced)
+    kso_ref,
     vso_ref,
 ):
-    """Fused KV-quantize+write+attend: one decode step per (b, kv-head).
+    """Quantize + insert ONE token into the int8 KV cache in-place.
 
-    Replaces cache.update (4 dynamic_update_slices + quantize fusions
-    per layer — XLA double-buffered the scan-carried cache, profiled at
-    ~0.5 ms/token on 7B) with in-kernel int8 quantization and
-    input_output_aliased writes touching only an 8-row aligned window
-    (Mosaic requires >=8-sublane or full-dim blocks; the window arrives
-    as an extra input over the same buffer and is rewritten with the
-    new row selected in). The attention runs over the stale block with
-    the fresh column substituted — identical numerics to
-    write-then-attend (the substituted values are the just-quantized
-    ones)."""
+    Replaces cache.update's dynamic_update_slices (which made the scan
+    double-buffer the whole cache, ~0.5 ms/token on 7B): the kernel's
+    only cache-sized operands are an 8-row aligned window and the [1,S]
+    scale row, each input_output_aliased — the full cache buffer is
+    NEVER passed to a second (read) operand of the same call, so XLA
+    keeps it in place (a first fused-attention design read the full
+    cache AND donated it in one pallas_call; XLA inserted a whole-cache
+    copy per layer — 2 GB/token on 7B, measured 62 vs 132 tok/s).
+    Mosaic needs >=8-sublane windows; the new row is selected into the
+    window with a static-shape where()."""
     b = pl.program_id(0)
-    length = lengths_ref[b]
     pos = pos_ref[b]
-    hb = k_ref.shape[2]
+    hb = kw_ref.shape[2]
+    row = pos % 8
+    S = ksw_ref.shape[-1]
     for h in range(hb):
         kn = kn_ref[0, h]  # [1, d] f32
         vn = vn_ref[0, h]
@@ -135,7 +131,6 @@ def _attn_update_kernel(
         vsc = jnp.maximum(jnp.max(jnp.abs(vn)) / 127.0, 1e-8)
         v8 = jnp.clip(jnp.round(vn / vsc), -127, 127).astype(jnp.int8)
         d = kn.shape[-1]
-        row = pos % 8
         rsel = jax.lax.broadcasted_iota(jnp.int32, (8, d), 0) == row
         ko_ref[0, 0, h] = jnp.where(
             rsel, jnp.broadcast_to(k8, (8, d)), kw_ref[0, 0, h]
@@ -143,76 +138,29 @@ def _attn_update_kernel(
         vo_ref[0, 0, h] = jnp.where(
             rsel, jnp.broadcast_to(v8, (8, d)), vw_ref[0, 0, h]
         )
-        S = ks_ref.shape[-1]
         csel = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) == pos
-        kso_ref[0, 0, h] = jnp.where(csel, ksc, ks_ref[0, 0, h])
-        vso_ref[0, 0, h] = jnp.where(csel, vsc, vs_ref[0, 0, h])
-
-        q = q_ref[0, h]  # [n_rep_p, d]
-        k = k_ref[0, 0, h].astype(jnp.bfloat16)  # [S, d]
-        ks = ks_ref[0, 0, h]  # [1, S]
-        scores = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * ks
-        # substitute the fresh column at pos (cache row there is stale).
-        # The [n_rep_p,d]x[1,d] contraction is a broadcast-mult + row
-        # sum on the VPU — a degenerate bf16 dot_general here trips a
-        # Mosaic verifier bug (bf16->f32 vector.broadcast)
-        fresh = (
-            jnp.sum(
-                q.astype(jnp.float32) * k8.astype(jnp.float32),
-                axis=1,
-                keepdims=True,
-            )
-            * ksc
-        )  # [n_rep_p, 1]
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col == pos, fresh, scores)
-        scores = jnp.where(col < length, scores, -jnp.inf)
-
-        m = jnp.max(scores, axis=1, keepdims=True)
-        p = jnp.exp(scores - m)
-        denom = jnp.sum(p, axis=1, keepdims=True)
-
-        vs = vs_ref[0, 0, h]  # [1, S]
-        pvz = jnp.where(col == pos, 0.0, p * vs).astype(jnp.bfloat16)
-        v = v_ref[0, 0, h].astype(jnp.bfloat16)
-        out = jnp.dot(pvz, v, preferred_element_type=jnp.float32)
-        p_pos = jnp.sum(
-            jnp.where(col == pos, p, 0.0), axis=1, keepdims=True
-        )  # [n_rep_p, 1]
-        out = out + p_pos * (v8.astype(jnp.float32) * vsc)
-        o_ref[0, h] = (out / denom).astype(o_ref.dtype)
+        kso_ref[0, 0, h] = jnp.where(csel, ksc, ksw_ref[0, 0, h])
+        vso_ref[0, 0, h] = jnp.where(csel, vsc, vsw_ref[0, 0, h])
 
 
 @functools.partial(jax.jit, static_argnames=())
-def decode_attention_update_pallas(
-    q: jax.Array,  # [B, H, d] this step's queries
+def kv_cache_write_pallas(
     k_new: jax.Array,  # [B, H_kv, d] this step's k (post-rope)
     v_new: jax.Array,  # [B, H_kv, d]
     k_cache: jax.Array,  # [L, B, H_kv, S, d] int8
     v_cache: jax.Array,
     k_scale: jax.Array,  # [L, B, H_kv, S] f32
     v_scale: jax.Array,
-    lengths: jax.Array,  # [B] valid length INCLUDING the new token
     layer: jax.Array,  # scalar int32
     pos: jax.Array,  # [B] int32 write positions
 ):
-    """Returns (attn_out [B, H, d] f32, k_cache', v_cache', k_scale',
-    v_scale') with the new token quantized + written in-kernel via
-    buffer aliasing (no XLA-side cache mutation at all)."""
-    B, H, d = q.shape
-    L, _, Hkv, S, _ = k_cache.shape
-    n_rep = H // Hkv
-    n_rep_p = max(8, ((n_rep + 7) // 8) * 8)
-    qg = q.astype(jnp.float32) * (d**-0.5)
-    qg = qg.reshape(B, Hkv, n_rep, d)
-    if n_rep_p != n_rep:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, n_rep_p - n_rep), (0, 0)))
-    qg = qg.astype(jnp.bfloat16)
+    """Returns (k_cache', v_cache', k_scale', v_scale') with the new
+    token quantized + written in place (buffer-aliased window writes).
+    Pair with decode_attention_pallas, which then reads the updated
+    cache — together they form the fused-decode path the reference's
+    ft_attention promised (SURVEY §2.2) without any cache copy."""
+    B, Hkv, d = k_new.shape
+    L, _, _, S, _ = k_cache.shape
     kn = k_new.reshape(B, Hkv, 1, d).astype(jnp.float32)
     vn = v_new.reshape(B, Hkv, 1, d).astype(jnp.float32)
     ks5 = k_scale.reshape(L, B, Hkv, 1, S)
@@ -220,97 +168,70 @@ def decode_attention_update_pallas(
 
     hb = 1
     for cand in (8, 4, 2):
-        if Hkv % cand == 0 and 2 * cand * S * d <= 2 * 1024 * 1024:
+        if Hkv % cand == 0:
             hb = cand
             break
 
     bh_spec = lambda b, h, *_: (b, h, 0, 0)  # noqa: E731
-    lbh_spec = lambda b, h, lens, l, p: (l[0], b, h, 0, 0)  # noqa: E731
+    win_spec = lambda b, h, l, p: (l[0], b, h, p[b] // 8, 0)  # noqa: E731
+    row_spec = lambda b, h, l, p: (l[0], b, h, 0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B, Hkv // hb),
         in_specs=[
-            pl.BlockSpec(
-                (1, hb, n_rep_p, d), bh_spec, memory_space=pltpu.VMEM
-            ),
             pl.BlockSpec((1, hb, 1, d), bh_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hb, 1, d), bh_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, hb, S, d), lbh_spec, memory_space=pltpu.VMEM
+                (1, 1, hb, 8, d), win_spec, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, hb, S, d), lbh_spec, memory_space=pltpu.VMEM
+                (1, 1, hb, 8, d), win_spec, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, hb, 1, S), lbh_spec, memory_space=pltpu.VMEM
+                (1, 1, hb, 1, S), row_spec, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, hb, 1, S), lbh_spec, memory_space=pltpu.VMEM
-            ),
-            # 8-row windows containing pos (same buffers as k/v_cache)
-            pl.BlockSpec(
-                (1, 1, hb, 8, d),
-                lambda b, h, lens, l, p: (l[0], b, h, p[b] // 8, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, hb, 8, d),
-                lambda b, h, lens, l, p: (l[0], b, h, p[b] // 8, 0),
-                memory_space=pltpu.VMEM,
+                (1, 1, hb, 1, S), row_spec, memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, hb, n_rep_p, d), bh_spec, memory_space=pltpu.VMEM
+                (1, 1, hb, 8, d), win_spec, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, hb, 8, d),
-                lambda b, h, lens, l, p: (l[0], b, h, p[b] // 8, 0),
-                memory_space=pltpu.VMEM,
+                (1, 1, hb, 8, d), win_spec, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, hb, 8, d),
-                lambda b, h, lens, l, p: (l[0], b, h, p[b] // 8, 0),
-                memory_space=pltpu.VMEM,
+                (1, 1, hb, 1, S), row_spec, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 1, hb, 1, S), lbh_spec, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, hb, 1, S), lbh_spec, memory_space=pltpu.VMEM
+                (1, 1, hb, 1, S), row_spec, memory_space=pltpu.VMEM
             ),
         ],
     )
-    out, k2, v2, ks2, vs2 = pl.pallas_call(
-        _attn_update_kernel,
+    k2, v2, ks2, vs2 = pl.pallas_call(
+        _kv_write_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
             jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
             jax.ShapeDtypeStruct(ks5.shape, jnp.float32),
             jax.ShapeDtypeStruct(vs5.shape, jnp.float32),
         ],
-        # indices count the scalar-prefetch operands (lengths, layer, pos)
-        input_output_aliases={6: 1, 7: 2, 8: 3, 9: 4},
+        # indices count the scalar-prefetch operands (layer, pos)
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
         interpret=jax.default_backend() == "cpu",
     )(
-        lengths.astype(jnp.int32),
         jnp.asarray([layer], jnp.int32).reshape(1),
         pos.astype(jnp.int32),
-        qg,
         kn,
         vn,
         k_cache,
         v_cache,
         ks5,
         vs5,
-        k_cache,
-        v_cache,
     )
-    attn = out[:, :, :n_rep, :].reshape(B, H, d)
     return (
-        attn,
         k2,
         v2,
         ks2.reshape(L, B, Hkv, S),

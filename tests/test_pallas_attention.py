@@ -84,11 +84,11 @@ def test_model_decode_with_pallas_attention_matches_xla():
     )
 
 
-def test_fused_update_attend_matches_update_then_attend():
-    """decode_attention_update_pallas (in-kernel quantize+write via
-    buffer aliasing) must reproduce cache.update + decode_attention
-    numerics AND leave identical cache contents."""
-    from qllm_tpu.ops.pallas_attention import decode_attention_update_pallas
+def test_kv_write_kernel_matches_cache_update():
+    """kv_cache_write_pallas (buffer-aliased window writes) must leave
+    cache contents IDENTICAL to cache.update's dynamic_update_slice
+    path — the write kernel replaces it on the serving hot path."""
+    from qllm_tpu.ops.pallas_attention import kv_cache_write_pallas
 
     rng = np.random.default_rng(3)
     L, B, Hkv, S, d, n_rep = 3, 2, 2, 64, 128, 2
@@ -96,7 +96,6 @@ def test_fused_update_attend_matches_update_then_attend():
     layer, pos = 1, np.array([13, 29], np.int32)
 
     cache = QuantizedKVCache.create(L, B, S, Hkv, d, quantized=True)
-    # fill some history below pos
     hist_k = rng.normal(size=(B, int(pos.min()), Hkv, d)).astype(np.float32)
     hist_v = rng.normal(size=(B, int(pos.min()), Hkv, d)).astype(np.float32)
     cache = cache.update(layer, jnp.asarray(hist_k), jnp.asarray(hist_v), jnp.int32(0))
@@ -105,12 +104,36 @@ def test_fused_update_attend_matches_update_then_attend():
     k_new = rng.normal(size=(B, Hkv, d)).astype(np.float32)
     v_new = rng.normal(size=(B, Hkv, d)).astype(np.float32)
 
-    # reference: write then attend (per-slot positions)
     ref_cache = cache.update(
         layer,
         jnp.asarray(k_new[:, None]),
         jnp.asarray(v_new[:, None]),
         jnp.asarray(pos),
+    )
+    k2, v2, ks2, vs2 = kv_cache_write_pallas(
+        jnp.asarray(k_new),
+        jnp.asarray(v_new),
+        cache.k,
+        cache.v,
+        cache.k_scale,
+        cache.v_scale,
+        jnp.int32(layer),
+        jnp.asarray(pos),
+    )
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_cache.k))
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref_cache.v))
+    np.testing.assert_allclose(
+        np.asarray(ks2), np.asarray(ref_cache.k_scale), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(vs2), np.asarray(ref_cache.v_scale), rtol=1e-6
+    )
+    # attention over the written cache == attention over the DUS cache
+    out = np.asarray(
+        decode_attention_pallas(
+            jnp.asarray(q), k2, v2, ks2, vs2, jnp.asarray(pos + 1),
+            layer=jnp.int32(layer),
+        )
     )
     ref_out = np.asarray(
         decode_attention_pallas(
@@ -123,30 +146,7 @@ def test_fused_update_attend_matches_update_then_attend():
             layer=jnp.int32(layer),
         )
     )
-
-    out, k2, v2, ks2, vs2 = decode_attention_update_pallas(
-        jnp.asarray(q),
-        jnp.asarray(k_new),
-        jnp.asarray(v_new),
-        cache.k,
-        cache.v,
-        cache.k_scale,
-        cache.v_scale,
-        jnp.asarray(pos + 1),
-        jnp.int32(layer),
-        jnp.asarray(pos),
-    )
-    np.testing.assert_allclose(np.asarray(out), ref_out, atol=3e-2, rtol=3e-2)
-    # cache contents identical to the write-then-attend reference
-    np.testing.assert_array_equal(np.asarray(k2), np.asarray(ref_cache.k))
-    np.testing.assert_array_equal(np.asarray(v2), np.asarray(ref_cache.v))
-    np.testing.assert_allclose(
-        np.asarray(ks2), np.asarray(ref_cache.k_scale), rtol=1e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(vs2), np.asarray(ref_cache.v_scale), rtol=1e-6
-    )
-
+    np.testing.assert_array_equal(out, ref_out)
 
 def test_decode_loop_fused_kv_matches_unfused(monkeypatch):
     """End-to-end greedy decode: fused KV path vs cache.update path."""
