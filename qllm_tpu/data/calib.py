@@ -85,6 +85,36 @@ def _random_windows(
     return out
 
 
+def _per_document_windows(
+    texts: List[str], tokenizer, nsamples: int, seqlen: int, seed: int
+) -> np.ndarray:
+    """Reference C4 sampling (datautils.py:82-150): per sample, pick a
+    random document, re-draw while it tokenizes shorter than seqlen,
+    then take a random seqlen window inside it. Uses random.Random to
+    match the reference's ``random.seed(seed)`` stream semantics."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    out = np.empty((nsamples, seqlen), np.int32)
+    tok_cache: dict = {}
+    for s in range(nsamples):
+        for _ in range(10000):
+            i = rng.randint(0, len(texts) - 1)
+            ids = tok_cache.get(i)
+            if ids is None:
+                ids = tokenizer(texts[i], return_tensors="np").input_ids[0]
+                tok_cache[i] = ids
+            if len(ids) >= seqlen + 1:
+                break
+        else:
+            raise ValueError(
+                f"no document tokenizes to >= {seqlen + 1} tokens"
+            )
+        j = rng.randint(0, len(ids) - seqlen - 1)
+        out[s] = ids[j : j + seqlen]
+    return out
+
+
 def _concat_blocks(
     texts: List[str], tokenizer, nsamples: int, seqlen: int
 ) -> np.ndarray:
@@ -140,6 +170,14 @@ def get_loaders(
         )
     if name == "pileval":
         train = _concat_blocks(texts, tokenizer, nsamples, seqlen)
+        test = None
+    elif name in ("c4", "c4-new"):
+        # reference C4 sampling draws a random window from a random
+        # DOCUMENT, re-drawing while the doc is shorter than seqlen
+        # (datautils.py get_c4/get_c4_new :82-150) — concatenating the
+        # shard and windowing across document boundaries drifts the
+        # calibration distribution
+        train = _per_document_windows(texts, tokenizer, nsamples, seqlen, seed)
         test = None
     else:
         ids = tokenizer("\n\n".join(texts), return_tensors="np").input_ids[0]
