@@ -126,3 +126,63 @@ def test_engine_chunked_eos():
     engine.run()
     assert r.finished
     assert r.output[-1] == second and len(r.output) == 2
+
+
+def test_engine_chunked_prefill_matches_one_shot():
+    """Long prompts admit in prefill_chunk pieces interleaved with
+    decode steps; outputs must be identical to one-shot admission."""
+    params = init_params(CFG, jax.random.key(5))
+    rng = np.random.default_rng(5)
+    long_prompt = rng.integers(0, CFG.vocab_size, 40).astype(np.int32)
+    short_prompt = rng.integers(0, CFG.vocab_size, 6).astype(np.int32)
+
+    def run(prefill_chunk):
+        eng = ContinuousBatchingEngine(
+            params,
+            CFG,
+            ServeConfig(
+                max_batch=2,
+                max_seq=128,
+                quantized_kv=True,
+                prefill_chunk=prefill_chunk,
+            ),
+        )
+        a = eng.submit(short_prompt, max_new_tokens=6)
+        b = eng.submit(long_prompt, max_new_tokens=6)
+        eng.run()
+        return a.output, b.output
+
+    a1, b1 = run(prefill_chunk=1024)  # one-shot (prompt < chunk)
+    a2, b2 = run(prefill_chunk=16)  # 40-token prompt -> 3 chunks
+    assert a1 == a2
+    assert b1 == b2
+    assert len(b1) == 6
+
+
+def test_engine_chunked_prefill_does_not_stall_active():
+    """While a long prompt admits chunk-by-chunk, already-active slots
+    keep producing tokens between chunks."""
+    params = init_params(CFG, jax.random.key(6))
+    rng = np.random.default_rng(6)
+    eng = ContinuousBatchingEngine(
+        params,
+        CFG,
+        ServeConfig(
+            max_batch=2, max_seq=128, quantized_kv=True, prefill_chunk=8
+        ),
+    )
+    a = eng.submit(rng.integers(0, CFG.vocab_size, 4).astype(np.int32), 32)
+    eng.step()  # admit + first decode for a
+    assert len(a.output) >= 1
+    b = eng.submit(rng.integers(0, CFG.vocab_size, 40).astype(np.int32), 4)
+    tokens_during_admission = 0
+    # 40-token prompt at chunk 8 -> 5 admission iterations
+    for _ in range(5):
+        before = len(a.output)
+        eng.step()
+        tokens_during_admission += len(a.output) - before
+    assert tokens_during_admission >= 4, (
+        "active stream stalled during chunked admission"
+    )
+    eng.run()
+    assert len(b.output) == 4
