@@ -58,11 +58,84 @@ def is_stackable(params: Dict[str, Any]) -> bool:
     return True
 
 
+_FUSE_GROUPS = (
+    ("qkv_proj", ("q_proj", "k_proj", "v_proj")),
+    ("gateup_proj", ("gate_proj", "up_proj")),
+)
+
+
+def _fusable(lp: Dict[str, Any], names) -> bool:
+    parts = [lp.get(n) for n in names]
+    if not all(isinstance(p, QuantizedTensor) for p in parts):
+        return False
+    p0 = parts[0]
+    return all(
+        (p.bits, p.group_size, p.sym, p.in_features)
+        == (p0.bits, p0.group_size, p0.sym, p0.in_features)
+        and p.perm is None
+        and not p.planar
+        and not p.zeros_prefolded
+        for p in parts
+    )
+
+
+def _fuse_layer_projections(lp: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge q/k/v (and gate/up) into one column-concatenated quantized
+    tensor: one kernel invocation with a 2-3x wider N streams weights
+    faster than 2-3 narrow ones (profiled: N=4096 kernels run ~582 GB/s
+    vs ~612 at N=11008+) and saves launch overhead. The StackedLayerView
+    slices the fused output back per consumer; unstack splits exactly
+    via take_columns."""
+    import numpy as np
+
+    from ..quant.qtensor import concat_columns
+
+    lp = dict(lp)
+    for fused_name, names in _FUSE_GROUPS:
+        if not _fusable(lp, names):
+            continue
+        parts = [lp[n] for n in names]
+        widths = [p.out_features for p in parts]
+        offs = np.cumsum([0] + widths)
+        total = int(offs[-1])
+        lp[fused_name] = concat_columns(
+            parts,
+            [np.arange(offs[i], offs[i + 1]) for i in range(len(parts))],
+            total,
+        )
+        biases = [lp.get(f"{n}_bias") for n in names]
+        if any(b is not None for b in biases):
+            bdt = next(b for b in biases if b is not None).dtype
+            lp[f"{fused_name}_bias"] = jnp.concatenate(
+                [
+                    b if b is not None else jnp.zeros((w,), bdt)
+                    for b, w in zip(biases, widths)
+                ]
+            )
+        for n in names:
+            del lp[n]
+            lp.pop(f"{n}_bias", None)
+    return lp
+
+
+def fused_splits(cfg: ModelConfig):
+    """Column boundaries of the fused projections (logical widths)."""
+    hd = cfg.head_dim or cfg.hidden_size // cfg.num_attention_heads
+    nq = cfg.num_attention_heads * hd
+    nkv = cfg.num_key_value_heads * hd
+    ii = cfg.intermediate_size
+    return {
+        "qkv_proj": (0, nq, nq + nkv, nq + 2 * nkv),
+        "gateup_proj": (0, ii, 2 * ii),
+    }
+
+
 def stack_layer_params(
     params: Dict[str, Any],
     lane_quantum: int = 512,
     planar: bool = True,
     scale_store_dtype=jnp.float32,
+    fuse_projections: bool = True,
 ) -> Dict[str, Any]:
     """Replace the per-layer list with one pytree of [L, ...] leaves.
 
@@ -74,7 +147,10 @@ def stack_layer_params(
     serving passes lcm(512, 128*tp) so every shard stays lane-aligned).
     ``planar``: apply the 4-bit planar relayout (disable for TP — the
     planar word mixes rows k and K/2+k, which a row-sharded shard
-    cannot consume; parallel.tp_step re-planarizes per shard)."""
+    cannot consume; parallel.tp_step re-planarizes per shard).
+    ``fuse_projections``: column-concatenate q/k/v and gate/up into one
+    wide kernel call each (disable for TP, whose column sharding needs
+    head locality)."""
     import dataclasses
 
     if not is_stackable(params):
@@ -83,6 +159,8 @@ def stack_layer_params(
             "use the per-layer list path"
         )
     layers = params["layers"]
+    if fuse_projections:
+        layers = [_fuse_layer_projections(lp) for lp in layers]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
     def widen(node):
@@ -157,12 +235,38 @@ def stack_layer_params(
     return out
 
 
-def unstack_layer_params(params: Dict[str, Any], n_layers: int) -> Dict[str, Any]:
+def unstack_layer_params(
+    params: Dict[str, Any], n_layers: int, cfg: ModelConfig = None
+) -> Dict[str, Any]:
     """Inverse of stack_layer_params: per-layer list with the lane
-    padding stripped (buffers match the logical out_features again)."""
+    padding stripped (buffers match the logical out_features again).
+    Fused qkv/gateup projections split back into their parts (``cfg``
+    required for the split boundaries)."""
     import dataclasses
 
     stacked = params["layers"]
+
+    def split_fused(lp):
+        from ..quant.qtensor import take_columns
+
+        import numpy as np
+
+        for fused_name, names in _FUSE_GROUPS:
+            qt = lp.pop(fused_name, None)
+            if qt is None:
+                continue
+            if cfg is None:
+                raise ValueError(
+                    f"unstacking fused '{fused_name}' needs cfg for the "
+                    "split boundaries"
+                )
+            s = fused_splits(cfg)[fused_name]
+            bias = lp.pop(f"{fused_name}_bias", None)
+            for j, n in enumerate(names):
+                lp[n] = take_columns(qt, np.arange(s[j], s[j + 1]))
+                if bias is not None:
+                    lp[f"{n}_bias"] = bias[s[j] : s[j + 1]]
+        return lp
 
     def slice_layer(i):
         lp = {}
@@ -191,19 +295,34 @@ def unstack_layer_params(params: Dict[str, Any], n_layers: int) -> Dict[str, Any
                 )
             else:
                 lp[k] = v[i]
-        return lp
+        return split_fused(lp)
 
     out = dict(params)
     out["layers"] = [slice_layer(i) for i in range(n_layers)]
     return out
 
 
-class StackedLayerView:
-    """llama.LayerView equivalent over [L]-stacked params + layer index."""
+_FUSED_OF = {
+    "q_proj": ("qkv_proj", 0),
+    "k_proj": ("qkv_proj", 1),
+    "v_proj": ("qkv_proj", 2),
+    "gate_proj": ("gateup_proj", 0),
+    "up_proj": ("gateup_proj", 1),
+}
 
-    def __init__(self, slp: Dict[str, Any], l):
+
+class StackedLayerView:
+    """llama.LayerView equivalent over [L]-stacked params + layer index.
+
+    ``cfg`` enables the fused-projection path: q/k/v (gate/up) slices of
+    one wide matmul, memoized per input so the fused kernel runs once
+    per consumer group."""
+
+    def __init__(self, slp: Dict[str, Any], l, cfg: ModelConfig = None):
         self.lp = slp
         self.l = l
+        self.cfg = cfg
+        self._fused_memo = {}
 
     def get(self, name):
         v = self.lp.get(name)
@@ -212,6 +331,24 @@ class StackedLayerView:
         return v[self.l]
 
     def apply(self, name, x):
+        fused = _FUSED_OF.get(name)
+        if fused is not None and fused[0] in self.lp:
+            fused_name, part = fused
+            if self.cfg is None:
+                raise ValueError(
+                    "fused stacked params need a cfg-aware view "
+                    "(StackedLayerView(slp, l, cfg))"
+                )
+            key = (fused_name, id(x))
+            y = self._fused_memo.get(key)
+            if y is None:
+                y = self._apply_name(fused_name, x)
+                self._fused_memo[key] = y
+            s = fused_splits(self.cfg)[fused_name]
+            return y[..., s[part] : s[part + 1]]
+        return self._apply_name(name, x)
+
+    def _apply_name(self, name, x):
         w = self.lp[name]
         b = self.lp.get(f"{name}_bias")
         bias = None if b is None else b[self.l]
@@ -264,7 +401,7 @@ def forward_stacked(
     def body(carry, l):
         h, cache = carry
         h, cache = _block_attn_mlp(
-            StackedLayerView(slp, l), cfg, h, cos, sin, mask, cache, l, pos
+            StackedLayerView(slp, l, cfg), cfg, h, cos, sin, mask, cache, l, pos
         )
         return (h, cache), None
 

@@ -130,7 +130,9 @@ def prepare_tp_params(
     out["layers"] = new_layers
     # stack with NO extra lane padding (done selectively above) and no
     # planar relayout
-    out = stack_layer_params(out, lane_quantum=1, planar=False)
+    out = stack_layer_params(
+        out, lane_quantum=1, planar=False, fuse_projections=False
+    )
 
     # lm_head: pad vocab columns to a lane-aligned per-shard width
     # (pad logits are masked to -inf before the greedy pick)

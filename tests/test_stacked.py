@@ -36,7 +36,10 @@ def test_stackable_detection():
     assert is_stackable(qp)
     sp = stack_layer_params(qp)
     assert not isinstance(sp["layers"], list)
-    assert sp["layers"]["q_proj"].qweight.shape[0] == CFG.num_hidden_layers
+    # q/k/v fuse into one wide stacked tensor by default
+    assert sp["layers"]["qkv_proj"].qweight.shape[0] == CFG.num_hidden_layers
+    sp2 = stack_layer_params(qp, fuse_projections=False)
+    assert sp2["layers"]["q_proj"].qweight.shape[0] == CFG.num_hidden_layers
 
 
 def test_stacked_prefill_decode_matches_unrolled():
@@ -93,7 +96,7 @@ def test_unstack_roundtrip_and_save(tmp_path):
     sp = stack_layer_params(qp)
     with pytest.raises(ValueError, match="unstack"):
         AutoQ.save_pretrained(sp, CFG, str(tmp_path / "x"))
-    up = unstack_layer_params(sp, CFG.num_hidden_layers)
+    up = unstack_layer_params(sp, CFG.num_hidden_layers, CFG)
     # identical packed bits and logical shapes after the round trip
     np.testing.assert_array_equal(
         np.asarray(up["layers"][1]["q_proj"].qweight),
