@@ -1,0 +1,205 @@
+"""One-shot cached on-device block-size autotuner for the qmm kernels.
+
+The TPU answer to the reference's Triton autotuner
+(qllm/modeling/q_layers/custom_autotune.py: per-shape config sweep with
+nearest-power-of-two bucketing and a persistent in-process cache): for
+each (kind, K, N, bits, g, M-regime, device) the tuner times the REAL
+stacked kernel over a small (bn, bk) candidate grid and persists the
+winner to a JSON file next to the compile cache, so the sweep runs once
+per machine, ever. Enabled with ``QLLM_TPU_AUTOTUNE=1`` (compiling a
+handful of kernel variants costs minutes over a tunnel, so it is
+opt-in); without it, lookups return cached winners when present and the
+static heuristics otherwise. Env overrides (QLLM_TPU_QMM_BN/BK) always
+win.
+
+Timing caveat (NOTES.md): ``block_until_ready`` does not reliably block
+on remote backends — timings force a device->host fetch and subtract a
+measured RTT baseline, taking the median of repeats.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["lookup", "tune_stacked", "cache_path", "clear_cache"]
+
+_MEM: Dict[str, Tuple[int, int]] = {}
+_LOADED = False
+
+
+def cache_path() -> str:
+    d = os.environ.get(
+        "QLLM_TPU_CACHE", os.path.expanduser("~/.cache/qllm_tpu")
+    )
+    import jax
+
+    dev = jax.devices()[0].device_kind.replace(" ", "_")
+    return os.path.join(d, f"qmm_tune_{dev}.json")
+
+
+def _load() -> None:
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    try:
+        with open(cache_path()) as f:
+            for k, v in json.load(f).items():
+                _MEM[k] = tuple(v)
+    except Exception:
+        pass
+
+
+def _save() -> None:
+    path = cache_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({k: list(v) for k, v in _MEM.items()}, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _m_regime(M: int) -> str:
+    return "decode" if M <= 32 else "prefill"
+
+
+def _key(kind: str, K: int, N: int, bits: int, g: int, M: int) -> str:
+    return f"{kind}:{K}x{N}:w{bits}g{g}:{_m_regime(M)}"
+
+
+def clear_cache() -> None:
+    _MEM.clear()
+    try:
+        os.remove(cache_path())
+    except OSError:
+        pass
+
+
+def lookup(
+    kind: str, K: int, N: int, bits: int, g: int, M: int
+) -> Tuple[int, int]:
+    """(bn, bk) for the shape, or (0, 0) = use the static heuristics.
+
+    Env overrides disable the tuner (explicit user choice wins); with
+    QLLM_TPU_AUTOTUNE=1 a cache miss triggers a one-shot sweep."""
+    if os.environ.get("QLLM_TPU_QMM_BN") or os.environ.get("QLLM_TPU_QMM_BK"):
+        return (0, 0)
+    _load()
+    key = _key(kind, K, N, bits, g, M)
+    hit = _MEM.get(key)
+    if hit is not None:
+        return hit
+    if os.environ.get("QLLM_TPU_AUTOTUNE") != "1":
+        return (0, 0)
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return (0, 0)
+    if kind != "stacked":
+        return (0, 0)
+    best = tune_stacked(K, N, bits, g, M)
+    _MEM[key] = best
+    _save()
+    return best
+
+
+def _time_once(fn, fetch) -> float:
+    t0 = time.time()
+    fetch(fn())
+    return time.time() - t0
+
+
+def tune_stacked(
+    K: int, N: int, bits: int, g: int, M: int, L: int = 4, repeats: int = 5
+) -> Tuple[int, int]:
+    """Sweep (bn, bk) candidates on the real stacked kernel for a
+    synthetic [L]-stack of this shape; returns the winner (bn, bk)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..quant.qtensor import quantize_tensor
+    from . import pallas_qmm as pq
+
+    g_eff = K if g == -1 else g
+    rng = np.random.default_rng(0)
+    qt = quantize_tensor(
+        jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
+        bits=bits,
+        group_size=g,
+    )
+    import jax.tree_util as tu
+
+    stacked = tu.tree_map(lambda a: jnp.stack([a] * L), qt)
+    import dataclasses
+
+    from ..quant.qtensor import planarize_packed
+
+    planar = (
+        bits == 4
+        and (
+            pq.planar_bk(K, g_eff) is not None
+            or pq.planar_full_ok(K, g_eff)
+        )
+    )
+    zs = stacked.zeros * stacked.scales
+    if planar:
+        pqw = jnp.stack(
+            [planarize_packed(stacked.qweight[i], K) for i in range(L)]
+        )
+        stacked = dataclasses.replace(
+            stacked, qweight=pqw, zeros=zs, planar=True, zeros_prefolded=True
+        )
+    else:
+        stacked = dataclasses.replace(stacked, zeros=zs, zeros_prefolded=True)
+    x = jnp.asarray(rng.normal(size=(max(8, M), K)).astype(np.float32))
+
+    # RTT baseline
+    tiny = jax.jit(lambda t: t + 1)(jnp.zeros((1,)))
+    np.asarray(tiny)
+    rtts = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(jax.jit(lambda t: t + 1)(tiny))
+        rtts.append(time.time() - t0)
+    rtt = min(rtts)
+
+    bn_cands = [b for b in (256, 512, 1024) if N % b == 0] or [0]
+    bk_cands = [b for b in (1024, 2048, 4096) if b <= K] or [0]
+    results = {}
+    for bn in bn_cands:
+        for bk in bk_cands:
+            try:
+                fn = lambda: pq._qmm_2d_stacked(  # noqa: E731
+                    x,
+                    jnp.int32(1),
+                    stacked.qweight,
+                    stacked.scales,
+                    stacked.zeros,
+                    bits,
+                    g,
+                    K,
+                    N,
+                    planar=stacked.planar,
+                    prefolded=True,
+                    fuse_corr=stacked.planar,
+                    bn_opt=bn,
+                    bk_opt=bk,
+                )
+                fetch = lambda y: float(jnp.sum(y))  # noqa: E731
+                _time_once(fn, fetch)  # compile
+                ts = sorted(
+                    max(_time_once(fn, fetch) - rtt, 1e-9)
+                    for _ in range(repeats)
+                )
+                results[(bn, bk)] = ts[len(ts) // 2]
+            except Exception:
+                continue
+    if not results:
+        return (0, 0)
+    best = min(results, key=results.get)
+    return best

@@ -825,6 +825,8 @@ def _qmm_kernel_planar(
         "planar",
         "prefolded",
         "fuse_corr",
+        "bn_opt",
+        "bk_opt",
     ),
 )
 def _qmm_2d_stacked(
@@ -840,22 +842,27 @@ def _qmm_2d_stacked(
     planar: bool = False,
     prefolded: bool = False,
     fuse_corr: bool = False,
+    bn_opt: int = 0,
+    bk_opt: int = 0,
 ) -> jax.Array:
     """v3 decode kernel reading DIRECTLY from a layer-stacked weight
     pytree: the layer index arrives by scalar prefetch and selects
     blocks in the index maps — no dynamic-slice materialization of the
     layer's weights (profiling showed that copy costs more than the
     whole kernel). ``prefolded``: the zeros stack already holds
-    zs = zeros * scales (models.stacked pre-fold)."""
+    zs = zeros * scales (models.stacked pre-fold). ``bn_opt/bk_opt``:
+    explicit block sizes (autotuner / sweeps); 0 = env/default."""
     K, N = in_features, out_features
     M = x.shape[0]
     pf = 32 // bits
     g = K if group_size == -1 else group_size
     G = K // g
     npar = 8 // bits
-    bn = _pick_block(N, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
+    bn = bn_opt or _pick_block(
+        N, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512"))
+    )
     bm = M
-    bk_target = int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
+    bk_target = bk_opt or int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
 
     if planar:
         if fuse_corr and not prefolded:
@@ -1144,6 +1151,16 @@ def _qmm_2d_stacked(
     return (out - corr).astype(jnp.bfloat16)
 
 
+def _tuned_blocks(K: int, N: int, bits: int, g: int, M: int) -> dict:
+    """Autotuned (bn, bk) for this shape as _qmm_2d_stacked kwargs
+    (ops.autotune: one-shot cached on-device sweep — the reference's
+    custom_autotune.py role done the TPU way)."""
+    from .autotune import lookup
+
+    bn, bk = lookup("stacked", K, N, bits, g, M)
+    return {"bn_opt": bn, "bk_opt": bk}
+
+
 def qmatmul_pallas_stacked(
     x: jax.Array, qt_stacked: QuantizedTensor, layer: jax.Array
 ) -> jax.Array:
@@ -1245,6 +1262,7 @@ def qmatmul_pallas_stacked(
         planar=qt_stacked.planar,
         prefolded=qt_stacked.zeros_prefolded,
         fuse_corr=fuse_corr,
+        **_tuned_blocks(K, N_buf, bits, g, M),
     )
     if Mp != M:
         y = y[:M]
