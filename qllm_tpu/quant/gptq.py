@@ -392,7 +392,7 @@ class GPTQQuantizer:
         self.observer: List[tuple] = []
         self.quant_config_by_layer: Dict[str, Dict[str, int]] = {}
 
-    def _quantize_one(self, w, H, bits, gs, full_name, promotions_left):
+    def _quantize_one(self, w, H, bits, gs, full_name, promotions_left, x=None):
         cfg = self.config
         qt, err = gptq_quantize_weight(w, H, bits, gs, cfg)
         err0 = float(jnp.sum(err))
@@ -406,7 +406,20 @@ class GPTQQuantizer:
                 )
                 if float(jnp.sum(err2)) < 0.5 * err0:
                     qt, used = qt2, (b2, g2)
-        self.observer.append((full_name, err0, used))
+        snr_db = None
+        if x is not None:
+            # per-layer output SNR on a calibration sample — the
+            # reference's print_loss fp-input column (gptq.py:104-127,
+            # modelutils.py torch_snr_error :71-118)
+            from ..quant.qtensor import dequantize_tensor, unpermute_dense
+            from ..utils.metrics import snr_error
+
+            x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+            wq = dequantize_tensor(qt).astype(jnp.float32)
+            if qt.perm is not None:
+                wq = unpermute_dense(qt, wq)
+            snr_db = snr_error(x2 @ w, x2 @ wq)
+        self.observer.append((full_name, err0, used, snr_db))
         self.quant_config_by_layer[full_name] = {
             "wbits": used[0],
             "groupsize": used[1],
@@ -452,6 +465,12 @@ class GPTQQuantizer:
             for subset in subsets:
                 # Hessians reflect any already-quantized earlier subsets
                 Hs = collect_block_hessians(nlp, model_cfg, h, cos, sin, mask)
+                # one-sample activations for the SNR report column
+                from ..models.llama import layer_intermediates
+
+                acts = layer_intermediates(
+                    nlp, model_cfg, h[:1], cos[:1], sin[:1], mask[:1]
+                )
                 for name in subset:
                     if name not in lp:
                         continue
@@ -468,6 +487,7 @@ class GPTQQuantizer:
                         gs,
                         full,
                         self.MAX_PROMOTIONS - promotions,
+                        x=acts.get(name),
                     )
                     promotions += int(promoted)
                     nlp[name] = qt
@@ -508,6 +528,10 @@ class GPTQQuantizer:
                     f"({time.time() - t_layer:.1f}s)",
                     flush=True,
                 )
+        if progress and self.observer:
+            from ..utils.metrics import quant_report
+
+            print(quant_report(self.observer), flush=True)
         out = dict(params)
         out["layers"] = new_layers
         return out

@@ -38,10 +38,23 @@ def format_table(headers: Sequence[str], rows: List[Sequence]) -> str:
 
 
 def quant_report(observer: List[Tuple]) -> str:
-    """Render GPTQQuantizer.observer entries (name, error, (bits, gs))."""
+    """Render GPTQQuantizer.observer entries
+    (name, error, (bits, gs)[, snr_db]) — the reference's per-layer
+    Texttable report incl. the output-SNR column (gptq.py:104-127)."""
     rows = []
     for entry in observer:
         name, err = entry[0], entry[1]
         used = entry[2] if len(entry) > 2 else ("-", "-")
-        rows.append([name, f"{err:.4g}", used[0], used[1]])
-    return format_table(["layer", "quant error", "bits", "groupsize"], rows)
+        snr = entry[3] if len(entry) > 3 else None
+        rows.append(
+            [
+                name,
+                f"{err:.4g}",
+                used[0],
+                used[1],
+                "-" if snr is None else f"{snr:.2f} dB",
+            ]
+        )
+    return format_table(
+        ["layer", "quant error", "bits", "groupsize", "out SNR"], rows
+    )
