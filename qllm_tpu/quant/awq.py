@@ -22,13 +22,14 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 
 from .config import AWQConfig
-from .qtensor import quantize_tensor
+from .qtensor import QuantizedTensor, quantize_tensor
 
 __all__ = ["AWQQuantizer", "awq_search_scale", "awq_auto_clip"]
 
@@ -52,21 +53,33 @@ def _pseudo_quantize(w: jax.Array, bits: int, group_size: int) -> jax.Array:
     return ((q - zero) * scale).reshape(K, N)
 
 
+def _default_out_fn(x, ws, extra):
+    x2 = x.reshape(-1, x.shape[-1])
+    return jnp.concatenate([x2 @ w for w in ws], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("bits", "group_size", "out_fn"))
 def awq_search_scale(
-    x: jax.Array,  # [T, K] inputs to the scale group
+    x: jax.Array,  # [..., K] inputs to the scale group
     weights: Tuple[jax.Array, ...],  # each [K, N_i]
     bits: int,
     group_size: int,
-    out_fn: Optional[Callable] = None,  # maps scaled/quantized weights -> output
+    out_fn: Optional[Callable] = None,  # (x, ws, extra) -> module output
+    extra: Tuple[jax.Array, ...] = (),
 ) -> jax.Array:
     """Best per-in-channel scales [K] over the ratio grid.
 
-    out_fn(x, weights) defaults to concatenated matmuls (the scale
-    group's joint output — reference inspects the enclosing module; the
-    linear outputs dominate its MSE and keep the search pure)."""
-    x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
-    x_max = jnp.mean(jnp.abs(x), axis=0)  # get_act_scale
+    ``out_fn(x, ws, extra)`` is the search objective — the ENCLOSING
+    MODULE's output, matching the reference's module2inspect MSE
+    (_awq_quantizer.py _search_module_scale :292-361). The default is
+    the concatenated linear outputs (exact for single-linear groups;
+    the driver passes attention-block / MLP-block objectives for the
+    qkv and gate/up groups). ``out_fn`` must be a module-level function
+    or cached partial (it is a static jit arg); array context goes
+    through ``extra`` (traced)."""
+    xf = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    x = x.astype(jnp.float32)
+    x_max = jnp.mean(jnp.abs(xf), axis=0)  # get_act_scale
 
     def w_group_norm(w):
         K = w.shape[0]
@@ -78,11 +91,9 @@ def awq_search_scale(
     w_max = jnp.mean(jnp.stack([w_group_norm(w) for w in weights]), axis=0)
 
     if out_fn is None:
+        out_fn = _default_out_fn
 
-        def out_fn(x, ws):
-            return jnp.concatenate([x @ w for w in ws], axis=-1)
-
-    org_out = out_fn(x, [w.astype(jnp.float32) for w in weights])
+    org_out = out_fn(x, [w.astype(jnp.float32) for w in weights], extra)
 
     def try_ratio(ratio):
         s = jnp.clip(
@@ -94,7 +105,7 @@ def awq_search_scale(
         ws_q = [
             _pseudo_quantize(w * s[:, None], bits, group_size) for w in weights
         ]
-        out = out_fn(x / s[None, :], ws_q)
+        out = out_fn(x / s, ws_q, extra)
         return jnp.mean((org_out - out) ** 2), s
 
     ratios = jnp.arange(N_GRID, dtype=jnp.float32) / N_GRID
@@ -149,6 +160,51 @@ def awq_auto_clip(
     best_max = jnp.take_along_axis(cmaxs, best[None], axis=0)[0]  # [G, N]
     wc = jnp.clip(wg, -best_max[:, None, :], best_max[:, None, :])
     return wc.reshape(K, N)
+
+
+# ---------------------------------------------------------------------------
+# Block-level search objectives (the reference minimizes the ENCLOSING
+# module's output MSE — module2inspect, _awq_quantizer.py:292-361 — not
+# the raw linear outputs). These are module-level functions (static jit
+# args); per-config partials are cached so jit sees a stable identity.
+# ---------------------------------------------------------------------------
+
+_OBJ_CACHE: Dict[tuple, Callable] = {}
+
+
+def _cached_partial(fn, **kw):
+    key = (fn,) + tuple(sorted(kw.items()))
+    if key not in _OBJ_CACHE:
+        _OBJ_CACHE[key] = partial(fn, **kw)
+    return _OBJ_CACHE[key]
+
+
+def _mlp_block_out(x, ws, extra, act: str):
+    """Gated-MLP output: down(act(x@gate) * (x@up)). ws=(gate, up),
+    extra=(down_fp,)."""
+    from ..models.llama import act_fn
+
+    x2 = x.reshape(-1, x.shape[-1])
+    return (act_fn(act, x2 @ ws[0]) * (x2 @ ws[1])) @ extra[0]
+
+
+def _attn_block_out(
+    x, ws, extra, n_heads: int, n_kv: int, hd: int, rope_style: str,
+    rot_dim: int, n_rep: int, has_rope: bool,
+):
+    """Attention-block output incl. o_proj. ws=(wq, wk, wv),
+    extra=(cos, sin, mask, wo_fp). x is [B, T, D]."""
+    from ..models.llama import _attention, apply_rope
+
+    B, T, D = x.shape
+    cos, sin, mask, wo = extra
+    q = (x.reshape(-1, D) @ ws[0]).reshape(B, T, n_heads, hd)
+    k = (x.reshape(-1, D) @ ws[1]).reshape(B, T, n_kv, hd)
+    v = (x.reshape(-1, D) @ ws[2]).reshape(B, T, n_kv, hd)
+    if has_rope:
+        q, k = apply_rope(q, k, cos, sin, rope_style, rot_dim)
+    attn = _attention(q, k, v, mask, n_rep).reshape(B * T, n_heads * hd)
+    return attn @ wo
 
 
 # archs where the nonlinear fc1->fc2 gap is bridged by a stored
@@ -286,7 +342,56 @@ class AWQQuantizer:
                 )
                 x = acts[xk].reshape(-1, acts[xk].shape[-1])
                 ws = tuple(_getw(nlp, n).astype(jnp.float32) for n in linears)
-                s = awq_search_scale(x, ws, cfg.wbits, cfg.groupsize)
+                # block-level objective (reference module2inspect MSE):
+                # attention output for the qkv group, full MLP output
+                # for the gate/up group — on a small sample subset to
+                # bound the 20-ratio grid's activation memory. Disable
+                # with QLLM_TPU_AWQ_BLOCK_OBJ=0 (falls back to the
+                # concatenated-linear objective).
+                out_fn = None
+                extra = ()
+                ns = max(1, min(2, acts[xk].shape[0]))
+                if os.environ.get("QLLM_TPU_AWQ_BLOCK_OBJ", "1") != "0":
+                    if (
+                        prev == "input_layernorm"
+                        and list(linears[:3]) == ["q_proj", "k_proj", "v_proj"]
+                        and len(linears) == 3
+                        and "o_proj" in nlp
+                        and not isinstance(nlp["o_proj"], QuantizedTensor)
+                        and cos is not None
+                    ):
+                        hd = model_cfg.hd
+                        out_fn = _cached_partial(
+                            _attn_block_out,
+                            n_heads=model_cfg.num_attention_heads,
+                            n_kv=model_cfg.num_key_value_heads,
+                            hd=hd,
+                            rope_style=model_cfg.rope_style,
+                            rot_dim=model_cfg.rotary_dim,
+                            n_rep=model_cfg.n_rep,
+                            has_rope=model_cfg.pos_embedding == "rope",
+                        )
+                        x = acts[xk][:ns]
+                        extra = (
+                            cos[:ns],
+                            sin[:ns],
+                            mask[:ns],
+                            nlp["o_proj"].astype(jnp.float32),
+                        )
+                    elif (
+                        prev == "post_attention_layernorm"
+                        and list(linears) == ["gate_proj", "up_proj"]
+                        and "down_proj" in nlp
+                        and not isinstance(nlp["down_proj"], QuantizedTensor)
+                    ):
+                        out_fn = _cached_partial(
+                            _mlp_block_out, act=model_cfg.hidden_act
+                        )
+                        x = acts[xk][:ns].reshape(-1, acts[xk].shape[-1])
+                        extra = (nlp["down_proj"].astype(jnp.float32),)
+                s = awq_search_scale(
+                    x, ws, cfg.wbits, cfg.groupsize, out_fn=out_fn, extra=extra
+                )
                 # the captured input features now see the folded scale
                 # (reference apply_scale input_feat_dict div_ :74-76)
                 for n in linears:

@@ -86,3 +86,29 @@ def test_awq_driver_end_to_end():
 def test_awq_nsamples_cap():
     q = AWQQuantizer(AWQConfig(wbits=4, groupsize=32, nsamples=64))
     assert q.config.nsamples == 64
+
+
+def test_block_objective_used_and_finite(monkeypatch):
+    """The module-level (attention/MLP) search objectives run by default
+    and produce a working quantized model (reference module2inspect MSE,
+    _awq_quantizer.py:292-361)."""
+    import qllm_tpu.quant.awq as awq_mod
+
+    calls = []
+    orig = awq_mod.awq_search_scale
+
+    def spy(x, ws, bits, gs, out_fn=None, extra=()):
+        calls.append(getattr(out_fn, "func", out_fn))
+        return orig(x, ws, bits, gs, out_fn=out_fn, extra=extra)
+
+    monkeypatch.setattr(awq_mod, "awq_search_scale", spy)
+    params = init_params(CFG, jax.random.key(11))
+    rng = np.random.default_rng(11)
+    calib = jnp.asarray(rng.integers(0, CFG.vocab_size, (2, 16)), jnp.int32)
+    q = awq_mod.AWQQuantizer(AWQConfig(wbits=4, groupsize=32))
+    qparams = q.quantize(params, CFG, calib, progress=False)
+    used = {getattr(f, "__name__", str(f)) for f in calls if f is not None}
+    assert "_attn_block_out" in used
+    assert "_mlp_block_out" in used
+    logits, _ = forward(qparams, CFG, calib[:1, :8])
+    assert bool(jnp.all(jnp.isfinite(logits)))
