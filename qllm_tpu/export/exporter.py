@@ -173,4 +173,28 @@ def verify_correctness(
             f"export verification failed: max abs err {err:.4g} > {_ATOL}"
         )
     logger.info(f"export verified: max abs logits err {err:.4g} < {_ATOL}")
+
+    # cross-engine check (reference verifies torch vs onnxruntime,
+    # exporter.py:68-128): the EXPORTED artifact's prefill logits vs a
+    # pure-numpy forward — independent of XLA end to end. bf16 model vs
+    # f32 numpy accumulates ~1e-2 relative difference; threshold is
+    # relative to the logit scale.
+    try:
+        from ..eval.numpy_ref import np_forward_logits
+
+        np_logits = np_forward_logits(params, cfg, np.asarray(tokens))
+        scale = max(float(np.max(np.abs(np_logits))), 1e-6)
+        xerr = float(jnp.max(jnp.abs(got_logits - np_logits))) / scale
+        if xerr > 0.05:
+            raise AssertionError(
+                f"cross-engine verification failed: exported vs numpy "
+                f"rel err {xerr:.4g} > 0.05"
+            )
+        logger.info(
+            f"export cross-engine verified vs numpy: rel err {xerr:.4g}"
+        )
+    except NotImplementedError as e:
+        logger.warning(
+            f"cross-engine numpy check skipped for this config: {e}"
+        )
     return err
