@@ -158,6 +158,13 @@ def main():
         scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
     )
 
+    if os.environ.get("QLLM_TPU_AUTOTUNE") == "1":
+        from qllm_tpu.ops.autotune import tune_for_stacked_params
+
+        t0 = time.time()
+        tune_for_stacked_params(params, Ms=(batch,))
+        log(f"[bench] autotune sweep done in {time.time() - t0:.1f}s")
+
     max_seq = 256
     prefill_len = 128
     cache = make_cache(cfg, batch, max_seq, quantized_kv=True)

@@ -98,6 +98,15 @@ def lookup(
         return (0, 0)
     import jax
 
+    try:
+        from jax._src import core as _core
+
+        if not _core.trace_state_clean():
+            # called from inside a jit trace — cannot launch the sweep
+            # here; pre-tune eagerly via tune_for_stacked_params
+            return (0, 0)
+    except Exception:
+        return (0, 0)
     if jax.default_backend() == "cpu":
         return (0, 0)
     if kind != "stacked":
@@ -106,6 +115,30 @@ def lookup(
     _MEM[key] = best
     _save()
     return best
+
+
+def tune_for_stacked_params(params, Ms=(8,)) -> None:
+    """Eagerly tune every distinct quantized shape in a stacked params
+    pytree (call BEFORE jitting the decode loop — lookups from inside a
+    trace can only read the cache)."""
+    from ..quant.qtensor import QuantizedTensor
+
+    seen = set()
+    leaves = list(params.get("layers", {}).values()) + [
+        params.get("lm_head")
+    ]
+    for leaf in leaves:
+        if not isinstance(leaf, QuantizedTensor):
+            continue
+        K = leaf.in_features
+        N = leaf.qweight.shape[-1]
+        g = K if leaf.group_size == -1 else leaf.group_size
+        for M in Ms:
+            key = (K, N, leaf.bits, g, _m_regime(M))
+            if key in seen:
+                continue
+            seen.add(key)
+            lookup("stacked", K, N, leaf.bits, g, M)
 
 
 def _time_once(fn, fetch) -> float:
