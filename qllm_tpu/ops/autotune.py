@@ -184,8 +184,15 @@ def tune_stacked(
         pqw = jnp.stack(
             [planarize_packed(stacked.qweight[i], K) for i in range(L)]
         )
+        # mirror the serving layout: bf16 scale storage (also required
+        # by the fused kernel's TPU compile — see qmatmul_pallas_stacked)
         stacked = dataclasses.replace(
-            stacked, qweight=pqw, zeros=zs, planar=True, zeros_prefolded=True
+            stacked,
+            qweight=pqw,
+            scales=stacked.scales.astype(jnp.bfloat16),
+            zeros=zs.astype(jnp.bfloat16),
+            planar=True,
+            zeros_prefolded=True,
         )
     else:
         stacked = dataclasses.replace(stacked, zeros=zs, zeros_prefolded=True)

@@ -1183,8 +1183,14 @@ def qmatmul_pallas_stacked(
     # without a full-stack cast)
     bf16_scales = qt_stacked.scales.dtype != jnp.float32
     if qt_stacked.planar:
-        fuse_env = qt_stacked.zeros_prefolded and (
-            bf16_scales or os.environ.get("QLLM_TPU_FUSED_CORR", "1") != "0"
+        # fused planar requires bf16 scale storage on TPU: the f32-scale
+        # variant crashes the Mosaic compile helper (observed HTTP 500 /
+        # subprocess exit 1); bf16 is the serving default anyway. CPU
+        # interpret mode has no such limit.
+        fuse_env = (
+            qt_stacked.zeros_prefolded
+            and (bf16_scales or jax.default_backend() == "cpu")
+            and os.environ.get("QLLM_TPU_FUSED_CORR", "1") != "0"
         )
     else:
         fuse_env = qt_stacked.zeros_prefolded and (
