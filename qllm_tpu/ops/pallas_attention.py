@@ -21,6 +21,7 @@ VMEM: K+V for one (b, h) at S=4096, d=128 is 1 MB — one-shot blocks
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -239,6 +240,149 @@ def kv_cache_write_pallas(
     )
 
 
+_NEG = -1e30  # mask value: -inf would NaN the online-softmax rescale
+
+
+def _attn_kernel_stacked_chunked(
+    lengths_ref,  # scalar prefetch: [B]
+    layer_ref,  # scalar prefetch: [1]
+    q_ref,  # [1, hb, n_rep_p, d] bf16 (pre-scaled)
+    k_ref,  # [1, 1, hb, bs, d] int8 — this chunk of the cache
+    v_ref,
+    ks_ref,  # [1, 1, hb, 1, bs] f32
+    vs_ref,
+    o_ref,  # [1, hb, n_rep_p, d]
+    m_ref,  # scratch [hb, n_rep_p, 1] running max
+    den_ref,  # scratch [hb, n_rep_p, 1]
+    acc_ref,  # scratch [hb, n_rep_p, d]
+    *,
+    bs: int,
+):
+    """Flash-style decode attention: the sequence axis is a grid
+    dimension with online-softmax state in scratch — the long-context
+    path (a one-shot [S, d] block stops fitting VMEM around 16k; this
+    kernel streams the cache in ``bs`` chunks at any S). Same int8-KV
+    scale folding as _attn_kernel."""
+    del layer_ref
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    ns = pl.num_programs(2)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        den_ref[:] = jnp.zeros_like(den_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    length = lengths_ref[b]
+    base = s * bs
+    hb = k_ref.shape[2]
+    for h in range(hb):
+        q = q_ref[0, h]  # [n_rep_p, d]
+        k = k_ref[0, 0, h].astype(jnp.bfloat16)  # [bs, d]
+        ks = ks_ref[0, 0, h]  # [1, bs]
+        scores = (
+            jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * ks
+        )
+        col = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < length, scores, _NEG)
+
+        m_old = m_ref[h]  # [n_rep_p, 1]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)  # masked cols underflow to 0
+        den_ref[h] = den_ref[h] * corr + jnp.sum(p, axis=1, keepdims=True)
+        vs = vs_ref[0, 0, h]  # [1, bs]
+        pv = (p * vs).astype(jnp.bfloat16)
+        v = v_ref[0, 0, h].astype(jnp.bfloat16)
+        acc_ref[h] = acc_ref[h] * corr + jnp.dot(
+            pv, v, preferred_element_type=jnp.float32
+        )
+        m_ref[h] = m_new
+
+    @pl.when(s == ns - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / den_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bs",))
+def _decode_attention_stacked_chunked(
+    q, k_cache, v_cache, k_scale, v_scale, lengths, layer, bs: int
+):
+    B, H, d = q.shape
+    L, _, Hkv, S, _ = k_cache.shape
+    n_rep = H // Hkv
+    n_rep_p = max(8, ((n_rep + 7) // 8) * 8)
+    qg = q.astype(jnp.float32) * (d**-0.5)
+    qg = qg.reshape(B, Hkv, n_rep, d)
+    if n_rep_p != n_rep:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, n_rep_p - n_rep), (0, 0)))
+    qg = qg.astype(jnp.bfloat16)
+    ks = k_scale.reshape(L, B, Hkv, 1, S).astype(jnp.float32)
+    vs = v_scale.reshape(L, B, Hkv, 1, S).astype(jnp.float32)
+
+    hb = 1
+    for cand in (8, 4, 2):
+        if Hkv % cand == 0 and 2 * cand * bs * d <= 2 * 1024 * 1024:
+            hb = cand
+            break
+
+    qspec = pl.BlockSpec(
+        (1, hb, n_rep_p, d),
+        lambda b, h, s, lens, l: (b, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kvspec = pl.BlockSpec(
+        (1, 1, hb, bs, d),
+        lambda b, h, s, lens, l: (l[0], b, h, s, 0),
+        memory_space=pltpu.VMEM,
+    )
+    scspec = pl.BlockSpec(
+        (1, 1, hb, 1, bs),
+        lambda b, h, s, lens, l: (l[0], b, h, 0, s),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv // hb, S // bs),
+        in_specs=[qspec, kvspec, kvspec, scspec, scspec],
+        out_specs=pl.BlockSpec(
+            (1, hb, n_rep_p, d),
+            lambda b, h, s, lens, l: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hb, n_rep_p, 1), jnp.float32),
+            pltpu.VMEM((hb, n_rep_p, 1), jnp.float32),
+            pltpu.VMEM((hb, n_rep_p, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel_stacked_chunked, bs=bs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        lengths.astype(jnp.int32),
+        jnp.asarray([layer], jnp.int32),
+        qg,
+        k_cache,
+        v_cache,
+        ks,
+        vs,
+    )
+    return out[:, :, :n_rep, :].reshape(B, H, d)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _decode_attention_stacked(
     q, k_cache, v_cache, k_scale, v_scale, lengths, layer
@@ -327,6 +471,18 @@ def decode_attention_pallas(
     if k_cache.ndim == 5:
         # layer-stacked caches: select the layer INSIDE the kernel's
         # index maps (a jnp slice here would copy ~MBs per step)
+        S = k_cache.shape[3]
+        limit = int(os.environ.get("QLLM_TPU_ATTN_ONESHOT_S", "8192"))
+        if S > limit:
+            # long context: a one-shot [S, d] block stops fitting VMEM —
+            # stream the cache flash-style in fixed chunks
+            bs = next(
+                b for b in (2048, 1024, 512, 256, 128) if S % b == 0
+            )
+            return _decode_attention_stacked_chunked(
+                q, k_cache, v_cache, k_scale, v_scale, lengths, layer,
+                bs=bs,
+            )
         return _decode_attention_stacked(
             q, k_cache, v_cache, k_scale, v_scale, lengths, layer
         )

@@ -26,7 +26,19 @@ from ..quant.qtensor import QuantizedTensor
 
 __all__ = ["shard_params", "shard_cache", "param_pspecs", "cache_pspec"]
 
-_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "lm_head")
+_COL = (
+    "q_proj",
+    "k_proj",
+    "v_proj",
+    "gate_proj",
+    "up_proj",
+    "lm_head",
+    # stack-time fused projections (models.stacked._FUSE_GROUPS) are
+    # column-concatenations of column-parallel matrices — still
+    # column-parallel under GSPMD (XLA handles any boundary misalignment)
+    "qkv_proj",
+    "gate_up_proj",
+)
 _ROW = ("o_proj", "down_proj")
 
 

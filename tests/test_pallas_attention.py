@@ -84,6 +84,80 @@ def test_model_decode_with_pallas_attention_matches_xla():
     )
 
 
+@pytest.mark.parametrize("n_rep", [1, 4])
+def test_chunked_decode_attention_matches_oneshot(n_rep):
+    """Flash-style S-chunked stacked kernel (long-context path) must
+    match the one-shot stacked kernel and the float reference."""
+    from qllm_tpu.ops.pallas_attention import (
+        _decode_attention_stacked,
+        _decode_attention_stacked_chunked,
+    )
+
+    rng = np.random.default_rng(7)
+    L, B, Hkv, S, d = 2, 2, 2, 384, 128
+    H = Hkv * n_rep
+    q = rng.normal(size=(B, H, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (L, B, Hkv, S, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (L, B, Hkv, S, d)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (L, B, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (L, B, Hkv, S)).astype(np.float32)
+    lengths = np.array([300, 37], np.int32)  # spans + stops mid-chunk
+    layer = jnp.int32(1)
+
+    args = (
+        jnp.asarray(q),
+        jnp.asarray(k),
+        jnp.asarray(v),
+        jnp.asarray(ks),
+        jnp.asarray(vs),
+        jnp.asarray(lengths),
+        layer,
+    )
+    chunked = np.asarray(_decode_attention_stacked_chunked(*args, bs=128))
+    oneshot = np.asarray(_decode_attention_stacked(*args))
+    np.testing.assert_allclose(chunked, oneshot, atol=2e-2, rtol=2e-2)
+    ref = _ref_attention(
+        q,
+        k[1].astype(np.float32) * ks[1][..., None],
+        v[1].astype(np.float32) * vs[1][..., None],
+        lengths,
+    )
+    np.testing.assert_allclose(chunked, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_long_context_dispatch_routes_to_chunked(monkeypatch):
+    """decode_attention_pallas must stream (not one-shot) past the
+    VMEM one-shot limit; numerics identical either way."""
+    monkeypatch.setenv("QLLM_TPU_ATTN_ONESHOT_S", "128")
+    rng = np.random.default_rng(9)
+    L, B, Hkv, S, d, n_rep = 2, 1, 2, 256, 128, 2
+    H = Hkv * n_rep
+    q = rng.normal(size=(B, H, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (L, B, Hkv, S, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (L, B, Hkv, S, d)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (L, B, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (L, B, Hkv, S)).astype(np.float32)
+    lengths = np.array([200], np.int32)
+    out = np.asarray(
+        decode_attention_pallas(
+            jnp.asarray(q),
+            jnp.asarray(k),
+            jnp.asarray(v),
+            jnp.asarray(ks),
+            jnp.asarray(vs),
+            jnp.asarray(lengths),
+            layer=jnp.int32(0),
+        )
+    )
+    ref = _ref_attention(
+        q,
+        k[0].astype(np.float32) * ks[0][..., None],
+        v[0].astype(np.float32) * vs[0][..., None],
+        lengths,
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
 def test_kv_write_kernel_matches_cache_update():
     """kv_cache_write_pallas (buffer-aliased window writes) must leave
     cache contents IDENTICAL to cache.update's dynamic_update_slice

@@ -129,7 +129,8 @@ def test_stacked_params_sharded_decode():
     mesh = make_mesh(dp=2, tp=4)
     with mesh:
         sp = shard_params(sp_local, mesh)
-        qt = sp["layers"]["q_proj"]
+        # stacking fuses q/k/v into qkv_proj (models.stacked._FUSE_GROUPS)
+        qt = sp["layers"]["qkv_proj"]
         assert qt.qweight.sharding.spec == P(None, None, "tp")
         sc = shard_cache(cache, mesh)
         st = jax.device_put(tok, NamedSharding(mesh, P("dp", None)))
