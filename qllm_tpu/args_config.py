@@ -36,6 +36,8 @@ class FakeArgs:
     kv_quant: bool = True
     max_new_tokens: int = 50
     quant_cache_dir: Optional[str] = None
+    hessian_dir: Optional[str] = None
+    layer_parallel: bool = False
 
     def __post_init__(self):
         if not self.tokenizer:

@@ -96,12 +96,17 @@ class AutoModelQuantization:
             calib_tokens = self._clamp_vocab(calib_tokens, cfg)
         layer_overrides = getattr(qconfig, "mix_qlayer_conf", None)
         qkwargs = dict(layer_overrides=layer_overrides)
-        cache_dir = getattr(args, "quant_cache_dir", None)
-        if cache_dir:
-            import inspect
+        import inspect
 
-            if "cache_dir" in inspect.signature(quantizer.quantize).parameters:
-                qkwargs["cache_dir"] = cache_dir
+        sig = inspect.signature(quantizer.quantize).parameters
+        cache_dir = getattr(args, "quant_cache_dir", None)
+        if cache_dir and "cache_dir" in sig:
+            qkwargs["cache_dir"] = cache_dir
+        hess_dir = getattr(args, "hessian_dir", None)
+        if hess_dir and "proxy_hessian_dir" in sig:
+            qkwargs["proxy_hessian_dir"] = hess_dir
+        if getattr(args, "layer_parallel", False) and "partition" in sig:
+            qkwargs["partition"] = "auto"
         qparams = quantizer.quantize(params, cfg, calib_tokens, **qkwargs)
         self._last_quantizer = quantizer
         self._last_config = qconfig

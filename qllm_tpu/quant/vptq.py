@@ -286,12 +286,26 @@ class VPTQQuantizer:
         progress: bool = True,
         cache_dir: Optional[str] = None,
         proxy_hessian_dir: Optional[str] = None,
+        partition=None,
     ) -> Dict[str, Any]:
         """``proxy_hessian_dir``: stage-1/2 artifacts from
         quant.hessian_pipeline.collect_proxy_hessians — when given,
         per-layer Hessians load from disk (the reference's offline
         RedPajama proxy pipeline, quant_vptq.py:93-125) instead of
-        being collected inline from ``calib_tokens``."""
+        being collected inline from ``calib_tokens``.
+
+        ``partition``: layer-parallel quantization across hosts — the
+        TPU-native role of the reference's per-GPU ProcessPoolExecutor
+        (quant_vptq.py:127-171: GPU free-list queue, one transformer
+        layer per process, per-layer .pt cache). ``"auto"`` partitions
+        over ``jax.process_index()/process_count()`` (pod slice);
+        ``(rank, world)`` is explicit (tests / external launchers).
+        Host ``rank`` quantizes layers ``i % world == rank``, writes
+        them to the shared ``cache_dir``, then collects peer layers by
+        polling the cache (the atomic per-layer files double as the
+        completion markers, like the reference's done.txt). Requires
+        ``proxy_hessian_dir`` — offline Hessians are what make layers
+        independent — and a shared ``cache_dir``."""
         from ..models.llama import LINEAR_NAMES
         from .frame import embed_inputs, run_block
         from .hessian import _share_key, collect_block_hessians
@@ -322,16 +336,45 @@ class VPTQQuantizer:
                 for n in names
             }
 
-        h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
-        new_layers: List[Dict[str, Any]] = []
+        proxy = proxy_hessian_dir is not None
+        if partition == "auto":
+            rank, world = jax.process_index(), jax.process_count()
+        else:
+            rank, world = partition or (0, 1)
+        if world > 1:
+            if not proxy:
+                raise ValueError(
+                    "layer-parallel VPTQ needs proxy_hessian_dir: offline "
+                    "Hessians are what make layers independent (reference "
+                    "quant_vptq.py:127-171 likewise runs off saved Hessians)"
+                )
+            if not cache_dir:
+                raise ValueError(
+                    "layer-parallel VPTQ needs a shared cache_dir "
+                    "(--quant_cache_dir) to exchange per-layer results"
+                )
+        if proxy:
+            # Hessians come from disk: no activation propagation needed,
+            # and with none, layers are order-independent (partitionable)
+            h = cos = sin = mask = None
+        else:
+            h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
+        n_layers = len(params["layers"])
+        new_layers: List[Optional[Dict[str, Any]]] = [None] * n_layers
+        deferred: List[int] = []
         for i, lp in enumerate(params["layers"]):
             t_layer = time.time()
             cached = load_layer_cache(cache_dir, i)
             if cached is not None:
-                h = run_block(cached, model_cfg, h, cos, sin, mask)
-                new_layers.append(cached)
+                if not proxy:
+                    h = run_block(cached, model_cfg, h, cos, sin, mask)
+                self._merge_layer_qconf(cache_dir, i)
+                new_layers[i] = cached
                 if progress:
                     print(f"[vptq] layer {i + 1} from cache", flush=True)
+                continue
+            if world > 1 and i % world != rank:
+                deferred.append(i)
                 continue
             Hs = block_hessians(lp, i)
             nlp = dict(lp)
@@ -387,14 +430,77 @@ class VPTQQuantizer:
                     nexp.append(nep)
                 nlp["experts"] = nexp
             save_layer_cache(cache_dir, i, nlp)
-            h = run_block(nlp, model_cfg, h, cos, sin, mask)
-            new_layers.append(nlp)
+            self._save_layer_qconf(cache_dir, i)
+            if not proxy:
+                h = run_block(nlp, model_cfg, h, cos, sin, mask)
+            new_layers[i] = nlp
             if progress:
                 print(
-                    f"[vptq] layer {i + 1}/{len(params['layers'])} "
+                    f"[vptq] layer {i + 1}/{n_layers} "
                     f"({time.time() - t_layer:.1f}s)",
                     flush=True,
                 )
+        for i in deferred:
+            new_layers[i] = self._wait_peer_layer(cache_dir, i, progress)
+            self._merge_layer_qconf(cache_dir, i)
         out = dict(params)
         out["layers"] = new_layers
         return out
+
+    # -- layer-parallel plumbing ------------------------------------
+
+    def _save_layer_qconf(self, cache_dir: Optional[str], i: int) -> None:
+        """Sidecar with layer i's quantize-config entries so peer hosts
+        (and crash-resumed runs) reconstruct the full
+        quant_config_by_layer table, not just their own shard's."""
+        if not cache_dir:
+            return
+        import json
+        import os
+
+        prefix = f"model.layers.{i}."
+        entries = {
+            k: v
+            for k, v in self.quant_config_by_layer.items()
+            if k.startswith(prefix)
+        }
+        tmp = f"{cache_dir}/layer_{i}.qconf.json.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        os.replace(tmp, f"{cache_dir}/layer_{i}.qconf.json")
+
+    def _merge_layer_qconf(self, cache_dir: Optional[str], i: int) -> None:
+        if not cache_dir:
+            return
+        import json
+        import os
+
+        p = f"{cache_dir}/layer_{i}.qconf.json"
+        if os.path.exists(p):
+            with open(p) as f:
+                self.quant_config_by_layer.update(json.load(f))
+
+    @staticmethod
+    def _wait_peer_layer(cache_dir: str, i: int, progress: bool):
+        """Poll the shared cache until a peer host publishes layer i
+        (its atomic rename is the completion marker)."""
+        import os
+
+        from .frame import load_layer_cache
+
+        timeout = float(os.environ.get("QLLM_TPU_PARTITION_TIMEOUT", "3600"))
+        t0 = time.time()
+        logged = False
+        while True:
+            nlp = load_layer_cache(cache_dir, i)
+            if nlp is not None:
+                return nlp
+            if time.time() - t0 > timeout:
+                raise TimeoutError(
+                    f"peer layer {i} never appeared in {cache_dir} within "
+                    f"{timeout:.0f}s (QLLM_TPU_PARTITION_TIMEOUT)"
+                )
+            if progress and not logged:
+                print(f"[vptq] waiting for peer layer {i + 1}", flush=True)
+                logged = True
+            time.sleep(0.2)

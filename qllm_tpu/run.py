@@ -83,6 +83,25 @@ def define_basic_args() -> argparse.ArgumentParser:
             "rerunning skips finished layers)"
         ),
     )
+    p.add_argument(
+        "--hessian_dir",
+        type=str,
+        default=None,
+        help=(
+            "VPTQ: offline proxy-Hessian artifacts "
+            "(quant.hessian_pipeline.collect_proxy_hessians) instead of "
+            "inline collection — reference quant_vptq.py:93-125"
+        ),
+    )
+    p.add_argument(
+        "--layer_parallel",
+        action="store_true",
+        help=(
+            "VPTQ: partition layers across hosts (jax.process_index); "
+            "needs --hessian_dir and a shared --quant_cache_dir — the "
+            "TPU role of reference quant_vptq.py:127-171's per-GPU pool"
+        ),
+    )
     return p
 
 

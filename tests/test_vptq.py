@@ -328,3 +328,77 @@ def test_hessian_pipeline_stages(tmp_path):
     from qllm_tpu.quant.vptq import VPTQTensor
 
     assert isinstance(qparams["layers"][0]["k_proj"], VPTQTensor)
+
+
+def test_layer_parallel_partition(tmp_path):
+    """Two 'hosts' (threads with explicit (rank, world)) split the
+    layers over a shared cache dir and both reconstruct the FULL model,
+    identical to a single-rank run — the TPU-native role of the
+    reference's per-GPU layer pool (quant_vptq.py:127-171)."""
+    import pickle
+    from concurrent.futures import ThreadPoolExecutor
+
+    from qllm_tpu.quant.hessian_pipeline import collect_proxy_hessians
+    from qllm_tpu.quant.vptq import VPTQTensor
+
+    params = init_params(CFG, jax.random.key(0))
+    toks = jax.random.randint(jax.random.key(1), (2, 16), 0, CFG.vocab_size)
+    hdir = collect_proxy_hessians(
+        params, CFG, toks, str(tmp_path / "hess"), progress=False
+    )
+    conf = VPTQConfig(
+        vector_len=4,
+        num_centroids=32,
+        num_res_centroids=0,
+        npercent=0,
+        kmeans_iters=2,
+        enable_perm=False,
+    )
+
+    ref = VPTQQuantizer(conf).quantize(
+        params, CFG, toks, progress=False, proxy_hessian_dir=hdir
+    )
+
+    cache = str(tmp_path / "shared_cache")
+    quants = [VPTQQuantizer(conf), VPTQQuantizer(conf)]
+
+    def run(rank):
+        return quants[rank].quantize(
+            params,
+            CFG,
+            toks,
+            progress=False,
+            proxy_hessian_dir=hdir,
+            cache_dir=cache,
+            partition=(rank, 2),
+        )
+
+    with ThreadPoolExecutor(2) as pool:
+        out0, out1 = pool.map(run, (0, 1))
+
+    n_layers = len(params["layers"])
+    assert n_layers >= 2
+    for out in (out0, out1):
+        for i in range(n_layers):
+            for name, w in out["layers"][i].items():
+                if not isinstance(w, VPTQTensor):
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(vptq_dequant(w, jnp.float32)),
+                    np.asarray(
+                        vptq_dequant(ref["layers"][i][name], jnp.float32)
+                    ),
+                )
+        # every host holds the FULL quant-config table (qconf sidecars)
+        keys = {k.split(".")[2] for k in quants[0].quant_config_by_layer}
+        assert keys == {str(i) for i in range(n_layers)}
+
+
+def test_layer_parallel_requires_proxy_and_cache(tmp_path):
+    import pytest
+
+    params = init_params(CFG, jax.random.key(0))
+    toks = jax.random.randint(jax.random.key(1), (2, 16), 0, CFG.vocab_size)
+    q = VPTQQuantizer(VPTQConfig(vector_len=4, num_centroids=32))
+    with pytest.raises(ValueError, match="proxy_hessian_dir"):
+        q.quantize(params, CFG, toks, partition=(0, 2))
