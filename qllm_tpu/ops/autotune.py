@@ -198,15 +198,45 @@ def tune_stacked(
         stacked = dataclasses.replace(stacked, zeros=zs, zeros_prefolded=True)
     x = jnp.asarray(rng.normal(size=(max(8, M), K)).astype(np.float32))
 
-    # RTT baseline
-    tiny = jax.jit(lambda t: t + 1)(jnp.zeros((1,)))
-    np.asarray(tiny)
-    rtts = []
-    for _ in range(3):
-        t0 = time.time()
-        np.asarray(jax.jit(lambda t: t + 1)(tiny))
-        rtts.append(time.time() - t0)
-    rtt = min(rtts)
+    # A single kernel runs tens of µs — far below tunnel jitter, and the
+    # tunnel RTT is NOT additive (device work overlaps the round-trip
+    # window), so "fetch time minus RTT" reads ~0 for anything shorter
+    # than the RTT. Instead: chain n kernel invocations inside ONE jit
+    # with n as a TRACED bound (one compile per candidate), and take the
+    # slope between a short and a long run — constant overhead cancels
+    # exactly, leaving pure per-invocation device time.
+    n_lo = int(os.environ.get("QLLM_TPU_AUTOTUNE_REPS", "64"))
+    # size the long run so the delta is several RTTs of device time even
+    # if the kernel hits the practical streaming ceiling (~500 GB/s)
+    bytes_per = K * N * bits / 8
+    est = bytes_per / 500e9
+    n_hi = n_lo + max(256, int(0.4 / est))
+
+    def make_loop(bn, bk):
+        def one(i, acc):
+            y = pq._qmm_2d_stacked(
+                x + acc[:, :1],  # serial dependency across reps
+                (i % L).astype(jnp.int32),
+                stacked.qweight,
+                stacked.scales,
+                stacked.zeros,
+                bits,
+                g,
+                K,
+                N,
+                planar=stacked.planar,
+                prefolded=True,
+                fuse_corr=stacked.planar,
+                bn_opt=bn,
+                bk_opt=bk,
+            )
+            return acc + 1e-9 * jnp.sum(y)[None, None]
+
+        return jax.jit(
+            lambda x0, n: jax.lax.fori_loop(
+                0, n, one, jnp.zeros((1, 1), jnp.float32)
+            )
+        )
 
     bn_cands = [b for b in (256, 512, 1024) if N % b == 0] or [0]
     bk_cands = [b for b in (1024, 2048, 4096) if b <= K] or [0]
@@ -214,32 +244,33 @@ def tune_stacked(
     for bn in bn_cands:
         for bk in bk_cands:
             try:
-                fn = lambda: pq._qmm_2d_stacked(  # noqa: E731
-                    x,
-                    jnp.int32(1),
-                    stacked.qweight,
-                    stacked.scales,
-                    stacked.zeros,
-                    bits,
-                    g,
-                    K,
-                    N,
-                    planar=stacked.planar,
-                    prefolded=True,
-                    fuse_corr=stacked.planar,
-                    bn_opt=bn,
-                    bk_opt=bk,
-                )
+                fn = make_loop(bn, bk)
                 fetch = lambda y: float(jnp.sum(y))  # noqa: E731
-                _time_once(fn, fetch)  # compile
-                ts = sorted(
-                    max(_time_once(fn, fetch) - rtt, 1e-9)
-                    for _ in range(repeats)
-                )
-                results[(bn, bk)] = ts[len(ts) // 2]
+                lo = jnp.int32(n_lo)
+                hi = jnp.int32(n_hi)
+                fetch(fn(x, hi))  # compile + warm
+                per_rep = []
+                for _ in range(repeats):
+                    t_lo = _time_once(lambda: fn(x, lo), fetch)
+                    t_hi = _time_once(lambda: fn(x, hi), fetch)
+                    per_rep.append((t_hi - t_lo) / (n_hi - n_lo))
+                per_rep.sort()
+                results[(bn, bk)] = max(per_rep[len(per_rep) // 2], 1e-9)
+                if os.environ.get("QLLM_TPU_AUTOTUNE_VERBOSE"):
+                    print(
+                        f"[autotune]   ({bn}, {bk}): "
+                        f"{bytes_per / results[(bn, bk)] / 1e9:.0f} GB/s",
+                        flush=True,
+                    )
             except Exception:
                 continue
     if not results:
         return (0, 0)
     best = min(results, key=results.get)
+    gbps = bytes_per / results[best] / 1e9
+    print(
+        f"[autotune] {K}x{N} w{bits}g{g} {_m_regime(M)}: best (bn, bk) = "
+        f"{best} ~{gbps:.0f} GB/s over {len(results)} candidates",
+        flush=True,
+    )
     return best
