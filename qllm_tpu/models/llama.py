@@ -397,6 +397,21 @@ def build_mask(
     return mask
 
 
+def _flash_prefill_ok(cfg, T: int, hd: int) -> bool:
+    """Route prefill through ops.pallas_attention.prefill_attention_flash
+    (blockwise causal, no O(T*S) logits materialization) when the shape
+    qualifies; the XLA path below remains the universal fallback (alibi
+    bias, narrow heads, tiny prompts)."""
+    import os as _os
+
+    return (
+        T >= int(_os.environ.get("QLLM_TPU_PREFILL_FLASH_MIN_T", "256"))
+        and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
+        and hd % 128 == 0  # lane-aligned head width
+        and _pallas_attn_enabled()
+    )
+
+
 def _attention(
     q: jax.Array,  # [B, T, H, hd]
     k: jax.Array,  # [B, S, Hkv, hd]
@@ -542,7 +557,20 @@ def _block_attn_mlp(
         else:
             cache = cache.update(layer_idx, k, v, pos)
             k_all, v_all = cache.layer_kv(layer_idx, dtype=h.dtype)
-            attn = _attention(q, k_all, v_all, mask, cfg.n_rep)
+            if _flash_prefill_ok(cfg, T, hd):
+                from ..ops.pallas_attention import prefill_attention_flash
+
+                attn = prefill_attention_flash(
+                    q, k_all, v_all, 0 if pos is None else pos, cfg.n_rep
+                ).astype(h.dtype)
+            else:
+                attn = _attention(q, k_all, v_all, mask, cfg.n_rep)
+    elif _flash_prefill_ok(cfg, T, hd):
+        from ..ops.pallas_attention import prefill_attention_flash
+
+        attn = prefill_attention_flash(
+            q, k, v, 0 if pos is None else pos, cfg.n_rep
+        ).astype(h.dtype)
     else:
         attn = _attention(q, k, v, mask, cfg.n_rep)
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["decode_attention_pallas"]
+__all__ = ["decode_attention_pallas", "prefill_attention_flash"]
 
 
 def _attn_kernel(
@@ -543,3 +543,291 @@ def decode_attention_pallas(
         interpret=jax.default_backend() == "cpu",
     )(lengths.astype(jnp.int32), qg, k_cache, v_cache, ks, vs)
     return out[:, :, :n_rep, :].reshape(B, H, d)
+
+
+# --------------------------------------------------------------------------
+# Flash prefill attention (T > 1): blockwise causal attention with online
+# softmax — the O(S^2)-logits-free prefill path. Float K/V (just-projected
+# activations or the dequantized cache), GQA-native: each program handles
+# one kv head's whole query group, so K/V are never jnp.repeat'ed.
+# --------------------------------------------------------------------------
+
+
+def _flash_prefill_kernel(
+    pos_ref,  # scalar prefetch: [B] query position offsets
+    svalid_ref,  # scalar prefetch: [1] true key count (S before padding)
+    q_ref,  # [1, bq, 1, n_rep, d] bf16 (pre-scaled by 1/sqrt(d))
+    k_ref,  # [1, 1, bs, d] bf16 (cache-native [B, Hkv, S, d] layout)
+    v_ref,  # [1, 1, bs, d] bf16
+    o_ref,  # [1, bq, 1, n_rep, d] f32
+    m_ref,  # scratch [R, 1] f32 running max, R = bq * n_rep
+    den_ref,  # scratch [R, 1] f32
+    acc_ref,  # scratch [R, d] f32
+    *,
+    bq: int,
+    bs: int,
+    n_rep: int,
+):
+    b = pl.program_id(0)
+    it = pl.program_id(2)
+    s = pl.program_id(3)
+    ns = pl.num_programs(3)
+    R = bq * n_rep
+    d = q_ref.shape[-1]
+    pos = pos_ref[b]
+    s_valid = svalid_ref[0]
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG)
+        den_ref[:] = jnp.zeros_like(den_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # causal block skip: the whole [bq, bs] tile is masked when its first
+    # key column is past the last query row's position
+    @pl.when(s * bs <= pos + it * bq + (bq - 1))
+    def _():
+        q = q_ref[0, :, 0].reshape(R, d)  # row r: query t = r // n_rep
+        k = k_ref[0, 0]  # [bs, d]
+        scores = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, bs]
+        row_t = it * bq + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 0
+        ) // n_rep
+        col = s * bs + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        valid = (col <= pos + row_t) & (col < s_valid)
+        scores = jnp.where(valid, scores, _NEG)
+
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, jnp.max(scores, axis=1, keepdims=True))
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(scores - m_new)
+        den_ref[:] = den_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, 0]  # [bs, d]
+        acc_ref[:] = acc_ref[:] * corr + jnp.dot(
+            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+        )
+        m_ref[:] = m_new
+
+    @pl.when(s == ns - 1)
+    def _():
+        o_ref[0, :, 0] = (acc_ref[:] / den_ref[:]).reshape(bq, n_rep, d)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rep",))
+def prefill_attention_flash(
+    q: jax.Array,  # [B, T, H, d]
+    k: jax.Array,  # [B, S, Hkv, d]
+    v: jax.Array,  # [B, S, Hkv, d]
+    pos,  # scalar or [B]: query t sits at absolute position pos + t
+    n_rep: int,
+) -> jax.Array:
+    """Blockwise causal prefill attention, numerics matching
+    models.llama._attention with build_mask's causal(+offset) mask:
+    key s is visible to query t iff s <= pos + t. Output [B, T, H, d]
+    f32. T and S are padded to block multiples internally (extra rows
+    are sliced off, extra key columns masked)."""
+    B, T, H, d = q.shape
+    S, Hkv = k.shape[1], k.shape[2]
+    bq = max(8, min(256, 512 // n_rep))
+    bs = 512 if S >= 512 else 256 if S >= 256 else 128
+    Tp = -(-T // bq) * bq
+    Sp = -(-S // bs) * bs
+    qg = (q.astype(jnp.float32) * (d**-0.5)).astype(jnp.bfloat16)
+    qg = qg.reshape(B, T, Hkv, n_rep, d)
+    if Tp != T:
+        qg = jnp.pad(qg, ((0, 0), (0, Tp - T), (0, 0), (0, 0), (0, 0)))
+    # kernel-side K/V layout is cache-native [B, Hkv, S, d]: Mosaic
+    # requires the last two block dims (>=8-sublane, 128-lane) — an
+    # [S, Hkv] ordering cannot tile per-head
+    kb = k.astype(jnp.bfloat16).transpose(0, 2, 1, 3)
+    vb = v.astype(jnp.bfloat16).transpose(0, 2, 1, 3)
+    if Sp != S:
+        pad = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
+        kb = jnp.pad(kb, pad)
+        vb = jnp.pad(vb, pad)
+    pos_b = jnp.broadcast_to(jnp.asarray(pos), (B,)).astype(jnp.int32)
+
+    qspec = pl.BlockSpec(
+        (1, bq, 1, n_rep, d),
+        lambda b, h, it, s, pos, sv: (b, it, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kvspec = pl.BlockSpec(
+        (1, 1, bs, d),
+        lambda b, h, it, s, pos, sv: (b, h, s, 0),
+        memory_space=pltpu.VMEM,
+    )
+    R = bq * n_rep
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, Tp // bq, Sp // bs),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+        scratch_shapes=[
+            pltpu.VMEM((R, 1), jnp.float32),
+            pltpu.VMEM((R, 1), jnp.float32),
+            pltpu.VMEM((R, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_prefill_kernel, bq=bq, bs=bs, n_rep=n_rep
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, Tp, Hkv, n_rep, d), jnp.float32
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel",
+                "parallel",
+                "parallel",
+                "arbitrary",
+            ),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(pos_b, jnp.asarray([S], jnp.int32), qg, kb, vb)
+    return out[:, :T].reshape(B, T, H, d)
+
+
+# --------------------------------------------------------------------------
+# Partial-stats decode attention: the sequence-parallel building block.
+# Returns UNNORMALIZED (acc, m, den) for this device's KV shard so a
+# log-sum-exp merge across the mesh's sequence axis (parallel.sp_attention)
+# reconstructs exact attention — SURVEY §5's "shard the quantized KV cache
+# and attention over the mesh" requirement.
+# --------------------------------------------------------------------------
+
+
+def _attn_kernel_stacked_partial(
+    lengths_ref,  # scalar prefetch: [B] LOCAL valid lengths (may be 0)
+    layer_ref,  # scalar prefetch: [1]
+    q_ref,  # [1, hb, n_rep_p, d] bf16 (pre-scaled)
+    k_ref,  # [1, 1, hb, S, d] int8
+    v_ref,
+    ks_ref,  # [1, 1, hb, 1, S] f32
+    vs_ref,
+    acc_ref,  # out [1, hb, n_rep_p, d] f32 — UNNORMALIZED sum(p·v)
+    m_ref,  # out [1, hb, n_rep_p, 1] f32 — local max score
+    den_ref,  # out [1, hb, n_rep_p, 1] f32 — local sum(exp)
+):
+    del layer_ref
+    b = pl.program_id(0)
+    length = lengths_ref[b]
+    hb = k_ref.shape[2]
+    for h in range(hb):
+        q = q_ref[0, h]  # [n_rep_p, d]
+        k = k_ref[0, 0, h].astype(jnp.bfloat16)  # [S, d]
+        ks = ks_ref[0, 0, h]  # [1, S]
+        scores = (
+            jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * ks
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        valid = col < length
+        scores = jnp.where(valid, scores, _NEG)
+        m = jnp.max(scores, axis=1, keepdims=True)  # _NEG when length==0
+        # explicit zeroing: when length==0, exp(scores - m) would be 1
+        p = jnp.exp(scores - m) * valid.astype(jnp.float32)
+        den = jnp.sum(p, axis=1, keepdims=True)
+        vs = vs_ref[0, 0, h]
+        pv = (p * vs).astype(jnp.bfloat16)
+        v = v_ref[0, 0, h].astype(jnp.bfloat16)
+        acc_ref[0, h] = jnp.dot(pv, v, preferred_element_type=jnp.float32)
+        m_ref[0, h] = m
+        den_ref[0, h] = den
+
+
+@functools.partial(jax.jit, static_argnames=())
+def decode_attention_partial(
+    q,  # [B, H, d]
+    k_cache,  # [L, B, Hkv, S, d] int8 (S = this device's shard)
+    v_cache,
+    k_scale,  # [L, B, Hkv, S] f32
+    v_scale,
+    lengths,  # [B] int32 LOCAL lengths into this shard (clipped, may be 0)
+    layer,
+):
+    """(acc [B,H,d], m [B,H,1], den [B,H,1]) partial attention stats over
+    a local KV shard; exact merge: out = Σ acc_i·e^(m_i−m) / Σ den_i·e^(m_i−m),
+    m = max_i m_i."""
+    B, H, d = q.shape
+    L, _, Hkv, S, _ = k_cache.shape
+    n_rep = H // Hkv
+    n_rep_p = max(8, ((n_rep + 7) // 8) * 8)
+    qg = q.astype(jnp.float32) * (d**-0.5)
+    qg = qg.reshape(B, Hkv, n_rep, d)
+    if n_rep_p != n_rep:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, n_rep_p - n_rep), (0, 0)))
+    qg = qg.astype(jnp.bfloat16)
+    ks = k_scale.reshape(L, B, Hkv, 1, S).astype(jnp.float32)
+    vs = v_scale.reshape(L, B, Hkv, 1, S).astype(jnp.float32)
+
+    hb = 1
+    for cand in (8, 4, 2):
+        if Hkv % cand == 0 and 2 * cand * S * d <= 2 * 1024 * 1024:
+            hb = cand
+            break
+
+    qspec = pl.BlockSpec(
+        (1, hb, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kvspec = pl.BlockSpec(
+        (1, 1, hb, S, d),
+        lambda b, h, lens, l: (l[0], b, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    scspec = pl.BlockSpec(
+        (1, 1, hb, 1, S),
+        lambda b, h, lens, l: (l[0], b, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv // hb),
+        in_specs=[qspec, kvspec, kvspec, scspec, scspec],
+        out_specs=[
+            qspec,
+            pl.BlockSpec(
+                (1, hb, n_rep_p, 1), lambda b, h, *_: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hb, n_rep_p, 1), lambda b, h, *_: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    acc, m, den = pl.pallas_call(
+        _attn_kernel_stacked_partial,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, n_rep_p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, n_rep_p, 1), jnp.float32),
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(
+        lengths.astype(jnp.int32),
+        jnp.asarray([layer], jnp.int32),
+        qg,
+        k_cache,
+        v_cache,
+        ks,
+        vs,
+    )
+    acc = acc[:, :, :n_rep, :].reshape(B, H, d)
+    m = m[:, :, :n_rep, :].reshape(B, H, 1)
+    den = den[:, :, :n_rep, :].reshape(B, H, 1)
+    return acc, m, den

@@ -247,3 +247,91 @@ def test_decode_loop_fused_kv_matches_unfused(monkeypatch):
     cache = make_cache(CFG, 1, 64, quantized_kv=True)
     t1, _ = decode_loop(params, CFG, token, cache, jnp.int32(0), 8)
     np.testing.assert_array_equal(t0, np.asarray(t1))
+
+
+def _ref_prefill(q, k, v, pos, n_rep):
+    """Causal-with-offset reference: key s visible to query t iff
+    s <= pos[b] + t (matches models.llama.build_mask)."""
+    B, T, H, d = q.shape
+    S = k.shape[1]
+    kk = np.repeat(k, n_rep, axis=2)
+    vv = np.repeat(v, n_rep, axis=2)
+    logits = np.einsum("bthd,bshd->bhts", q, kk) / np.sqrt(d)
+    t = np.arange(T)[:, None]
+    s = np.arange(S)[None, :]
+    out = np.zeros((B, T, H, d), np.float32)
+    for b in range(B):
+        m = np.where(s <= pos[b] + t, 0.0, -np.inf)
+        lg = logits[b] + m
+        p = np.exp(lg - lg.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        out[b] = np.einsum("hts,shd->thd", p, vv[b])
+    return out
+
+
+@pytest.mark.parametrize(
+    "B,T,S,Hkv,n_rep,pos",
+    [
+        (2, 64, 64, 2, 1, [0, 0]),
+        (1, 100, 100, 2, 4, [0]),  # T, S not block multiples (padding)
+        (2, 16, 160, 2, 2, [100, 37]),  # cache-style offsets, S > T
+    ],
+)
+def test_flash_prefill_matches_reference(B, T, S, Hkv, n_rep, pos):
+    from qllm_tpu.ops.pallas_attention import prefill_attention_flash
+
+    rng = np.random.default_rng(3)
+    H, d = Hkv * n_rep, 128
+    q = rng.normal(size=(B, T, H, d)).astype(np.float32)
+    k = rng.normal(size=(B, S, Hkv, d)).astype(np.float32)
+    v = rng.normal(size=(B, S, Hkv, d)).astype(np.float32)
+    out = np.asarray(
+        prefill_attention_flash(
+            jnp.asarray(q),
+            jnp.asarray(k),
+            jnp.asarray(v),
+            jnp.asarray(pos, jnp.int32),
+            n_rep,
+        )
+    )
+    ref = _ref_prefill(q, k, v, pos, n_rep)
+    np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_model_prefill_with_flash_matches_xla(monkeypatch):
+    """Full model prefill with the flash path forced on vs the XLA
+    mask-based path — logits must agree."""
+    from qllm_tpu.models.llama import ModelConfig, forward, init_params
+    from qllm_tpu.models.generate import make_cache
+
+    cfg = ModelConfig(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=2,  # hd = 128 (flash gate needs 128-lane heads)
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = init_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 48)), jnp.int32)
+
+    lx, _ = forward(params, cfg, tokens, None, pos=None)
+
+    monkeypatch.setenv("QLLM_TPU_FORCE_PALLAS_ATTN", "1")
+    monkeypatch.setenv("QLLM_TPU_PREFILL_FLASH_MIN_T", "8")
+    lf, _ = forward(params, cfg, tokens, None, pos=None)
+    np.testing.assert_allclose(
+        np.asarray(lf), np.asarray(lx), atol=5e-2, rtol=5e-2
+    )
+
+    # cache-prefill route (chunked admission): T > 1 with a cache
+    cache = make_cache(cfg, 2, 64, quantized_kv=False)
+    lc, _ = forward(params, cfg, tokens, cache, pos=jnp.int32(0))
+    monkeypatch.delenv("QLLM_TPU_FORCE_PALLAS_ATTN")
+    monkeypatch.delenv("QLLM_TPU_PREFILL_FLASH_MIN_T")
+    lc_ref, _ = forward(params, cfg, tokens, cache, pos=jnp.int32(0))
+    np.testing.assert_allclose(
+        np.asarray(lc), np.asarray(lc_ref), atol=5e-2, rtol=5e-2
+    )
