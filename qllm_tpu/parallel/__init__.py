@@ -1,6 +1,7 @@
 from .mesh import make_mesh
 from .sharding import shard_params, shard_cache, param_pspecs, cache_pspec
 from .distributed import initialize_distributed, make_pod_mesh, is_multihost
+from .sp_attention import sp_decode_attention, sp_cache_pspecs
 from .tp_step import (
     make_tp_decode_loop,
     prepare_tp_params,
@@ -19,6 +20,8 @@ __all__ = [
     "initialize_distributed",
     "make_pod_mesh",
     "is_multihost",
+    "sp_decode_attention",
+    "sp_cache_pspecs",
     "make_tp_decode_loop",
     "prepare_tp_params",
     "place_tp",

@@ -143,3 +143,51 @@ def test_stacked_params_sharded_decode():
         atol=3e-2,
         rtol=3e-2,
     )
+
+
+def test_sequence_parallel_decode_attention():
+    """KV cache sharded on the sequence axis over 4 devices: the
+    log-sum-exp merge of per-shard Pallas partials must match the
+    single-device fused kernel AND the float reference."""
+    from jax.sharding import Mesh
+
+    from qllm_tpu.ops.pallas_attention import decode_attention_pallas
+    from qllm_tpu.parallel import sp_cache_pspecs, sp_decode_attention
+
+    rng = np.random.default_rng(11)
+    L, B, Hkv, S, d, n_rep = 2, 2, 2, 512, 128, 2
+    H = Hkv * n_rep
+    q = rng.normal(size=(B, H, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (L, B, Hkv, S, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (L, B, Hkv, S, d)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (L, B, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (L, B, Hkv, S)).astype(np.float32)
+    # 100: mid-shard-0; 384: exactly 3 shards; 509: last shard partial
+    lengths = np.array([100, 509], np.int32)
+    layer = jnp.int32(1)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    kv_spec, sc_spec = sp_cache_pspecs("sp")
+    kc = jax.device_put(jnp.asarray(k), NamedSharding(mesh, kv_spec))
+    vc = jax.device_put(jnp.asarray(v), NamedSharding(mesh, kv_spec))
+    kss = jax.device_put(jnp.asarray(ks), NamedSharding(mesh, sc_spec))
+    vss = jax.device_put(jnp.asarray(vs), NamedSharding(mesh, sc_spec))
+
+    out = np.asarray(
+        sp_decode_attention(
+            jnp.asarray(q), kc, vc, kss, vss,
+            jnp.asarray(lengths), layer, mesh,
+        )
+    )
+    single = np.asarray(
+        decode_attention_pallas(
+            jnp.asarray(q),
+            jnp.asarray(k),
+            jnp.asarray(v),
+            jnp.asarray(ks),
+            jnp.asarray(vs),
+            jnp.asarray(lengths),
+            layer=layer,
+        )
+    )
+    np.testing.assert_allclose(out, single, atol=2e-2, rtol=2e-2)
