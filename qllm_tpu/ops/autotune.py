@@ -30,6 +30,32 @@ __all__ = ["lookup", "tune_stacked", "cache_path", "clear_cache"]
 
 _MEM: Dict[str, Tuple[int, int]] = {}
 _LOADED = False
+_SHIPPED: Optional[Dict[str, Tuple[int, int]]] = None
+
+
+def _shipped() -> Dict[str, Tuple[int, int]]:
+    """Pre-tuned (bn, bk) tables shipped with the package, keyed by
+    device kind — sweep results for the common serving shapes measured
+    once on real hardware (tools/sweep output), so serving gets tuned
+    block sizes without ever running the sweep. The on-disk user cache
+    and env overrides both take precedence."""
+    global _SHIPPED
+    if _SHIPPED is not None:
+        return _SHIPPED
+    _SHIPPED = {}
+    try:
+        import jax
+
+        dev = jax.devices()[0].device_kind.replace(" ", "_")
+        path = os.path.join(
+            os.path.dirname(__file__), "tuned_defaults.json"
+        )
+        with open(path) as f:
+            table = json.load(f).get(dev, {})
+        _SHIPPED = {k: tuple(v) for k, v in table.items()}
+    except Exception:
+        pass
+    return _SHIPPED
 
 
 def cache_path() -> str:
@@ -92,6 +118,9 @@ def lookup(
     _load()
     key = _key(kind, K, N, bits, g, M)
     hit = _MEM.get(key)
+    if hit is not None:
+        return hit
+    hit = _shipped().get(key)
     if hit is not None:
         return hit
     if os.environ.get("QLLM_TPU_AUTOTUNE") != "1":

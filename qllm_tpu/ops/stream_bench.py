@@ -1,0 +1,139 @@
+"""Read-only HBM streaming microbench over packed-weight blocks.
+
+Measures the PRACTICAL bandwidth ceiling for the stacked qmm kernels'
+exact access pattern (same block shapes, same scalar-prefetch layer
+select): a kernel that only reads and reduces the packed words, doing
+no dequant or matmul. The paper HBM number (819 GB/s on v5e) is not
+reachable for this pattern — achieved/practical is the honest
+efficiency metric for the serving kernels (bench.py reports it as
+``vs_practical``). Extracted from tools/microbench_qmm.py so bench.py
+and the tools share one implementation.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["stream_pass_seconds", "measure_stream_gbps"]
+
+
+def _stream_kernel(layer_ref, qw_ref, out_ref, acc_ref):
+    del layer_ref
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # touch every word: one add per block row-chunk; reduce to [8, bn]
+    qw = pltpu.bitcast(qw_ref[0], jnp.int32)
+    r = qw.shape[0]
+    acc = acc_ref[:]
+    step = max(8, r // 8)
+    s = jnp.zeros((8, qw.shape[1]), jnp.int32)
+    for i in range(0, r, step):
+        s = s + jnp.sum(
+            qw[i : i + step].reshape(8, -1, qw.shape[1]), axis=1
+        )
+    acc_ref[:] = acc + s.astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def stream_pass_seconds(qweight, bk: int, bn: int, pf: int = 8, iters: int = 512):
+    """Seconds for one read-only pass over one layer's blocks of the
+    packed [L, K/pf, N] stack, layer-selected by scalar prefetch exactly
+    like the real kernel (the layer cycles per iteration so XLA cannot
+    CSE). ``iters`` chained passes run inside one jit so tunnel RTT
+    amortizes away."""
+    Lw, rows, N = qweight.shape
+    K = rows * pf
+    grid = (1, N // bn, K // bk)
+
+    def call(layer):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, bk // pf, bn),
+                    lambda i, j, k, l: (l[0], k, j),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (8, bn), lambda i, j, k, l: (0, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((8, bn), jnp.float32)],
+        )
+        return pl.pallas_call(
+            _stream_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(jnp.asarray([layer], jnp.int32), qweight)
+
+    def one(i, carry):
+        layer, acc = carry
+        out = call(layer)
+        # the acc summand keeps every kernel call live (a `0 * out`
+        # dependency gets algebraically simplified away and the whole
+        # pallas_call dead-code-eliminated under a traced-bound loop)
+        return (layer + 1) % Lw, acc + jnp.sum(out[0]) * 1e-30
+
+    # slope timing (same rationale as ops.autotune.tune_stacked): chain n
+    # passes inside ONE jit with a TRACED bound and difference a short
+    # and a long run — constant fetch/tunnel overhead cancels exactly
+    @jax.jit
+    def loop(l0, n):
+        _, acc = jax.lax.fori_loop(0, n, one, (l0, jnp.float32(0)))
+        return acc
+
+    l0 = jnp.int32(0)
+    n_lo, n_hi = jnp.int32(iters // 8), jnp.int32(iters)
+    float(loop(l0, n_hi))  # compile + warm
+    per = []
+    for _ in range(3):
+        t0 = time.time()
+        float(loop(l0, n_lo))
+        t_lo = time.time() - t0
+        t0 = time.time()
+        float(loop(l0, n_hi))
+        t_hi = time.time() - t0
+        per.append((t_hi - t_lo) / (iters - iters // 8))
+    per.sort()
+    return max(per[1], 1e-12)
+
+
+def measure_stream_gbps(
+    K: int = 4096,
+    N: int = 22016,
+    bk: int = 4096,
+    bn: int = 1024,
+    L: int = 4,
+    iters: int = 4096,
+) -> float:
+    """Practical streaming GB/s for a W4 [K, N] packed stack (default:
+    the 7B gate_up geometry, the byte-dominant serving shape, read in
+    2 MB blocks — the fastest measured config on v5e, ~742 GB/s = 91%
+    of the 819 paper number; smaller blocks stream meaningfully slower,
+    e.g. 1 MB → ~550)."""
+    rng = np.random.default_rng(0)
+    qw = jnp.asarray(
+        rng.integers(0, 255, (L, K // 8, N), dtype=np.uint8).astype(np.int32),
+        jnp.int32,
+    )
+    sec = stream_pass_seconds(qw, bk=bk, bn=bn, pf=8, iters=iters)
+    return K * N * 4 / 8 / sec / 1e9

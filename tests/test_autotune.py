@@ -43,6 +43,25 @@ def test_env_override_wins(monkeypatch, tmp_path):
     assert at.lookup("stacked", 4096, 11264, 4, 128, 8) == (0, 0)
 
 
+def test_shipped_defaults_consulted_on_miss(monkeypatch, tmp_path):
+    _reset(monkeypatch, tmp_path)
+    key = at._key("stacked", 4096, 22016, 4, 128, 8)
+    monkeypatch.setattr(at, "_SHIPPED", {key: (256, 2048)})
+    assert at.lookup("stacked", 4096, 22016, 4, 128, 8) == (256, 2048)
+    # different shape: falls through to heuristics
+    assert at.lookup("stacked", 4096, 5120, 4, 128, 8) == (0, 0)
+
+
+def test_user_cache_beats_shipped(monkeypatch, tmp_path):
+    _reset(monkeypatch, tmp_path)
+    key = at._key("stacked", 4096, 22016, 4, 128, 8)
+    monkeypatch.setattr(at, "_SHIPPED", {key: (256, 2048)})
+    os.makedirs(os.path.dirname(at.cache_path()), exist_ok=True)
+    with open(at.cache_path(), "w") as f:
+        json.dump({key: [512, 4096]}, f)
+    assert at.lookup("stacked", 4096, 22016, 4, 128, 8) == (512, 4096)
+
+
 def test_save_roundtrip(monkeypatch, tmp_path):
     _reset(monkeypatch, tmp_path)
     at._MEM[at._key("stacked", 128, 256, 4, 64, 8)] = (256, 1024)

@@ -44,83 +44,12 @@ M = int(os.environ.get("QLLM_MB_M", "8"))
 L = 4  # stacked depth (any small value; kernel reads one layer)
 
 
-def _stream_kernel(layer_ref, qw_ref, out_ref, acc_ref):
-    del layer_ref
-    k = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    # touch every word: one add per block row-chunk; reduce to [8, bn]
-    qw = pltpu.bitcast(qw_ref[0], jnp.int32)
-    r = qw.shape[0]
-    acc = acc_ref[:]
-    step = max(8, r // 8)
-    s = jnp.zeros((8, qw.shape[1]), jnp.int32)
-    for i in range(0, r, step):
-        s = s + jnp.sum(
-            qw[i : i + step].reshape(8, -1, qw.shape[1]), axis=1
-        )
-    acc_ref[:] = acc + s.astype(jnp.float32)
-
-    @pl.when(k == nk - 1)
-    def _():
-        out_ref[:] = acc_ref[:]
-
-
 def stream_time(qweight, bk, bn, pf=8):
-    """Time a read-only pass over one layer's blocks of the packed
-    stack, layer-selected by scalar prefetch exactly like the real
-    kernel (the layer cycles per iteration so XLA cannot CSE)."""
-    Lw, rows, N = qweight.shape
-    K = rows * pf
-    grid = (1, N // bn, K // bk)
+    """Read-only streaming ceiling for this block pattern (delegates to
+    qllm_tpu.ops.stream_bench — one shared implementation with bench.py)."""
+    from qllm_tpu.ops.stream_bench import stream_pass_seconds
 
-    def call(l):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, bk // pf, bn),
-                    lambda i, j, k, l: (l[0], k, j),
-                    memory_space=pltpu.VMEM,
-                )
-            ],
-            out_specs=pl.BlockSpec(
-                (8, bn), lambda i, j, k, l: (0, j), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[pltpu.VMEM((8, bn), jnp.float32)],
-        )
-        return pl.pallas_call(
-            _stream_kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((8, N), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
-            ),
-        )(jnp.asarray([l], jnp.int32), qweight)
-
-    def one(l, _):
-        out = call(l)
-        return (l + 1 + 0 * out.astype(jnp.int32)[0, 0]) % Lw, None
-
-    @jax.jit
-    def loop(l0):
-        l, _ = jax.lax.scan(one, l0, None, length=ITERS)
-        return l
-
-    l0 = jnp.int32(0)
-    np.asarray(loop(l0))  # compile
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        np.asarray(loop(l0))
-        best = min(best, time.time() - t0)
-    traced = trace_op_us(lambda: np.asarray(loop(l0)))
-    return best / ITERS, traced
+    return stream_pass_seconds(qweight, bk, bn, pf=pf, iters=ITERS), {}
 
 
 def kernel_time(fn, x, *args):
