@@ -37,7 +37,7 @@ _COL = (
     # column-concatenations of column-parallel matrices — still
     # column-parallel under GSPMD (XLA handles any boundary misalignment)
     "qkv_proj",
-    "gate_up_proj",
+    "gateup_proj",
 )
 _ROW = ("o_proj", "down_proj")
 

@@ -132,6 +132,8 @@ def test_stacked_params_sharded_decode():
         # stacking fuses q/k/v into qkv_proj (models.stacked._FUSE_GROUPS)
         qt = sp["layers"]["qkv_proj"]
         assert qt.qweight.sharding.spec == P(None, None, "tp")
+        gu = sp["layers"]["gateup_proj"]
+        assert gu.qweight.sharding.spec == P(None, None, "tp")
         sc = shard_cache(cache, mesh)
         st = jax.device_put(tok, NamedSharding(mesh, P("dp", None)))
         logits_dist, _ = jax.jit(
