@@ -868,6 +868,12 @@ def _qmm_2d_stacked(
         if fuse_corr and not prefolded:
             raise ValueError("fuse_corr requires prefolded zeros (zs)")
         bkp = planar_bk(K, g, bk_target)
+        if bkp is None:
+            # a tuned/env bk below the geometry's quantum (lcm(256, 16g))
+            # admits no block — fall back to the largest admissible one
+            # rather than failing (tuned picks are swept on the
+            # fused-correction path, whose full-K variant ignores bk)
+            bkp = planar_bk(K, g, K)
         full_bytes = (K // 8) * bn * 4
         use_full = (
             fuse_corr
@@ -1211,12 +1217,13 @@ def qmatmul_pallas_stacked(
             K, qt_stacked.group_size
         )
     elif ok and qt_stacked.planar:
-        bk_t = int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
         bn_t = _pick_block(
             N_buf, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512"))
         )
         full_max = int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
-        ok = planar_bk(K, g, bk_t) is not None or (
+        # geometry admissibility only: _qmm_2d_stacked falls back to the
+        # largest admissible k-block when the tuned/env target is too small
+        ok = planar_bk(K, g, K) is not None or (
             fuse_env
             and planar_full_ok(K, g)
             and (K // 8) * bn_t * 4 <= full_max

@@ -195,6 +195,49 @@ def test_planar_stacked_matches_ref(monkeypatch):
         np.testing.assert_allclose(y, y_ref, atol=2e-2, rtol=2e-2)
 
 
+def test_planar_stacked_inadmissible_tuned_bk_falls_back(monkeypatch):
+    """A tuned bk below the planar quantum (lcm(256, 16g)) must degrade
+    to the largest admissible k-block, not raise (regression: the shipped
+    (bn=512, bk=1024) pick for 4096x22016 crashed f32-scale planar
+    serving, where fuse_corr's full-K path is unavailable)."""
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    import dataclasses
+
+    from qllm_tpu.ops import autotune
+    from qllm_tpu.ops.pallas_qmm import planar_bk, qmatmul_pallas_stacked
+    from qllm_tpu.quant.qtensor import planarize_packed
+
+    K, N, g, L, M = 2048, 256, 128, 2, 4
+    # quantum = lcm(256, 16*128) = 2048 -> bk=1024 admits no block
+    assert planar_bk(K, g, 1024) is None and planar_bk(K, g, K) == 2048
+    monkeypatch.setattr(autotune, "lookup", lambda *a, **k: (256, 1024))
+    rng = np.random.default_rng(13)
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
+            bits=4,
+            group_size=g,
+        )
+        for _ in range(L)
+    ]
+    import jax.tree_util as tu
+
+    stacked = tu.tree_map(lambda *xs: jnp.stack(xs), *qts)
+    stacked = dataclasses.replace(
+        stacked,
+        qweight=jnp.stack(
+            [planarize_packed(stacked.qweight[i], K) for i in range(L)]
+        ),
+        scales=stacked.scales.astype(jnp.float32),
+        zeros=stacked.zeros.astype(jnp.float32),
+        planar=True,
+    )
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    y = np.asarray(qmatmul_pallas_stacked(x, stacked, jnp.int32(0)))
+    y_ref = np.asarray(qmatmul_ref(x, qts[0]))
+    np.testing.assert_allclose(y, y_ref, atol=2e-2, rtol=2e-2)
+
+
 @pytest.mark.parametrize("bits", [3, 5, 6, 7])
 @pytest.mark.parametrize("fuse", [False, True])
 def test_odd_bit_stacked_kernel_matches_ref(monkeypatch, bits, fuse):

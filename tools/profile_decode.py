@@ -53,7 +53,13 @@ def main():
     )
     jax.block_until_ready(params["layers"][-1]["down_proj"].qweight)
     log(f"params in {time.time()-t0:.1f}s")
-    params = stack_layer_params(params)
+    # match the serving/bench defaults (bf16 scale storage enables the
+    # fused-correction kernels) so the profile reflects the real path
+    scales_bf16 = os.environ.get("QLLM_TPU_SCALES_BF16", "1") != "0"
+    params = stack_layer_params(
+        params,
+        scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
+    )
 
     cache = make_cache(cfg, 1, 256, quantized_kv=True)
     token = jnp.ones((1, 1), jnp.int32)
