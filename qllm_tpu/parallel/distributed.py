@@ -106,16 +106,30 @@ def make_pod_mesh(
             raise ValueError(
                 f"tp={tp} must divide into whole hosts (local={n_local})"
             )
-        from jax.experimental import mesh_utils
-
         # ici (per-host) shape x dcn (cross-host) shape, axes (dp, tp)
         ici_dp = max(1, n_local // tp)
         dcn_dp = dp // ici_dp
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(ici_dp, min(tp, n_local)),
-            dcn_mesh_shape=(dcn_dp, max(1, tp // n_local)),
-            devices=jax.devices(),
+        slices = {getattr(d, "slice_index", None) for d in jax.devices()}
+        if len(slices) == dcn_dp * max(1, tp // n_local) and None not in (
+            slices
+        ):
+            # true multislice: respect physical ICI topology per slice
+            from jax.experimental import mesh_utils
+
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(ici_dp, min(tp, n_local)),
+                dcn_mesh_shape=(dcn_dp, max(1, tp // n_local)),
+                devices=jax.devices(),
+            )
+            return Mesh(devices, ("dp", "tp"))
+        # single slice spanning hosts (slice_index uniform/absent — also
+        # CPU/GPU process fleets): group by process so each host's
+        # devices stay contiguous along tp; dp walks hosts first, so
+        # cross-host traffic is dp-only (batch activations)
+        devs = sorted(
+            jax.devices(), key=lambda d: (d.process_index, d.id)
         )
-        return Mesh(devices, ("dp", "tp"))
+        grid = np.asarray(devs).reshape(n_hosts * ici_dp, min(tp, n_local))
+        return Mesh(grid.reshape(dp, tp), ("dp", "tp"))
     arr = np.asarray(jax.devices()[:n_total]).reshape(dp, tp)
     return Mesh(arr, ("dp", "tp"))
