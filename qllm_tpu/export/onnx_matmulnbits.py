@@ -101,12 +101,12 @@ def matmulnbits_node(
     return node, inits
 
 
-def build_matmulnbits_model(
+def build_matmulnbits_graph(
     qts: Dict[str, QuantizedTensor],
     act_dtype: int = DT.FLOAT16,
     graph_name: str = "qllm_tpu_matmulnbits",
-) -> bytes:
-    """ModelProto bytes with one MatMulNBits node per linear.
+) -> GraphProto:
+    """GraphProto with one MatMulNBits node per linear.
 
     All linears sharing an in_features get a shared graph input
     ``x_{K}`` with symbolic batch dim; each node writes its own output
@@ -129,14 +129,24 @@ def build_matmulnbits_model(
                 f"{name}.out", act_dtype, ["batch", qt.out_features]
             )
         )
-    graph = GraphProto(
+    return GraphProto(
         name=graph_name,
         nodes=nodes,
         inputs=list(inputs.values()),
         outputs=outputs,
         initializers=inits,
     )
-    return ModelProto(graph).encode()
+
+
+def build_matmulnbits_model(
+    qts: Dict[str, QuantizedTensor],
+    act_dtype: int = DT.FLOAT16,
+    graph_name: str = "qllm_tpu_matmulnbits",
+) -> bytes:
+    """ModelProto bytes form of build_matmulnbits_graph."""
+    return ModelProto(
+        build_matmulnbits_graph(qts, act_dtype, graph_name)
+    ).encode()
 
 
 def export_linears_onnx(

@@ -125,6 +125,7 @@ class AttributeProto:
     f: Optional[float] = None
     s: Optional[str] = None
     ints: Optional[List[int]] = None
+    g: Optional["GraphProto"] = None  # subgraph (If branches)
 
     def encode(self) -> bytes:
         out = _f_str(1, self.name)
@@ -138,6 +139,8 @@ class AttributeProto:
             for v in self.ints:
                 out += _f_varint(8, v)
             out += _f_varint(20, 7)  # INTS
+        elif self.g is not None:
+            out += _f_bytes(6, self.g.encode()) + _f_varint(20, 5)  # GRAPH
         else:
             raise ValueError(f"empty attribute {self.name}")
         return out
@@ -281,6 +284,8 @@ def _parse_attr(buf: bytes) -> Dict:
             a["f"] = val
         elif fnum == 4:
             a["s"] = val.decode()
+        elif fnum == 6:
+            a["g"] = _parse_graph(val)
         elif fnum == 8:
             a["ints"].append(val)
         elif fnum == 20:
@@ -343,10 +348,26 @@ def _parse_graph(buf: bytes) -> Dict:
 
 
 def _parse_vi(buf: bytes) -> Dict:
-    v: Dict = {}
+    v: Dict = {"shape": []}
     for fnum, _, val in _fields(buf):
         if fnum == 1:
             v["name"] = val.decode()
+        elif fnum == 2:  # TypeProto
+            for f2, _, v2 in _fields(val):
+                if f2 != 1:  # tensor_type
+                    continue
+                for f3, _, v3 in _fields(v2):
+                    if f3 == 1:
+                        v["elem_type"] = v3
+                    elif f3 == 2:  # TensorShapeProto
+                        for f4, _, v4 in _fields(v3):
+                            if f4 != 1:  # Dimension
+                                continue
+                            for f5, _, v5 in _fields(v4):
+                                if f5 == 1:
+                                    v["shape"].append(v5)
+                                elif f5 == 2:
+                                    v["shape"].append(v5.decode())
     return v
 
 

@@ -125,3 +125,121 @@ def test_onnx_checker_when_available():
     data = build_matmulnbits_model({"w": _qt()})
     m = onnx.load_from_string(data)
     onnx.checker.check_model(m)
+
+
+# ---------------------------------------------------------------------------
+# merge_decoders: If-node fusion of prefill + with-past graphs
+# (reference: qllm/utils/onnx/merge_encoder_decoder.py merge_decoders)
+# ---------------------------------------------------------------------------
+
+
+def _two_phase_graphs():
+    """Prefill and with-past MatMulNBits graphs over the SAME weights,
+    with an extra past input + a small int64 position initializer on the
+    with-past side (shape of the reference's decoder pair)."""
+    from qllm_tpu.export.onnx_matmulnbits import build_matmulnbits_graph
+    from qllm_tpu.export.onnx_proto import NodeProto, TensorProto, ValueInfoProto
+
+    qts = {"q_proj": _qt(seed=1), "k_proj": _qt(seed=2)}
+    prefill = build_matmulnbits_graph(qts, graph_name="decoder")
+    with_past = build_matmulnbits_graph(qts, graph_name="decoder_with_past")
+    with_past.inputs.append(
+        ValueInfoProto("past_key", DT.FLOAT16, ["batch", "past_len", 64])
+    )
+    with_past.initializers.append(
+        TensorProto("pos_step", np.asarray([1], np.int64))
+    )
+    # consume the extras so they are live edges, matching real graphs
+    with_past.nodes.append(
+        NodeProto(
+            op_type="Shape",
+            name="past_shape",
+            inputs=["past_key", "pos_step"],
+            outputs=["unused_shape"],
+        )
+    )
+    return prefill, with_past
+
+
+def test_merge_decoders_structure():
+    from qllm_tpu.export.onnx_merge import merge_decoders
+
+    prefill, with_past = _two_phase_graphs()
+    data = merge_decoders(prefill, with_past, graph_name="merged")
+    m = parse_model(data)
+    g = m["graph"]
+    # parent graph: exactly one If node switching on use_cache_branch
+    assert [n["op_type"] for n in g["nodes"]] == ["If"]
+    if_node = g["nodes"][0]
+    assert if_node["inputs"] == ["use_cache_branch"]
+    assert sorted(if_node["outputs"]) == ["k_proj.out", "q_proj.out"]
+    names = [v["name"] for v in g["inputs"]]
+    assert names[-1] == "use_cache_branch"
+    assert "past_key" in names and "x_128" in names
+    assert names.count("x_128") == 1  # union, not concat
+
+    then_b = if_node["attributes"]["then_branch"]["g"]
+    else_b = if_node["attributes"]["else_branch"]["g"]
+    assert {n["op_type"] for n in then_b["nodes"]} == {"MatMulNBits", "Shape"}
+    assert {n["op_type"] for n in else_b["nodes"]} == {"MatMulNBits"}
+    # branch subgraphs capture the parent scope: no own inputs
+    assert then_b["inputs"] == [] and else_b["inputs"] == []
+
+
+def test_merge_decoders_dedups_weights():
+    from qllm_tpu.export.onnx_merge import merge_decoders
+
+    from qllm_tpu.export.onnx_proto import ModelProto
+
+    prefill, with_past = _two_phase_graphs()
+    raw1 = len(prefill.initializers) + len(with_past.initializers)
+    # sizes BEFORE the merge consumes the graphs (it hoists initializers)
+    standalone = len(ModelProto(prefill).encode()) + len(
+        ModelProto(with_past).encode()
+    )
+    data = merge_decoders(prefill, with_past)
+    m = parse_model(data)
+    g = m["graph"]
+    if_node = g["nodes"][0]
+    then_b = if_node["attributes"]["then_branch"]["g"]
+    else_b = if_node["attributes"]["else_branch"]["g"]
+    # the 6 shared weight tensors hoisted ONCE into the parent
+    assert len(g["initializers"]) == 6
+    assert raw1 == 6 * 2 + 1
+    # small int64 control tensor stays in its branch (readability +
+    # onnxruntime-optimizer rule the reference follows)
+    assert list(then_b["initializers"]) == ["pos_step"]
+    assert list(else_b["initializers"]) == []
+    # merged bytes ~ half of two standalone models: dedup is real
+    assert len(data) < standalone  # strictly smaller even with If wrapper
+
+
+def test_merge_decoders_renames_colliding_initializers():
+    """Same name, different content across branches -> the second gets a
+    suffixed parent name and node inputs are rewritten."""
+    from qllm_tpu.export.onnx_merge import merge_decoders
+    from qllm_tpu.export.onnx_matmulnbits import build_matmulnbits_graph
+
+    g1 = build_matmulnbits_graph({"w": _qt(seed=3)}, graph_name="a")
+    g2 = build_matmulnbits_graph({"w": _qt(seed=4)}, graph_name="b")
+    data = merge_decoders(g1, g2)
+    g = parse_model(data)["graph"]
+    names = set(g["initializers"])
+    assert "w.qweight" in names
+    assert any(n.startswith("w.qweight_merged_") for n in names)
+    if_node = g["nodes"][0]
+    then_b = if_node["attributes"]["then_branch"]["g"]
+    mm = [n for n in then_b["nodes"] if n["op_type"] == "MatMulNBits"][0]
+    assert mm["inputs"][1] in names  # rewritten to the parent name
+
+
+def test_merge_decoders_checker_when_available():
+    onnx = pytest.importorskip("onnx")
+    from qllm_tpu.export.onnx_merge import merge_decoders
+
+    prefill, with_past = _two_phase_graphs()
+    # drop the fake Shape node (invalid arity) for the strict checker
+    with_past.nodes = with_past.nodes[:-1]
+    with_past.initializers = with_past.initializers[:-1]
+    data = merge_decoders(prefill, with_past)
+    onnx.checker.check_model(onnx.load_from_string(data))
