@@ -20,6 +20,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def log(*a):
@@ -143,12 +144,19 @@ def main():
     # quantized lm_head (default on): the dense head costs ~0.37 ms/token
     # of pure HBM read on 7B — packing it is a straight serving win
     q_head = os.environ.get("QLLM_BENCH_QLMHEAD", "1") != "0"
+    max_seq = 256
+    prefill_len = 128
     params = random_quantized_params(
         cfg, jax.random.key(0), bits=4, group_size=128, quantize_lm_head=q_head
     )
     jax.block_until_ready(params["layers"][-1]["down_proj"].qweight)
     log(f"[bench] params materialized in {time.time() - t0:.1f}s")
-    bytes_params = params  # per-layer list view for byte accounting
+    # byte accounting BEFORE stacking (the stacked copies are padded;
+    # the roofline counts logical checkpoint bytes) — and compute it NOW
+    # so the original per-layer list can be dropped: keeping it alive
+    # through the first decode dispatch doubles params-resident HBM and
+    # has OOM'd 7B when stacking transients peak on top of it
+    bpt = model_bytes_per_token(params, cfg, prefill_len + steps // 2, batch)
     # scan-over-layers: one compiled layer body instead of L unrolled.
     # bf16 scale storage (default on): halves scale/zs bytes; requires
     # the fused-correction kernels, which are the serving default.
@@ -156,7 +164,22 @@ def main():
     params = stack_layer_params(
         params,
         scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
+        sync_per_leaf=backend != "cpu",  # bound stacking transients
+        consume=True,  # free original per-layer buffers progressively
     )
+    if q_head:
+        # serve the head through the planar stacked kernel too (L=1
+        # stack): ~740 vs ~650 GB/s, plus lane padding to a tuned width
+        from qllm_tpu.models.stacked import prepare_lm_head
+        from qllm_tpu.quant.qtensor import QuantizedTensor
+
+        if isinstance(params.get("lm_head"), QuantizedTensor):
+            params["lm_head"] = prepare_lm_head(
+                params["lm_head"],
+                scale_store_dtype=(
+                    jnp.bfloat16 if scales_bf16 else jnp.float32
+                ),
+            )
 
     if os.environ.get("QLLM_TPU_AUTOTUNE") == "1":
         from qllm_tpu.ops.autotune import tune_for_stacked_params
@@ -165,13 +188,25 @@ def main():
         tune_for_stacked_params(params, Ms=(batch,))
         log(f"[bench] autotune sweep done in {time.time() - t0:.1f}s")
 
-    max_seq = 256
-    prefill_len = 128
-    cache = make_cache(cfg, batch, max_seq, quantized_kv=True)
+    # force the (lazy) stacking/padding/planarization pipeline to run
+    # NOW, leaf by leaf — interleaving it with the decode compile keeps
+    # original + stacked + transient copies alive simultaneously
+    t0 = time.time()
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "block_until_ready") and leaf.ndim:
+            # fetch ONE element (no .ravel(): reshaping a multi-GB leaf
+            # materializes a full copy — observed OOM on 7B)
+            np.asarray(jax.device_get(leaf[(0,) * (leaf.ndim - 1)][:1]))
+    log(f"[bench] stacked params materialized in {time.time() - t0:.1f}s")
+
+    # ring-fused KV (default on): the per-token write rides inside the
+    # attention kernel; full rings flush once per 8 steps in ONE
+    # all-layers launch (saves the ~2.4 us/layer write launch)
+    ring_default = "1" if backend != "cpu" else "0"  # needs the kernel path
+    ring = os.environ.get("QLLM_BENCH_RING", ring_default) != "0"
+    cache = make_cache(cfg, batch, max_seq, quantized_kv=True, ring=ring)
     token = jnp.ones((batch, 1), jnp.int32)
     pos0 = jnp.int32(prefill_len)
-
-    import numpy as np
 
     def run_once():
         """Dispatch + force completion via a small D2H fetch —
@@ -247,7 +282,6 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"[bench] stream ceiling measurement failed: {e}")
 
-    bpt = model_bytes_per_token(bytes_params, cfg, prefill_len + steps // 2, batch)
     roofline = chip_bw() / bpt * batch  # batch amortizes weight reads
     target = 0.8 * roofline
     result = {

@@ -37,6 +37,49 @@ def decode_loop(
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
         return (nxt, cache, pos + 1), nxt[:, 0]
 
+    ring = cache.ring_k is not None
+    if ring and steps % 8 == 0:
+        # ring-fused KV: the attention kernel appends each token's k/v
+        # to the small bf16 ring (no write launch); once per 8 steps ONE
+        # all-layers kernel quantizes the full rings into the int8
+        # cache. CONTRACT: pos0 must be a multiple of 8 (pad prefill
+        # lengths) — the kernel masks cache cols by (pos//8)*8, so an
+        # unaligned start silently drops the unflushed prefill tail.
+        import dataclasses
+
+        from ..ops.pallas_attention import kv_ring_flush_pallas
+
+        B = token.shape[0]
+
+        def group(carry, _):
+            (token, cache, pos), toks = jax.lax.scan(
+                body, carry, None, length=8
+            )
+            k2, v2, ks2, vs2 = kv_ring_flush_pallas(
+                cache.k,
+                cache.v,
+                cache.k_scale,
+                cache.v_scale,
+                cache.ring_k,
+                cache.ring_v,
+                jnp.broadcast_to(pos, (B,)).astype(jnp.int32),
+            )
+            cache = dataclasses.replace(
+                cache, k=k2, v=v2, k_scale=ks2, v_scale=vs2
+            )
+            return (token, cache, pos), toks
+
+        (_, cache, _), toks = jax.lax.scan(
+            group, (token, cache, pos0), None, length=steps // 8
+        )
+        return toks.reshape(steps, -1).T, cache
+
+    if ring:
+        raise ValueError(
+            "ring-fused decode needs steps % 8 == 0 (the flush kernel "
+            "only writes full rings); pad steps or use a ring-less cache"
+        )
+
     (_, cache, _), toks = jax.lax.scan(
         body, (token, cache, pos0), None, length=steps
     )

@@ -21,8 +21,16 @@ __all__ = ["prefill", "decode_step", "greedy_generate", "make_cache"]
 
 
 def make_cache(
-    cfg: ModelConfig, batch: int, max_seq: int, quantized_kv: bool = True
+    cfg: ModelConfig,
+    batch: int,
+    max_seq: int,
+    quantized_kv: bool = True,
+    ring: bool = False,
 ) -> QuantizedKVCache:
+    """``ring=True`` opts into the ring-fused decode path (the KV write
+    rides inside the attention kernel; models.decode_loop flushes every
+    8 steps). Requires 8-aligned prefill lengths and decode via
+    decode_loop with steps % 8 == 0."""
     return QuantizedKVCache.create(
         cfg.num_hidden_layers,
         batch,
@@ -30,6 +38,7 @@ def make_cache(
         cfg.num_key_value_heads,
         cfg.hd,
         quantized=quantized_kv,
+        ring=ring,
     )
 
 

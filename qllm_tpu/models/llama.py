@@ -495,7 +495,34 @@ def _block_attn_mlp(
             and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
             and _pallas_attn_enabled()
         )
-        if (
+        if can_kernel and cache.ring_k is not None:
+            # ring-fused path: the attention kernel appends this token's
+            # k/v to the bf16 ring itself — NO separate write launch.
+            # The DRIVER owns flushing full rings into the int8 cache
+            # (models.decode_loop groups steps by 8); calling forward()
+            # per-step without flushing SILENTLY DROPS tokens once pos
+            # crosses a multiple of 8.
+            import dataclasses as _dc
+
+            from ..ops.pallas_attention import decode_attention_ring
+
+            pos_b = jnp.broadcast_to(jnp.asarray(pos), (B,)).astype(jnp.int32)
+            attn, rk2, rv2 = decode_attention_ring(
+                q[:, 0],
+                k[:, 0],
+                v[:, 0],
+                cache.k,
+                cache.v,
+                cache.k_scale,
+                cache.v_scale,
+                cache.ring_k,
+                cache.ring_v,
+                pos_b,
+                layer_idx,
+            )
+            attn = attn[:, None].astype(h.dtype)
+            cache = _dc.replace(cache, ring_k=rk2, ring_v=rv2)
+        elif (
             can_kernel
             and cache.max_seq % 8 == 0  # 8-row aligned write windows
             and _os.environ.get("QLLM_TPU_FUSED_KV", "1") != "0"
@@ -555,6 +582,13 @@ def _block_attn_mlp(
                 layer=layer_idx,
             )[:, None].astype(h.dtype)
         else:
+            if cache.ring_k is not None and T == 1:
+                raise NotImplementedError(
+                    "ring-fused cache decode needs the Pallas kernel path "
+                    "(T==1, quantized cache, non-alibi, pallas enabled) — "
+                    "mixing it with the XLA write path would corrupt the "
+                    "cache; create the cache with ring=False here"
+                )
             cache = cache.update(layer_idx, k, v, pos)
             k_all, v_all = cache.layer_kv(layer_idx, dtype=h.dtype)
             if _flash_prefill_ok(cfg, T, hd):

@@ -38,7 +38,13 @@ from .llama import (
     final_logits,
 )
 
-__all__ = ["stack_layer_params", "forward_stacked", "is_stackable"]
+__all__ = [
+    "stack_layer_params",
+    "forward_stacked",
+    "is_stackable",
+    "prepare_stacked_tensor",
+    "prepare_lm_head",
+]
 
 
 def is_stackable(params: Dict[str, Any]) -> bool:
@@ -136,6 +142,8 @@ def stack_layer_params(
     planar: bool = True,
     scale_store_dtype=jnp.float32,
     fuse_projections: bool = True,
+    sync_per_leaf: bool = False,
+    consume: bool = False,
 ) -> Dict[str, Any]:
     """Replace the per-layer list with one pytree of [L, ...] leaves.
 
@@ -150,7 +158,16 @@ def stack_layer_params(
     cannot consume; parallel.tp_step re-planarizes per shard).
     ``fuse_projections``: column-concatenate q/k/v and gate/up into one
     wide kernel call each (disable for TP, whose column sharding needs
-    head locality)."""
+    head locality).
+    ``sync_per_leaf`` + ``consume``: HBM discipline for big models on a
+    single chip. Eager async dispatch otherwise piles EVERY tensor's
+    stack/pad/planarize transients into device memory at once ON TOP of
+    the caller's original per-layer arrays — the 7B pipeline OOM'd a
+    16GB chip that way. sync_per_leaf drains the dispatch queue after
+    each tensor; consume=True additionally DELETES each entry from the
+    caller's ``params['layers']`` dicts as soon as its stack is built,
+    so the original buffers free progressively (the caller loses its
+    per-layer view — pass ownership only)."""
     import dataclasses
 
     if not is_stackable(params):
@@ -158,81 +175,149 @@ def stack_layer_params(
             "params are not stackable (heterogeneous layers or MoE); "
             "use the per-layer list path"
         )
-    layers = params["layers"]
+    orig_layers = params["layers"]
+    layers = orig_layers
     if fuse_projections:
         layers = [_fuse_layer_projections(lp) for lp in layers]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+        if consume:
+            # component projections live on only inside the fused concat
+            for olp, flp in zip(orig_layers, layers):
+                for n in list(olp.keys()):
+                    if n not in flp:
+                        del olp[n]
 
-    def widen(node):
-        if isinstance(node, QuantizedTensor):
-            scales = node.scales.astype(jnp.float32)
-            zeros = node.zeros.astype(jnp.float32)
-            qweight = node.qweight
-            # pad out-features to a lane_quantum multiple so the kernel
-            # can use wide lane blocks (profiled: bn=256 runs at ~60% of
-            # bn=512 streaming; e.g. llama N=11008 -> 11264). The logical
-            # width stays in out_features; consumers slice.
-            N = qweight.shape[-1]
-            pad = (-N) % lane_quantum
-            if pad:
-                qweight = jnp.pad(qweight, ((0, 0), (0, 0), (0, pad)))
-                scales = jnp.pad(
-                    scales, ((0, 0), (0, 0), (0, pad)), constant_values=1.0
-                )
-                zeros = jnp.pad(zeros, ((0, 0), (0, 0), (0, pad)))
-            # planar relayout (4-bit): bitcast-to-int8 becomes k-ordered
-            # so the kernel consumes x without any transpose
-            is_planar = False
-            from ..ops.pallas_qmm import planar_bk, planar_full_ok
-            from ..quant.qtensor import planarize_packed
-
-            if (
-                planar
-                and node.bits == 4
-                and node.perm is None
-                and (
-                    planar_bk(node.in_features, node.effective_group_size)
-                    is not None
-                    or planar_full_ok(
-                        node.in_features, node.effective_group_size
-                    )
-                )
-            ):
-                qweight = jnp.stack(
-                    [
-                        planarize_packed(qweight[i], node.in_features)
-                        for i in range(qweight.shape[0])
-                    ]
-                )
-                is_planar = True
-            # pre-fold the zero-point term: the decode-loop correction is
-            # y -= xsum @ (zeros * scales); computing that product per
-            # call re-reads BOTH [L, G, N] stacks every token (profiled
-            # ~0.4 ms/token on 7B). Store zs once; unstack inverts.
-            zs = zeros * scales
-            if scale_store_dtype != jnp.float32:
-                # bf16 scale storage (fused-correction kernels only):
-                # halves scale/zs HBM bytes; ~2^-9 relative scale error,
-                # far below 4-bit quantization noise
-                scales = scales.astype(scale_store_dtype)
-                zs = zs.astype(scale_store_dtype)
-            return dataclasses.replace(
-                node,
-                qweight=qweight,
-                scales=scales,
-                zeros=zs,
-                planar=is_planar,
-                zeros_prefolded=True,
+    prepared = {}
+    for k in list(layers[0].keys()):
+        vals = [lp[k] for lp in layers]
+        v = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *vals)
+        if isinstance(v, QuantizedTensor):
+            v = prepare_stacked_tensor(
+                v, lane_quantum, planar, scale_store_dtype
             )
-        return node
-
-    stacked = {
-        k: widen(v) if isinstance(v, QuantizedTensor) else v
-        for k, v in stacked.items()
-    }
+            if sync_per_leaf:
+                _sync_one(v.qweight)
+        if consume:
+            for lp in layers:
+                lp.pop(k, None)
+            for olp in orig_layers:
+                olp.pop(k, None)
+        prepared[k] = v
     out = dict(params)
-    out["layers"] = stacked
+    out["layers"] = prepared
     return out
+
+
+def _sync_one(leaf) -> None:
+    """Force completion of the computation producing ``leaf`` (tiny
+    one-element fetch; block_until_ready does not reliably block on
+    remote backends — NOTES.md)."""
+    import numpy as _np
+
+    _np.asarray(jax.device_get(leaf[(0,) * (leaf.ndim - 1)][:1]))
+
+
+def prepare_stacked_tensor(
+    node: QuantizedTensor,
+    lane_quantum: int = 512,
+    planar: bool = True,
+    scale_store_dtype=jnp.float32,
+) -> QuantizedTensor:
+    """Serving prep for one [L]-stacked QuantizedTensor: lane padding,
+    planar relayout, zero-point pre-fold, scale storage dtype (the
+    per-leaf body of stack_layer_params; also reused for the L=1
+    lm_head stack via prepare_lm_head)."""
+    import dataclasses
+
+    scales = node.scales.astype(jnp.float32)
+    zeros = node.zeros.astype(jnp.float32)
+    qweight = node.qweight
+    # pad out-features to a lane_quantum multiple so the kernel
+    # can use wide lane blocks (profiled: bn=256 runs at ~60% of
+    # bn=512 streaming; e.g. llama N=11008 -> 11264). The logical
+    # width stays in out_features; consumers slice.
+    N = qweight.shape[-1]
+    pad = (-N) % lane_quantum
+    # evidence-driven wider padding: when the tuned table holds a
+    # winner for a wider padded shape (e.g. 7B gateup 22016 ->
+    # 22528 admitting bn=1024, swept faster despite extra bytes),
+    # pad to it — never speculatively (ops.autotune)
+    from ..ops.autotune import padded_width_hint
+
+    wide = padded_width_hint(
+        node.in_features,
+        N + pad,
+        node.bits,
+        node.effective_group_size,
+    )
+    if wide > N + pad and wide % lane_quantum == 0:
+        pad = wide - N
+    if pad:
+        qweight = jnp.pad(qweight, ((0, 0), (0, 0), (0, pad)))
+        scales = jnp.pad(
+            scales, ((0, 0), (0, 0), (0, pad)), constant_values=1.0
+        )
+        zeros = jnp.pad(zeros, ((0, 0), (0, 0), (0, pad)))
+    # planar relayout (4-bit): bitcast-to-int8 becomes k-ordered
+    # so the kernel consumes x without any transpose
+    is_planar = False
+    from ..ops.pallas_qmm import planar_bk, planar_full_ok
+    from ..quant.qtensor import planarize_packed
+
+    if (
+        planar
+        and node.bits == 4
+        and node.perm is None
+        and (
+            planar_bk(node.in_features, node.effective_group_size)
+            is not None
+            or planar_full_ok(
+                node.in_features, node.effective_group_size
+            )
+        )
+    ):
+        qweight = jnp.stack(
+            [
+                planarize_packed(qweight[i], node.in_features)
+                for i in range(qweight.shape[0])
+            ]
+        )
+        is_planar = True
+    # pre-fold the zero-point term: the decode-loop correction is
+    # y -= xsum @ (zeros * scales); computing that product per
+    # call re-reads BOTH [L, G, N] stacks every token (profiled
+    # ~0.4 ms/token on 7B). Store zs once; unstack inverts.
+    zs = zeros * scales
+    if scale_store_dtype != jnp.float32:
+        # bf16 scale storage (fused-correction kernels only):
+        # halves scale/zs HBM bytes; ~2^-9 relative scale error,
+        # far below 4-bit quantization noise
+        scales = scales.astype(scale_store_dtype)
+        zs = zs.astype(scale_store_dtype)
+    return dataclasses.replace(
+        node,
+        qweight=qweight,
+        scales=scales,
+        zeros=zs,
+        planar=is_planar,
+        zeros_prefolded=True,
+    )
+
+
+def prepare_lm_head(
+    qt: QuantizedTensor, scale_store_dtype=jnp.float32
+) -> QuantizedTensor:
+    """Serving prep for a quantized lm_head: the same planar relayout /
+    lane padding / zero pre-fold as the stacked layers, as an L=1 stack.
+    ops.qmatmul routes 3-D (stacked) tensors through the stacked Pallas
+    kernel with layer=0 — the fastest kernel family also serves the
+    head (profiled: the v3 2-D path streams ~650 GB/s vs the planar
+    stacked kernel's ~740 GB/s on 7B shapes)."""
+    if qt.perm is not None:
+        return qt  # act-order head: keep the 2-D path (kernel needs no perm)
+    stacked = jax.tree_util.tree_map(lambda a: a[None], qt)
+    return prepare_stacked_tensor(
+        stacked, planar=True, scale_store_dtype=scale_store_dtype
+    )
 
 
 def unstack_layer_params(

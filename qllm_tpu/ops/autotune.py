@@ -26,7 +26,13 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["lookup", "tune_stacked", "cache_path", "clear_cache"]
+__all__ = [
+    "lookup",
+    "tune_stacked",
+    "cache_path",
+    "clear_cache",
+    "padded_width_hint",
+]
 
 _MEM: Dict[str, Tuple[int, int]] = {}
 _LOADED = False
@@ -144,6 +150,30 @@ def lookup(
     _MEM[key] = best
     _save()
     return best
+
+
+def padded_width_hint(K: int, N: int, bits: int, g: int) -> int:
+    """Evidence-driven lane padding: the width the stacked buffers should
+    be padded to, beyond base lane alignment.
+
+    Some shapes stream measurably faster at a WIDER padded width because
+    it admits a larger lane block (swept on hardware: llama-7B gateup
+    22016 -> 22528 admits bn=1024, +3.3% wall time despite +2.3% bytes).
+    Padding costs real HBM bytes, so it is only applied when the tuned
+    table (shipped or user cache) holds a winner for the padded shape —
+    never speculatively. Returns N itself when no tuned wider shape
+    exists. QLLM_TPU_WIDE_PAD=0 disables."""
+    if os.environ.get("QLLM_TPU_WIDE_PAD", "1") == "0":
+        return N
+    _load()
+    for q in (1024, 2048):
+        cand = ((N + q - 1) // q) * q
+        if cand == N:
+            continue
+        key = _key("stacked", K, cand, bits, g, 1)  # decode regime
+        if key in _MEM or key in _shipped():
+            return cand
+    return N
 
 
 def tune_for_stacked_params(params, Ms=(8,)) -> None:

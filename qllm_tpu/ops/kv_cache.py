@@ -35,19 +35,28 @@ def _quantize_kv(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["k", "v", "k_scale", "v_scale"],
+    data_fields=["k", "v", "k_scale", "v_scale", "ring_k", "ring_v"],
     meta_fields=["quantized"],
 )
 @dataclasses.dataclass(frozen=True)
 class QuantizedKVCache:
     """KV cache for all layers. When quantized=False, k/v hold bf16 and
-    the scale arrays are size-1 placeholders."""
+    the scale arrays are size-1 placeholders.
+
+    ``ring_k/ring_v`` (optional, [L, B, H_kv, 8, D] bf16): the
+    ring-fused decode path keeps the ≤8 most recent tokens unquantized
+    here, appended by the attention kernel itself and flushed into the
+    int8 cache once per 8 steps (ops.pallas_attention ring section) —
+    the KV write then costs no extra kernel launch. None = classic
+    per-token write path."""
 
     k: jax.Array  # [L, B, H_kv, S, D] int8 or bf16
     v: jax.Array
     k_scale: jax.Array  # [L, B, H_kv, S] f32 (placeholder if not quantized)
     v_scale: jax.Array
     quantized: bool
+    ring_k: jax.Array = None  # [L, B, H_kv, 8, D] bf16 or None
+    ring_v: jax.Array = None
 
     @classmethod
     def create(
@@ -59,6 +68,7 @@ class QuantizedKVCache:
         head_dim: int,
         quantized: bool = True,
         dtype=jnp.bfloat16,
+        ring: bool = False,
     ) -> "QuantizedKVCache":
         shape = (n_layers, batch, n_kv_heads, max_seq, head_dim)
         if quantized:
@@ -67,12 +77,19 @@ class QuantizedKVCache:
         else:
             kv_dtype = dtype
             sshape = (1,)
+        if ring and not quantized:
+            raise ValueError("the ring-fused path needs a quantized cache")
+        if ring and max_seq % 8:
+            raise ValueError("ring-fused path needs max_seq % 8 == 0")
+        rshape = (n_layers, batch, n_kv_heads, 8, head_dim)
         return cls(
             k=jnp.zeros(shape, kv_dtype),
             v=jnp.zeros(shape, kv_dtype),
             k_scale=jnp.ones(sshape, jnp.float32),
             v_scale=jnp.ones(sshape, jnp.float32),
             quantized=quantized,
+            ring_k=jnp.zeros(rshape, jnp.bfloat16) if ring else None,
+            ring_v=jnp.zeros(rshape, jnp.bfloat16) if ring else None,
         )
 
     @property

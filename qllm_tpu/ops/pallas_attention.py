@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["decode_attention_pallas", "prefill_attention_flash"]
+__all__ = [
+    "decode_attention_pallas",
+    "prefill_attention_flash",
+    "decode_attention_ring",
+    "kv_ring_flush_pallas",
+]
 
 
 def _attn_kernel(
@@ -831,3 +836,369 @@ def decode_attention_partial(
     m = m[:, :, :n_rep, :].reshape(B, H, 1)
     den = den[:, :, :n_rep, :].reshape(B, H, 1)
     return acc, m, den
+
+
+# --------------------------------------------------------------------------
+# Ring-fused decode attention: the per-token KV write rides INSIDE the
+# attention launch.
+#
+# The separate kv_cache_write_pallas launch costs a fixed ~2.4 us/layer —
+# ~76 us/token on 7B, pure launch floor. Fusing the write into the
+# attention kernel naively forces XLA to copy the whole cache (the cache
+# buffer would be both a read operand and a donated output — see
+# _kv_write_kernel's docstring). Instead, recent tokens live in a SMALL
+# bf16 ring [L, B, H_kv, 8, d] that the attention kernel reads AND
+# updates (aliased — it is a different buffer from the cache, so no
+# copy), while the big int8 cache stays read-only. Once per 8 steps a
+# single ALL-LAYERS flush kernel quantizes the full rings into their
+# 8-row cache windows (aliased window writes, exactly the
+# _kv_write_kernel pattern) — one launch per 8 tokens instead of one per
+# layer per token.
+#
+# Contract: positions [0, flushed) live int8 in the cache where
+# flushed = (pos // 8) * 8; positions [flushed, pos) live bf16 in ring
+# slots [0, pos - flushed); the CURRENT token's k/v arrive as operands
+# and are appended to slot (pos - flushed) by the same kernel. The
+# driver (models.decode_loop) must flush whenever pos crosses a multiple
+# of 8, so decode must START 8-aligned (prefill lengths padded to 8).
+# This also slightly IMPROVES numerics: the ~8 most recent tokens attend
+# at bf16 instead of int8.
+# --------------------------------------------------------------------------
+
+RING = 8  # ring depth == cache write-window rows (Mosaic sublane minimum)
+
+
+def _attn_kernel_stacked_ring(
+    lengths_ref,  # scalar prefetch: [B] = pos (PAST tokens; current excluded)
+    layer_ref,  # scalar prefetch: [1]
+    q_ref,  # [1, hb, n_rep_p, d] bf16 (pre-scaled by 1/sqrt(d))
+    kn_ref,  # [1, hb, 1, d] f32 — CURRENT token k (post-rope)
+    vn_ref,  # [1, hb, 1, d] f32
+    k_ref,  # [1, 1, hb, S, d] int8 (layer-selected)
+    v_ref,
+    ks_ref,  # [1, 1, hb, 1, S] f32
+    vs_ref,
+    rk_ref,  # [1, 1, hb, RING, d] bf16 ring (layer-selected)
+    rv_ref,
+    o_ref,  # [1, hb, n_rep_p, d]
+    rko_ref,  # aliased ring outputs (current token appended)
+    rvo_ref,
+):
+    del layer_ref
+    b = pl.program_id(0)
+    hb = k_ref.shape[2]
+    length = lengths_ref[b]
+    flushed = (length // RING) * RING
+    nring = length - flushed
+    for h in range(hb):
+        q = q_ref[0, h]  # [n_rep_p, d] bf16
+        # ---- int8 cache part (positions [0, flushed)) ----
+        k = k_ref[0, 0, h].astype(jnp.bfloat16)  # [S, d]
+        ks = ks_ref[0, 0, h]  # [1, S]
+        scores = (
+            jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * ks
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < flushed, scores, _NEG)
+        # ---- bf16 ring part (positions [flushed, length)) ----
+        rk = rk_ref[0, 0, h]  # [RING, d] bf16
+        rscores = jax.lax.dot_general(
+            q,
+            rk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [n_rep_p, RING]
+        rcol = jax.lax.broadcasted_iota(jnp.int32, rscores.shape, 1)
+        rscores = jnp.where(rcol < nring, rscores, _NEG)
+        # ---- current token (position length, always valid) ----
+        # elementwise multiply + lane reduce (a [n_rep_p,1] dot against
+        # a [1,d] operand trips a Mosaic mixed-type broadcast verifier)
+        kn = kn_ref[0, h]  # [1, d] f32
+        cscore = jnp.sum(
+            q.astype(jnp.float32) * kn, axis=1, keepdims=True
+        )  # [n_rep_p, 1]
+
+        m = jnp.maximum(
+            jnp.maximum(
+                jnp.max(scores, axis=1, keepdims=True),
+                jnp.max(rscores, axis=1, keepdims=True),
+            ),
+            cscore,
+        )
+        p = jnp.exp(scores - m)
+        pr = jnp.exp(rscores - m)
+        pc = jnp.exp(cscore - m)
+        denom = (
+            jnp.sum(p, axis=1, keepdims=True)
+            + jnp.sum(pr, axis=1, keepdims=True)
+            + pc
+        )
+        vs = vs_ref[0, 0, h]  # [1, S]
+        pv = (p * vs).astype(jnp.bfloat16)
+        v = v_ref[0, 0, h].astype(jnp.bfloat16)
+        out = jnp.dot(pv, v, preferred_element_type=jnp.float32)
+        rv = rv_ref[0, 0, h]  # [RING, d] bf16
+        out = out + jnp.dot(
+            pr.astype(jnp.bfloat16), rv, preferred_element_type=jnp.float32
+        )
+        vn = vn_ref[0, h].astype(jnp.float32)  # [1, d]
+        out = out + pc * vn
+        o_ref[0, h] = (out / denom).astype(o_ref.dtype)
+
+        # ---- append current token to ring slot nring ----
+        d_ = kn.shape[-1]
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (RING, d_), 0) == nring
+        rko_ref[0, 0, h] = jnp.where(
+            rsel, jnp.broadcast_to(kn.astype(rk.dtype), (RING, d_)), rk
+        )
+        rvo_ref[0, 0, h] = jnp.where(
+            rsel,
+            jnp.broadcast_to(vn.astype(rv.dtype), (RING, d_)),
+            rv,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=())
+def decode_attention_ring(
+    q: jax.Array,  # [B, H, d] this step's queries
+    k_new: jax.Array,  # [B, H_kv, d] this step's k (post-rope)
+    v_new: jax.Array,
+    k_cache: jax.Array,  # [L, B, H_kv, S, d] int8 (read-only here)
+    v_cache: jax.Array,
+    k_scale: jax.Array,  # [L, B, H_kv, S] f32
+    v_scale: jax.Array,
+    ring_k: jax.Array,  # [L, B, H_kv, RING, d] bf16 (updated, aliased)
+    ring_v: jax.Array,
+    lengths: jax.Array,  # [B] int32 = pos: past tokens (current excluded)
+    layer: jax.Array,
+):
+    """Fused decode attention + KV append. Returns (attn [B, H, d],
+    ring_k', ring_v') — the int8 cache is NOT written here; the driver
+    flushes full rings via kv_ring_flush_pallas every RING steps."""
+    B, H, d = q.shape
+    L, _, Hkv, S, _ = k_cache.shape
+    n_rep = H // Hkv
+    n_rep_p = max(8, ((n_rep + 7) // 8) * 8)
+    qg = q.astype(jnp.float32) * (d**-0.5)
+    qg = qg.reshape(B, Hkv, n_rep, d)
+    if n_rep_p != n_rep:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, n_rep_p - n_rep), (0, 0)))
+    qg = qg.astype(jnp.bfloat16)
+    kn = k_new.reshape(B, Hkv, 1, d).astype(jnp.float32)
+    vn = v_new.reshape(B, Hkv, 1, d).astype(jnp.float32)
+    ks = k_scale.reshape(L, B, Hkv, 1, S).astype(jnp.float32)
+    vs = v_scale.reshape(L, B, Hkv, 1, S).astype(jnp.float32)
+
+    hb = 1
+    for cand in (8, 4, 2):
+        if Hkv % cand == 0 and 2 * cand * S * d <= 2 * 1024 * 1024:
+            hb = cand
+            break
+
+    bh_spec = lambda b, h, *_: (b, h, 0, 0)  # noqa: E731
+    layer_spec = lambda b, h, lens, l: (l[0], b, h, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv // hb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hb, n_rep_p, d), bh_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, hb, 1, d), bh_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, 1, d), bh_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, hb, S, d), layer_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, S, d), layer_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 1, S), layer_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 1, S), layer_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), layer_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), layer_spec, memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hb, n_rep_p, d), bh_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), layer_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), layer_spec, memory_space=pltpu.VMEM
+            ),
+        ],
+    )
+    out, rk2, rv2 = pl.pallas_call(
+        _attn_kernel_stacked_ring,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
+            jax.ShapeDtypeStruct(ring_k.shape, ring_k.dtype),
+            jax.ShapeDtypeStruct(ring_v.shape, ring_v.dtype),
+        ],
+        # operand indices count the scalar-prefetch args (lengths, layer)
+        input_output_aliases={9: 1, 10: 2},
+        interpret=jax.default_backend() == "cpu",
+    )(
+        lengths.astype(jnp.int32),
+        jnp.asarray([layer], jnp.int32),
+        qg,
+        kn,
+        vn,
+        k_cache,
+        v_cache,
+        ks,
+        vs,
+        ring_k,
+        ring_v,
+    )
+    return out[:, :, :n_rep, :].reshape(B, H, d), rk2, rv2
+
+
+def _ring_flush_kernel(
+    pos_ref,  # scalar prefetch: [B] — pos AFTER the group (multiple of 8)
+    rk_ref,  # [1, 1, hb, RING, d] bf16 (full ring: positions [pos-8, pos))
+    rv_ref,
+    kw_ref,  # [1, 1, hb, RING, d] int8 cache window at rows [pos-8, pos)
+    vw_ref,
+    ksw_ref,  # [1, 1, hb, 1, S] f32 scale row
+    vsw_ref,
+    ko_ref,  # aliased outputs
+    vo_ref,
+    kso_ref,
+    vso_ref,
+):
+    """Quantize a FULL ring into its 8-row cache window (all layers in
+    one launch: grid (L, B, H_kv/hb) — amortizes the write launch to
+    ~1/RING of a kv_cache_write_pallas per token)."""
+    b = pl.program_id(1)
+    pos = pos_ref[b]
+    start = pos - RING
+    hb = rk_ref.shape[2]
+    S = ksw_ref.shape[-1]
+    for h in range(hb):
+        rk = rk_ref[0, 0, h].astype(jnp.float32)  # [RING, d]
+        rv = rv_ref[0, 0, h].astype(jnp.float32)
+        kamax = jnp.max(jnp.abs(rk), axis=1, keepdims=True)  # [RING, 1]
+        ksc = jnp.maximum(kamax / 127.0, 1e-8)
+        vamax = jnp.max(jnp.abs(rv), axis=1, keepdims=True)
+        vsc = jnp.maximum(vamax / 127.0, 1e-8)
+        ko_ref[0, 0, h] = jnp.clip(jnp.round(rk / ksc), -127, 127).astype(
+            jnp.int8
+        )
+        vo_ref[0, 0, h] = jnp.clip(jnp.round(rv / vsc), -127, 127).astype(
+            jnp.int8
+        )
+        # scatter the RING per-row scales into the [1, S] scale row:
+        # sel[r, j] = (j == start + r); new = sum_r sel * scale_r
+        row = jax.lax.broadcasted_iota(jnp.int32, (RING, S), 0)
+        colj = jax.lax.broadcasted_iota(jnp.int32, (RING, S), 1)
+        sel = colj == (start + row)
+        knew = jnp.sum(jnp.where(sel, ksc, 0.0), axis=0, keepdims=True)
+        vnew = jnp.sum(jnp.where(sel, vsc, 0.0), axis=0, keepdims=True)
+        hit = jnp.any(sel, axis=0, keepdims=True)  # [1, S]
+        kso_ref[0, 0, h] = jnp.where(hit, knew, ksw_ref[0, 0, h])
+        vso_ref[0, 0, h] = jnp.where(hit, vnew, vsw_ref[0, 0, h])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def kv_ring_flush_pallas(
+    k_cache: jax.Array,  # [L, B, H_kv, S, d] int8
+    v_cache: jax.Array,
+    k_scale: jax.Array,  # [L, B, H_kv, S] f32
+    v_scale: jax.Array,
+    ring_k: jax.Array,  # [L, B, H_kv, RING, d] bf16 — FULL rings
+    ring_v: jax.Array,
+    pos: jax.Array,  # [B] int32: position AFTER the group (multiple of 8)
+):
+    """Quantize + write every layer's full ring into the int8 cache at
+    rows [pos-8, pos) — ONE launch for the whole model. Returns
+    (k_cache', v_cache', k_scale', v_scale'); rings are dead afterwards
+    (the next group overwrites every slot before it is read)."""
+    L, B, Hkv, S, d = k_cache.shape
+    ks5 = k_scale.reshape(L, B, Hkv, 1, S)
+    vs5 = v_scale.reshape(L, B, Hkv, 1, S)
+    hb = 1
+    for cand in (8, 4, 2):
+        if Hkv % cand == 0:
+            hb = cand
+            break
+
+    ring_spec = lambda l, b, h, p: (l, b, h, 0, 0)  # noqa: E731
+    win_spec = lambda l, b, h, p: (l, b, h, p[b] // RING - 1, 0)  # noqa: E731
+    row_spec = lambda l, b, h, p: (l, b, h, 0, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B, Hkv // hb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), ring_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), ring_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), win_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), win_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 1, S), row_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 1, S), row_spec, memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), win_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, RING, d), win_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 1, S), row_spec, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 1, S), row_spec, memory_space=pltpu.VMEM
+            ),
+        ],
+    )
+    k2, v2, ks2, vs2 = pl.pallas_call(
+        _ring_flush_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(ks5.shape, jnp.float32),
+            jax.ShapeDtypeStruct(vs5.shape, jnp.float32),
+        ],
+        # indices count the scalar-prefetch operand (pos)
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3},
+        interpret=jax.default_backend() == "cpu",
+    )(
+        pos.astype(jnp.int32),
+        ring_k,
+        ring_v,
+        k_cache,
+        v_cache,
+        ks5,
+        vs5,
+    )
+    return k2, v2, ks2.reshape(L, B, Hkv, S), vs2.reshape(L, B, Hkv, S)

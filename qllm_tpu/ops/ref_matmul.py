@@ -64,7 +64,20 @@ def _use_pallas() -> bool:
 def qmatmul(
     x: jax.Array, qt: QuantizedTensor, bias: Optional[jax.Array] = None
 ) -> jax.Array:
-    """Quantized matmul with automatic backend selection."""
+    """Quantized matmul with automatic backend selection.
+
+    A 3-D qweight is an L=1 serving stack (models.stacked
+    prepare_lm_head): it routes through the stacked Pallas kernel with
+    layer=0 — the planar fused-correction family streams ~15% faster
+    than the 2-D v3 path on 7B-class shapes. Its CPU/ineligible
+    fallback unstacks internally."""
+    if qt.qweight.ndim == 3:
+        from .pallas_qmm import qmatmul_pallas_stacked
+
+        y = qmatmul_pallas_stacked(x, qt, jnp.int32(0))
+        if bias is not None:
+            y = y + bias
+        return y
     if _use_pallas():
         try:
             from .pallas_qmm import qmatmul_pallas

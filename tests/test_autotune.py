@@ -69,3 +69,52 @@ def test_save_roundtrip(monkeypatch, tmp_path):
     at._MEM.clear()
     at._LOADED = False
     assert at.lookup("stacked", 128, 256, 4, 64, 8) == (256, 1024)
+
+
+def test_padded_width_hint_evidence_driven(monkeypatch, tmp_path):
+    _reset(monkeypatch, tmp_path)
+    key = at._key("stacked", 4096, 22528, 4, 128, 8)
+    monkeypatch.setattr(at, "_SHIPPED", {key: (1024, 1024)})
+    # tuned winner exists for the 1024-padded width -> pad
+    assert at.padded_width_hint(4096, 22016, 4, 128) == 22528
+    # already at the tuned width -> unchanged
+    assert at.padded_width_hint(4096, 22528, 4, 128) == 22528
+    # no tuned entry for any wider shape -> never speculative
+    assert at.padded_width_hint(4096, 11008, 4, 128) == 11008
+    assert at.padded_width_hint(2048, 22016, 4, 128) == 22016
+
+
+def test_stack_pads_to_tuned_width(monkeypatch, tmp_path):
+    """stack_layer_params consults the hint: a tuned wider shape gets the
+    extra lanes, and the matmul still slices to the logical width."""
+    import jax
+    import jax.numpy as jnp
+
+    from qllm_tpu.models.stacked import stack_layer_params
+    from qllm_tpu.quant.qtensor import quantize_tensor
+
+    _reset(monkeypatch, tmp_path)
+    K, N, g = 256, 320, 64
+    key = at._key("stacked", K, 512, 4, g, 8)
+    monkeypatch.setattr(at, "_SHIPPED", {key: (256, 256)})
+    # make 512 a hint candidate quantum for this tiny shape
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    qt = quantize_tensor(w, bits=4, group_size=g)
+    params = {"layers": [{"o_proj": qt}, {"o_proj": qt}]}
+    stacked = stack_layer_params(
+        params, lane_quantum=128, fuse_projections=False
+    )
+    got = stacked["layers"]["o_proj"]
+    # hint quanta are 1024/2048; N=320 has no tuned wider width there,
+    # so base alignment only
+    assert got.qweight.shape[-1] == 384  # 320 -> 128-quantum
+
+    key2 = at._key("stacked", K, 1024, 4, g, 8)
+    monkeypatch.setattr(at, "_SHIPPED", {key2: (512, 256)})
+    stacked = stack_layer_params(
+        params, lane_quantum=128, fuse_projections=False
+    )
+    got = stacked["layers"]["o_proj"]
+    assert got.qweight.shape[-1] == 1024  # tuned wider width applied
+    assert got.out_features == N

@@ -112,3 +112,30 @@ def test_unstack_roundtrip_and_save(tmp_path):
     # reload casts dense leaves f32->fp16->bf16 (same budget as the
     # checkpoint round-trip tests)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=6e-2, rtol=6e-2)
+
+
+def test_prepare_lm_head_l1_stack_matches_dense():
+    """prepare_lm_head produces an L=1 stack that ops.qmatmul routes
+    through the stacked kernel path (CPU falls back internally) with
+    numerics equal to the 2-D tensor."""
+    import numpy as np
+
+    from qllm_tpu.models.stacked import prepare_lm_head
+    from qllm_tpu.ops.ref_matmul import qmatmul
+    from qllm_tpu.quant.qtensor import quantize_tensor
+
+    rng = np.random.default_rng(0)
+    K, N, g = 256, 320, 64
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05)
+    qt = quantize_tensor(w, bits=4, group_size=g)
+    x = jnp.asarray(rng.normal(size=(3, K)).astype(np.float32))
+
+    y2d = qmatmul(x, qt)
+    qt1 = prepare_lm_head(qt, scale_store_dtype=jnp.bfloat16)
+    assert qt1.qweight.ndim == 3 and qt1.qweight.shape[0] == 1
+    assert qt1.out_features == N  # logical width preserved
+    y1 = qmatmul(x, qt1)
+    assert y1.shape == y2d.shape
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y2d), atol=3e-2, rtol=3e-2
+    )
