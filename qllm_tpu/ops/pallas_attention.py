@@ -996,7 +996,8 @@ def decode_attention_ring(
     vs = v_scale.reshape(L, B, Hkv, 1, S).astype(jnp.float32)
 
     hb = 1
-    for cand in (8, 4, 2):
+    hb_env = int(os.environ.get("QLLM_TPU_ATTN_HB", "0"))
+    for cand in (hb_env,) if hb_env else (8, 4, 2):
         if Hkv % cand == 0 and 2 * cand * S * d <= 2 * 1024 * 1024:
             hb = cand
             break
@@ -1046,6 +1047,11 @@ def decode_attention_ring(
     out, rk2, rv2 = pl.pallas_call(
         _attn_kernel_stacked_ring,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # (b, h) tiles are independent: lets Mosaic overlap the next
+            # head-block's K/V DMA with this one's compute
+            dimension_semantics=("parallel", "parallel"),
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
             jax.ShapeDtypeStruct(ring_k.shape, ring_k.dtype),

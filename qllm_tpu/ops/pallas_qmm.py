@@ -680,7 +680,7 @@ def _qmm_kernel_planar_fused(
         sc = s_ref[0].astype(jnp.float32)
         zs = z_ref[0].astype(jnp.float32)
         for gi in range(gpbh):
-            xg = x_ref[:, gi * g : (gi + 1) * g]
+            xg = x_ref[:, gi * g : (gi + 1) * g].astype(jnp.float32)
             d = jnp.dot(
                 xg, v[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
             )
@@ -735,7 +735,12 @@ def _qmm_kernel_planar_full(
         base = half * Gh
         off = half * (K // 2)
         for gi in range(Gh):
-            xg = x_ref[:, off + gi * g : off + (gi + 1) * g]
+            # x may arrive bf16 (halves the per-grid-step x re-read — the
+            # x block is fetched once per N-block, 25% of down_proj's
+            # traffic at K=11008 f32); cast is free relative to that
+            xg = x_ref[:, off + gi * g : off + (gi + 1) * g].astype(
+                jnp.float32
+            )
             d = jnp.dot(
                 xg, v[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
             )
@@ -803,7 +808,7 @@ def _qmm_kernel_planar(
     for x_ref, v, s_ref in ((xlo_ref, v_lo, slo_ref), (xhi_ref, v_hi, shi_ref)):
         for gi in range(gpbh):
             d = jnp.dot(
-                x_ref[:, gi * g : (gi + 1) * g],
+                x_ref[:, gi * g : (gi + 1) * g].astype(jnp.float32),
                 v[gi * g : (gi + 1) * g],
                 preferred_element_type=jnp.float32,
             )
@@ -916,6 +921,11 @@ def _qmm_2d_stacked(
                     (bm, bn), lambda i, j, l: (i, j), memory_space=pltpu.VMEM
                 ),
             )
+            x_dt = (
+                jnp.bfloat16
+                if os.environ.get("QLLM_TPU_X_BF16", "1") != "0"
+                else jnp.float32
+            )
             out = pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
@@ -926,7 +936,7 @@ def _qmm_2d_stacked(
                 interpret=jax.default_backend() == "cpu",
             )(
                 jnp.asarray([layer], jnp.int32),
-                x.astype(jnp.float32),
+                x.astype(x_dt),
                 qweight,
                 scales,
                 zeros,
@@ -974,7 +984,12 @@ def _qmm_2d_stacked(
             ),
             scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         )
-        xf32 = x.astype(jnp.float32)
+        x_dt = (
+            jnp.bfloat16
+            if os.environ.get("QLLM_TPU_X_BF16", "1") != "0"
+            else jnp.float32
+        )
+        xf32 = x.astype(x_dt)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -994,7 +1009,7 @@ def _qmm_2d_stacked(
         )
         if fuse_corr:
             return out.astype(jnp.bfloat16)
-        xsum = xf32.reshape(M, G, g).sum(axis=2)
+        xsum = xf32.astype(jnp.float32).reshape(M, G, g).sum(axis=2)
         zs = (
             zeros[layer]
             if prefolded

@@ -59,9 +59,20 @@ def main():
     params = stack_layer_params(
         params,
         scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
+        sync_per_leaf=True,
+        consume=True,
     )
+    from qllm_tpu.models.stacked import prepare_lm_head
+    from qllm_tpu.quant.qtensor import QuantizedTensor
 
-    cache = make_cache(cfg, 1, 256, quantized_kv=True)
+    if isinstance(params.get("lm_head"), QuantizedTensor):
+        params["lm_head"] = prepare_lm_head(
+            params["lm_head"],
+            jnp.bfloat16 if scales_bf16 else jnp.float32,
+        )
+
+    ring = os.environ.get("QLLM_PROF_RING", "1") != "0"
+    cache = make_cache(cfg, 1, 256, quantized_kv=True, ring=ring)
     token = jnp.ones((1, 1), jnp.int32)
     pos0 = jnp.int32(128)
 

@@ -118,6 +118,7 @@ CASES = [
     (4096, 22016, 22528, [1024, 2048]),  # pad to enable wide bn
     (11008, 4096, 4096, [256, 512, 1024]),
     (4096, 4096, 4096, [512, 1024, 2048]),
+    (4096, 32000, 32768, [512, 1024, 2048]),  # lm_head (L=1 in serving)
 ]
 
 if __name__ == "__main__":
