@@ -42,7 +42,7 @@ g = 128
 bits = 4
 
 
-def build(K, N, N_pad):
+def build(K, N, N_pad, L=L):
     rng = np.random.default_rng(0)
     qt = quantize_tensor(
         jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
@@ -74,37 +74,44 @@ def time_bn(stacked, x, K, N_buf, bn, bk):
     n_lo = 64
     n_hi = n_lo + max(256, int(0.4 / (bytes_per / 500e9)))
 
-    def one(i, acc):
-        y = pq._qmm_2d_stacked(
-            x + acc[:, :1],
-            (i % L).astype(jnp.int32),
-            stacked.qweight,
-            stacked.scales,
-            stacked.zeros,
-            bits,
-            g,
-            K,
-            N_buf,
-            planar=True,
-            prefolded=True,
-            fuse_corr=True,
-            bn_opt=bn,
-            bk_opt=bk,
-        )
-        return acc + 1e-9 * jnp.sum(y)[None, None]
+    L_act = stacked.qweight.shape[0]
 
-    fn = jax.jit(
-        lambda x0, n: jax.lax.fori_loop(0, n, one, jnp.zeros((1, 1), jnp.float32))
-    )
+    # weights as jit ARGUMENTS, not closure constants — closure consts
+    # get baked into the HLO and a 7B-lm_head-sized stack blows the
+    # tunnel's remote_compile request-size limit (HTTP 413)
+    def body(x0, n, qw, sc, zs):
+        def one(i, acc):
+            y = pq._qmm_2d_stacked(
+                x0 + acc[:, :1],
+                (i % L_act).astype(jnp.int32),
+                qw,
+                sc,
+                zs,
+                bits,
+                g,
+                K,
+                N_buf,
+                planar=True,
+                prefolded=True,
+                fuse_corr=True,
+                bn_opt=bn,
+                bk_opt=bk,
+            )
+            return acc + 1e-9 * jnp.sum(y)[None, None]
+
+        return jax.lax.fori_loop(0, n, one, jnp.zeros((1, 1), jnp.float32))
+
+    fn = jax.jit(body)
+    args = (stacked.qweight, stacked.scales, stacked.zeros)
     fetch = lambda y: float(jnp.sum(y))  # noqa: E731
-    fetch(fn(x, jnp.int32(n_hi)))
+    fetch(fn(x, jnp.int32(n_hi), *args))
     per = []
     for _ in range(5):
         t0 = time.time()
-        fetch(fn(x, jnp.int32(n_lo)))
+        fetch(fn(x, jnp.int32(n_lo), *args))
         t_lo = time.time() - t0
         t0 = time.time()
-        fetch(fn(x, jnp.int32(n_hi)))
+        fetch(fn(x, jnp.int32(n_hi), *args))
         t_hi = time.time() - t0
         per.append((t_hi - t_lo) / (n_hi - n_lo))
     per.sort()
@@ -112,19 +119,23 @@ def time_bn(stacked, x, K, N_buf, bn, bk):
 
 
 CASES = [
-    # (K, N, N_pad, bn list)
+    # (K, N, N_pad, bn list[, L])
     (4096, 12288, 12288, [512, 1024, 2048]),
     (4096, 22016, 22016, [256, 512]),
     (4096, 22016, 22528, [1024, 2048]),  # pad to enable wide bn
     (11008, 4096, 4096, [256, 512, 1024]),
-    (4096, 4096, 4096, [512, 1024, 2048]),
-    (4096, 32000, 32768, [512, 1024, 2048]),  # lm_head (L=1 in serving)
+    (4096, 4096, 4096, [128, 256, 512]),
+    (4096, 32000, 32768, [512, 1024, 2048], 1),  # lm_head (L=1 in serving)
 ]
 
 if __name__ == "__main__":
     log("backend:", jax.default_backend())
-    for K, N, N_pad, bns in CASES:
-        stacked, x = build(K, N, N_pad)
+    only_n = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    for case in CASES:
+        K, N, N_pad, bns = case[:4]
+        if only_n and N != only_n:
+            continue
+        stacked, x = build(K, N, N_pad, *case[4:])
         for bn in bns:
             if N_pad % bn:
                 continue
