@@ -235,6 +235,24 @@ def _pallas_attn_enabled() -> bool:
         return False
 
 
+def _norm_input(pv, cfg: ModelConfig, h: jax.Array, name: str):
+    """rms_norm(h, <name>) — or a stacked-view NormedX marker that the
+    next quantized matmul fuses in-kernel (ops.pallas_qmm full-K planar
+    path). Paths that cannot consume the marker (MoE router, dense
+    weights) materialize it, so semantics never change."""
+    mk = getattr(pv, "fused_norm_arg", None)
+    if mk is not None:
+        nx = mk(h, name, cfg)
+        if nx is not None:
+            return nx
+    return apply_norm(cfg, h, pv.get(name), pv.get(f"{name}_bias"))
+
+
+def _mat(x):
+    """Materialize a pending fused norm (stacked.NormedX) if present."""
+    return x.materialize() if hasattr(x, "materialize") else x
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     dt = x.dtype
     xf = x.astype(jnp.float32)
@@ -474,9 +492,7 @@ def _block_attn_mlp(
     B, T, D = h.shape
     H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
 
-    x = apply_norm(
-        cfg, h, pv.get("input_layernorm"), pv.get("input_layernorm_bias")
-    )
+    x = _norm_input(pv, cfg, h, "input_layernorm")
     q = pv.apply("q_proj", x)
     k = pv.apply("k_proj", x)
     v = pv.apply("v_proj", x)
@@ -614,29 +630,19 @@ def _block_attn_mlp(
         if cfg.shared_input_norm:
             x2 = x
         else:
-            x2 = apply_norm(
-                cfg,
-                h,
-                pv.get("post_attention_layernorm"),
-                pv.get("post_attention_layernorm_bias"),
-            )
+            x2 = _norm_input(pv, cfg, h, "post_attention_layernorm")
         mlp_out = _mlp_from_view(pv, cfg, x2)
         h = h + attn_out + mlp_out
     else:
         h = h + attn_out
-        x2 = apply_norm(
-            cfg,
-            h,
-            pv.get("post_attention_layernorm"),
-            pv.get("post_attention_layernorm_bias"),
-        )
+        x2 = _norm_input(pv, cfg, h, "post_attention_layernorm")
         h = h + _mlp_from_view(pv, cfg, x2)
     return h, cache
 
 
 def _mlp_from_view(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     if pv.get("experts") is not None:
-        return _moe_forward(pv.lp, cfg, x)
+        return _moe_forward(pv.lp, cfg, _mat(x))
     if cfg.mlp_type == "gated":
         gate = pv.apply("gate_proj", x)
         up = pv.apply("up_proj", x)

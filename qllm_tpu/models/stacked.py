@@ -396,12 +396,45 @@ _FUSED_OF = {
 }
 
 
+class NormedX:
+    """An activation with a PENDING rms-norm, to be fused into the next
+    stacked quantized matmul (ops.pallas_qmm full-K planar kernel
+    computes the row mean for free — the whole x row is already in
+    VMEM). Consumers that cannot fuse call ``materialize()``; llama's
+    block code guards the non-matmul paths (MoE router) the same way."""
+
+    __slots__ = ("x", "w_stacked", "layer", "eps")
+
+    def __init__(self, x, w_stacked, layer, eps: float):
+        self.x = x
+        self.w_stacked = w_stacked
+        self.layer = layer
+        self.eps = eps
+
+    @property
+    def shape(self):
+        return self.x.shape
+
+    @property
+    def dtype(self):
+        return self.x.dtype
+
+    def materialize(self):
+        from ..ops.pallas_qmm import _rms_norm_rows
+
+        return _rms_norm_rows(self.x, self.w_stacked[self.layer], self.eps)
+
+
 class StackedLayerView:
     """llama.LayerView equivalent over [L]-stacked params + layer index.
 
     ``cfg`` enables the fused-projection path: q/k/v (gate/up) slices of
     one wide matmul, memoized per input so the fused kernel runs once
     per consumer group."""
+
+    #: subclasses (e.g. the tensor-parallel view) can switch off the
+    #: fused-norm marker without overriding ``fused_norm_arg``
+    fuse_norms = True
 
     def __init__(self, slp: Dict[str, Any], l, cfg: ModelConfig = None):
         self.lp = slp
@@ -414,6 +447,24 @@ class StackedLayerView:
         if v is None or isinstance(v, QuantizedTensor):
             return v
         return v[self.l]
+
+    def fused_norm_arg(self, h, name: str, cfg):
+        """NormedX marker for ``rms_norm(h, <name>)`` when the next
+        matmul can fuse it; None -> caller normalizes normally."""
+        import os as _os
+
+        if (
+            not self.fuse_norms
+            or cfg is None
+            or cfg.norm_type != "rmsnorm"
+            or self.lp.get(f"{name}_bias") is not None
+            or _os.environ.get("QLLM_TPU_FUSED_NORM", "1") == "0"
+        ):
+            return None
+        w = self.lp.get(name)
+        if w is None or isinstance(w, QuantizedTensor) or w.ndim != 2:
+            return None  # needs a plain [L, K] stacked weight
+        return NormedX(h, w, self.l, cfg.rms_norm_eps)
 
     def apply(self, name, x):
         fused = _FUSED_OF.get(name)
@@ -437,10 +488,17 @@ class StackedLayerView:
         w = self.lp[name]
         b = self.lp.get(f"{name}_bias")
         bias = None if b is None else b[self.l]
+        norm_kw = {}
+        if isinstance(x, NormedX):
+            if isinstance(w, QuantizedTensor):
+                norm_kw = {"norm_w": x.w_stacked, "norm_eps": x.eps}
+                x = x.x
+            else:
+                x = x.materialize()
         if isinstance(w, QuantizedTensor):
             from ..ops.pallas_qmm import qmatmul_pallas_stacked
 
-            y = qmatmul_pallas_stacked(x, w, self.l)
+            y = qmatmul_pallas_stacked(x, w, self.l, **norm_kw)
             if bias is not None:
                 y = y + bias
             return y

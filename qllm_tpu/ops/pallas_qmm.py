@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.qtensor import QuantizedTensor
 
 __all__ = ["qmatmul_pallas"]
+
+
+def _rms_norm_rows(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """XLA rms-norm over the last axis (fallback when a fused-norm
+    matmul request lands on a kernel path without in-kernel norm).
+    Mirrors models.llama.rms_norm up to f32-vs-bf16 rounding of the
+    weight product (the in-kernel fusion also multiplies in f32)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w.astype(jnp.float32)).astype(
+        x.dtype
+    )
 
 
 def _pick_block(dim: int, quantum: int, target: int) -> int:
@@ -705,20 +717,28 @@ def planar_full_ok(K: int, g: int) -> bool:
 
 def _qmm_kernel_planar_full(
     layer_ref,  # scalar prefetch [1]
-    x_ref,  # [bm, K] f32 — the whole activation row
-    qw_ref,  # [1, K/8, bn] uint32 planar (full K)
-    s_ref,  # [1, G, bn] scales (f32 or bf16)
-    z_ref,  # [1, G, bn] prefolded zs
-    out_ref,  # [bm, bn] f32
-    *,
+    x_ref,  # [bm, K] f32/bf16 — the whole activation row
+    *refs,  # ([nw_ref [1, K] when norm]), qw_ref, s_ref, z_ref, out_ref
     K: int,
     g: int,
+    norm: bool = False,
+    eps: float = 1e-6,
 ):
     """Full-K planar kernel with fused correction: one k step (the k
     pipeline moves to the j/N grid axis, whose blocks are bigger and
     stream better — down_proj profiled at ~690 GB/s with full-K blocks
-    vs ~460 GB/s blocked)."""
+    vs ~460 GB/s blocked).
+
+    ``norm``: fuse the pre-matmul RMSNorm — the whole x row is already
+    in VMEM, so the row mean costs nothing extra and the [1, D]
+    normalize+scale XLA fusions (+ their reductions) disappear from the
+    decode step. Recomputed per N-block: VPU math fully hidden under
+    the weight stream."""
     del layer_ref
+    if norm:
+        nw_ref, qw_ref, s_ref, z_ref, out_ref = refs
+    else:
+        qw_ref, s_ref, z_ref, out_ref = refs
     Gh = (K // 2) // g
     qw = pltpu.bitcast(qw_ref[0], jnp.int32)
     v_lo = pltpu.bitcast(qw & jnp.int32(0x0F0F0F0F), jnp.int8).astype(
@@ -730,17 +750,32 @@ def _qmm_kernel_planar_full(
     ).astype(jnp.float32)
     sc = s_ref[0].astype(jnp.float32)  # [G, bn]
     zs = z_ref[0].astype(jnp.float32)
+    xn = nw = None
+    if norm:
+        xf = x_ref[:, :].astype(jnp.float32)  # [bm, K]
+        # sum * literal instead of jnp.mean: mean's 1/K reciprocal
+        # materializes as a captured f32[] constant that pallas rejects
+        var = jnp.sum(xf * xf, axis=1, keepdims=True) * float(1.0 / K)
+        xn = xf * jax.lax.rsqrt(var + float(eps))
+        # [G, g] layout so each group's weights broadcast from a [1, g]
+        # slice of a multi-sublane block — the same pattern the scale
+        # multiply uses (a flat [1, K] block broadcast is an "Invalid
+        # input layout" in Mosaic)
+        nw = nw_ref[0].astype(jnp.float32)  # [G, g]
     acc = jnp.zeros(out_ref.shape, jnp.float32)
     for half, v in ((0, v_lo), (1, v_hi)):
         base = half * Gh
         off = half * (K // 2)
         for gi in range(Gh):
-            # x may arrive bf16 (halves the per-grid-step x re-read — the
-            # x block is fetched once per N-block, 25% of down_proj's
-            # traffic at K=11008 f32); cast is free relative to that
-            xg = x_ref[:, off + gi * g : off + (gi + 1) * g].astype(
-                jnp.float32
-            )
+            sl = slice(off + gi * g, off + (gi + 1) * g)
+            if norm:
+                xg = xn[:, sl] * nw[base + gi : base + gi + 1, :]
+            else:
+                # x may arrive bf16 (halves the per-grid-step x re-read —
+                # the x block is fetched once per N-block, 25% of
+                # down_proj's traffic at K=11008 f32); cast is free
+                # relative to that
+                xg = x_ref[:, sl].astype(jnp.float32)
             d = jnp.dot(
                 xg, v[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
             )
@@ -832,6 +867,7 @@ def _qmm_kernel_planar(
         "fuse_corr",
         "bn_opt",
         "bk_opt",
+        "norm_eps",
     ),
 )
 def _qmm_2d_stacked(
@@ -849,6 +885,8 @@ def _qmm_2d_stacked(
     fuse_corr: bool = False,
     bn_opt: int = 0,
     bk_opt: int = 0,
+    norm_w: Optional[jax.Array] = None,  # [L, K] stacked rms-norm weights
+    norm_eps: float = 1e-6,
 ) -> jax.Array:
     """v3 decode kernel reading DIRECTLY from a layer-stacked weight
     pytree: the layer index arrives by scalar prefetch and selects
@@ -856,7 +894,10 @@ def _qmm_2d_stacked(
     layer's weights (profiling showed that copy costs more than the
     whole kernel). ``prefolded``: the zeros stack already holds
     zs = zeros * scales (models.stacked pre-fold). ``bn_opt/bk_opt``:
-    explicit block sizes (autotuner / sweeps); 0 = env/default."""
+    explicit block sizes (autotuner / sweeps); 0 = env/default.
+    ``norm_w``: fuse x = rms_norm(x, norm_w[layer]) into the matmul —
+    only the full-K planar kernel does it in-kernel; every other path
+    falls back to an XLA pre-normalize (still correct)."""
     K, N = in_features, out_features
     M = x.shape[0]
     pf = 32 // bits
@@ -869,6 +910,10 @@ def _qmm_2d_stacked(
     bm = M
     bk_target = bk_opt or int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
 
+    if norm_w is not None and not planar:
+        # in-kernel norm exists only in the full-K planar kernel
+        x = _rms_norm_rows(x, norm_w[layer], norm_eps)
+        norm_w = None
     if planar:
         if fuse_corr and not prefolded:
             raise ValueError("fuse_corr requires prefolded zeros (zs)")
@@ -886,6 +931,9 @@ def _qmm_2d_stacked(
             and full_bytes
             <= int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
         )
+        if norm_w is not None and not (use_full or bkp is None):
+            x = _rms_norm_rows(x, norm_w[layer], norm_eps)
+            norm_w = None
         if use_full or bkp is None:
             if not use_full:
                 raise ValueError(
@@ -893,30 +941,52 @@ def _qmm_2d_stacked(
                 )
             G_all = K // g
             grid = (M // bm, N // bn)
-            kernel = functools.partial(_qmm_kernel_planar_full, K=K, g=g)
+            kernel = functools.partial(
+                _qmm_kernel_planar_full,
+                K=K,
+                g=g,
+                norm=norm_w is not None,
+                eps=norm_eps,
+            )
+            in_specs = [
+                pl.BlockSpec(
+                    (bm, K), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
+                ),
+            ]
+            norm_operands = []
+            if norm_w is not None:
+                # [L, G, g]: per-group rows so the kernel broadcasts a
+                # [1, g] slice of a multi-sublane block (a flat [L, K]
+                # block is rejected by Mosaic's layout inference)
+                in_specs.append(
+                    pl.BlockSpec(
+                        (1, G_all, g),
+                        lambda i, j, l: (l[0], 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+                norm_operands = [norm_w.reshape(norm_w.shape[0], G_all, g)]
+            in_specs += [
+                pl.BlockSpec(
+                    (1, K // 8, bn),
+                    lambda i, j, l: (l[0], 0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, G_all, bn),
+                    lambda i, j, l: (l[0], 0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, G_all, bn),
+                    lambda i, j, l: (l[0], 0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=grid,
-                in_specs=[
-                    pl.BlockSpec(
-                        (bm, K), lambda i, j, l: (i, 0), memory_space=pltpu.VMEM
-                    ),
-                    pl.BlockSpec(
-                        (1, K // 8, bn),
-                        lambda i, j, l: (l[0], 0, j),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, G_all, bn),
-                        lambda i, j, l: (l[0], 0, j),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (1, G_all, bn),
-                        lambda i, j, l: (l[0], 0, j),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec(
                     (bm, bn), lambda i, j, l: (i, j), memory_space=pltpu.VMEM
                 ),
@@ -937,6 +1007,7 @@ def _qmm_2d_stacked(
             )(
                 jnp.asarray([layer], jnp.int32),
                 x.astype(x_dt),
+                *norm_operands,
                 qweight,
                 scales,
                 zeros,
@@ -1183,11 +1254,22 @@ def _tuned_blocks(K: int, N: int, bits: int, g: int, M: int) -> dict:
 
 
 def qmatmul_pallas_stacked(
-    x: jax.Array, qt_stacked: QuantizedTensor, layer: jax.Array
+    x: jax.Array,
+    qt_stacked: QuantizedTensor,
+    layer: jax.Array,
+    norm_w: Optional[jax.Array] = None,
+    norm_eps: float = 1e-6,
 ) -> jax.Array:
     """y = x @ dequant(stack[layer]). qt_stacked leaves carry a leading
     [L] axis (models.stacked). Falls back to slice+qmatmul when the
-    no-copy kernel's constraints don't hold."""
+    no-copy kernel's constraints don't hold.
+
+    ``norm_w`` ([L, K] stacked rms-norm weights): compute
+    y = rms_norm(x, norm_w[layer], norm_eps) @ dequant(stack[layer])
+    with the norm fused into the matmul kernel when the full-K planar
+    path runs (models.stacked.NormedX); any other path normalizes in
+    XLA first — numerically the same up to f32-vs-bf16 rounding of the
+    weight product."""
     bits = qt_stacked.bits
     K, N = qt_stacked.in_features, qt_stacked.out_features
     N_buf = qt_stacked.qweight.shape[-1]  # may be lane-padded at stack time
@@ -1251,6 +1333,8 @@ def qmatmul_pallas_stacked(
     if not ok:
         from .ref_matmul import qmatmul
 
+        if norm_w is not None:
+            x = _rms_norm_rows(x, norm_w[layer], norm_eps)
         qt = jax.tree_util.tree_map(lambda a: a[layer], qt_stacked)
         import dataclasses as _dc
 
@@ -1290,6 +1374,8 @@ def qmatmul_pallas_stacked(
         planar=qt_stacked.planar,
         prefolded=qt_stacked.zeros_prefolded,
         fuse_corr=fuse_corr,
+        norm_w=norm_w,
+        norm_eps=norm_eps,
         **_tuned_blocks(K, N_buf, bits, g, M),
     )
     if Mp != M:

@@ -42,7 +42,7 @@ from ..models.llama import (
     build_mask,
     layer_norm,
 )
-from ..models.stacked import StackedLayerView, stack_layer_params
+from ..models.stacked import NormedX, StackedLayerView, stack_layer_params
 from ..ops.kv_cache import QuantizedKVCache
 from ..quant.qtensor import QuantizedTensor, pad_in_features, pad_out_features
 
@@ -262,10 +262,20 @@ class TPStackedLayerView(StackedLayerView):
         w = self.lp[name]
         b = self.lp.get(f"{name}_bias")
         bias = None if b is None else b[self.l]
+        norm_kw = {}
+        if isinstance(x, NormedX):
+            # column-parallel matmuls keep the full K axis per shard and
+            # the norm weight is replicated, so the in-kernel norm
+            # fusion is sharding-transparent; anything else materializes
+            if isinstance(w, QuantizedTensor) and name not in _ROW:
+                norm_kw = {"norm_w": x.w_stacked, "norm_eps": x.eps}
+                x = x.x
+            else:
+                x = x.materialize()
         if isinstance(w, QuantizedTensor):
             from ..ops.pallas_qmm import qmatmul_pallas_stacked
 
-            y = qmatmul_pallas_stacked(x, _localize_qt(w), self.l)
+            y = qmatmul_pallas_stacked(x, _localize_qt(w), self.l, **norm_kw)
         else:
             y = jnp.dot(
                 x.astype(jnp.bfloat16),

@@ -318,3 +318,103 @@ def test_odd_bit_stacked_kernel_full_k(monkeypatch):
         y_ref = np.asarray(qmatmul_ref(x, qts[layer]))
         scale = np.abs(y_ref).max()
         np.testing.assert_allclose(y, y_ref, atol=2e-2 * scale, rtol=2e-2)
+
+
+def test_fused_norm_matches_xla_prenorm(monkeypatch):
+    """norm_w fusion (in-kernel rms_norm on the full-K planar path, XLA
+    pre-normalize on every other path) vs explicit rms_norm + matmul."""
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    from qllm_tpu.models.stacked import stack_layer_params
+    from qllm_tpu.ops.pallas_qmm import (
+        _rms_norm_rows,
+        planar_full_ok,
+        qmatmul_pallas_stacked,
+    )
+
+    K, N, g, L, M = 768, 256, 128, 2, 4
+    assert planar_full_ok(K, g)
+    rng = np.random.default_rng(21)
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
+            bits=4,
+            group_size=g,
+        )
+        for _ in range(L)
+    ]
+    params = {
+        "embed_tokens": jnp.zeros((8, 8)),
+        "norm": jnp.ones((8,)),
+        "layers": [{"q_proj": qt} for qt in qts],
+    }
+    for planar in (True, False):  # full-K in-kernel vs XLA-fallback route
+        sp = stack_layer_params(dict(params), planar=planar)
+        stacked = sp["layers"]["q_proj"]
+        nw = jnp.asarray(
+            rng.normal(size=(L, K)).astype(np.float32) * 0.2 + 1.0
+        )
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        for layer in range(L):
+            y = np.asarray(
+                qmatmul_pallas_stacked(
+                    x, stacked, jnp.int32(layer), norm_w=nw, norm_eps=1e-6
+                )
+            )
+            xn = _rms_norm_rows(x, nw[layer], 1e-6)
+            y_ref = np.asarray(qmatmul_ref(xn, qts[layer]))
+            scale = np.abs(y_ref).max()
+            np.testing.assert_allclose(y, y_ref, atol=2e-2 * scale, rtol=2e-2)
+
+
+def test_normed_x_view_matches_unfused_forward():
+    """StackedLayerView consumes the NormedX marker identically to
+    apply_norm + apply (fallback path, no forced kernel)."""
+    from qllm_tpu.models.llama import ModelConfig, rms_norm
+    from qllm_tpu.models.stacked import (
+        NormedX,
+        StackedLayerView,
+        stack_layer_params,
+    )
+
+    K, N, g, L = 256, 128, 128, 2
+    rng = np.random.default_rng(22)
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
+            bits=4,
+            group_size=g,
+        )
+        for _ in range(L)
+    ]
+    nws = jnp.asarray(rng.normal(size=(L, K)).astype(np.float32) * 0.2 + 1.0)
+    params = {
+        "embed_tokens": jnp.zeros((8, 8)),
+        "norm": jnp.ones((8,)),
+        "layers": [
+            {"up_proj": qt, "input_layernorm": nws[i]}
+            for i, qt in enumerate(qts)
+        ],
+    }
+    cfg = ModelConfig(
+        vocab_size=8,
+        hidden_size=K,
+        intermediate_size=N,
+        num_hidden_layers=L,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+    )
+    sp = stack_layer_params(params)
+    h = jnp.asarray(rng.normal(size=(1, 1, K)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    for layer in range(L):
+        pv = StackedLayerView(sp["layers"], jnp.int32(layer), cfg)
+        nx = pv.fused_norm_arg(h, "input_layernorm", cfg)
+        assert isinstance(nx, NormedX)
+        y_marker = np.asarray(pv.apply("up_proj", nx), np.float32)
+        xn = rms_norm(h, nws[layer], cfg.rms_norm_eps)
+        y_ref = np.asarray(pv.apply("up_proj", xn), np.float32)
+        scale = np.abs(y_ref).max()
+        np.testing.assert_allclose(
+            y_marker, y_ref, atol=2e-2 * scale, rtol=2e-2
+        )
