@@ -28,13 +28,30 @@ def decode_loop(
     cache: QuantizedKVCache,
     pos0: jax.Array,  # scalar int32
     steps: int,
+    sampling=None,  # (temperature [B], top_k [B], top_p [B]) or None=greedy
+    key: jax.Array = None,  # PRNG key, required when sampling is set
 ) -> Tuple[jax.Array, QuantizedKVCache]:
-    """Greedy-decode ``steps`` tokens on-device. Returns ([B, steps], cache)."""
+    """Decode ``steps`` tokens on-device. Returns ([B, steps], cache).
+
+    Greedy by default; pass ``sampling`` (models.sampling.params_arrays)
+    + ``key`` for temperature/top-k/top-p sampling — the per-step key is
+    fold_in(key, pos), so resuming at the same position reproduces the
+    same stream."""
+    if sampling is not None and key is None:
+        raise ValueError("sampling requires a PRNG key")
+
+    def pick(logits, pos):
+        if sampling is None:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        from .sampling import sample_logits
+
+        t, k, p = sampling
+        return sample_logits(logits, jax.random.fold_in(key, pos), t, k, p)
 
     def body(carry, _):
         token, cache, pos = carry
         logits, cache = forward(params, cfg, token, cache, pos=pos)
-        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)[:, None]
+        nxt = pick(logits[:, -1], pos)[:, None]
         return (nxt, cache, pos + 1), nxt[:, 0]
 
     ring = cache.ring_k is not None

@@ -17,7 +17,13 @@ import jax.numpy as jnp
 from ..ops.kv_cache import QuantizedKVCache
 from .llama import ModelConfig, forward
 
-__all__ = ["prefill", "decode_step", "greedy_generate", "make_cache"]
+__all__ = [
+    "prefill",
+    "decode_step",
+    "greedy_generate",
+    "sample_generate",
+    "make_cache",
+]
 
 
 def make_cache(
@@ -108,3 +114,41 @@ def greedy_generate(
         # dispatch for N tokens) instead of this convenience loop.
         token.block_until_ready()
     return jnp.concatenate(out, axis=1)
+
+
+def sample_generate(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    prompt: jax.Array,  # [B, T]
+    max_new_tokens: int,
+    sampling: "SamplingParams" = None,  # noqa: F821 — models.sampling
+    max_seq: Optional[int] = None,
+    quantized_kv: bool = True,
+) -> jax.Array:
+    """Stochastic decode (temperature / top-k / top-p) — one on-device
+    decode_loop dispatch. Returns [B, T + max_new_tokens] token ids.
+    ``sampling=None`` (or temperature<=0) degrades to greedy. Same
+    sampling params apply to every row; per-row mixing is the serving
+    engine's job (serve.engine Request.sampling)."""
+    from ..models.decode_loop import decode_loop
+    from .sampling import SamplingParams, params_arrays, sample_logits
+
+    sp = sampling or SamplingParams()
+    B, T = prompt.shape
+    max_seq = max_seq or (T + max_new_tokens)
+    cache = make_cache(cfg, B, max_seq, quantized_kv)
+    logits, cache = prefill(params, cfg, prompt, cache)
+    t, k, p = params_arrays([sp] * B)
+    key = jax.random.key(sp.seed)
+    first = sample_logits(logits, jax.random.fold_in(key, T - 1), t, k, p)
+    toks, _ = decode_loop(
+        params,
+        cfg,
+        first[:, None],
+        cache,
+        jnp.int32(T),
+        max_new_tokens - 1,
+        sampling=(t, k, p),
+        key=key,
+    )
+    return jnp.concatenate([prompt, first[:, None], toks], axis=1)

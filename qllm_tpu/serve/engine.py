@@ -33,9 +33,15 @@ import numpy as np
 
 from ..models.generate import make_cache
 from ..models.llama import ModelConfig, forward
+from ..models.sampling import SamplingParams, sample_logits
 from ..ops.kv_cache import QuantizedKVCache
 
-__all__ = ["ServeConfig", "Request", "ContinuousBatchingEngine"]
+__all__ = [
+    "ServeConfig",
+    "Request",
+    "ContinuousBatchingEngine",
+    "SamplingParams",
+]
 
 
 @dataclasses.dataclass
@@ -53,6 +59,9 @@ class ServeConfig:
     # engine iteration, interleaved with decode steps — a long prompt no
     # longer stalls every active stream for its full prefill
     prefill_chunk: int = 256
+    # engine-level PRNG seed for stochastic requests (per-request
+    # sampling params live on Request.sampling)
+    seed: int = 0
 
 
 @dataclasses.dataclass
@@ -60,6 +69,9 @@ class Request:
     uid: int
     prompt: np.ndarray  # [T] int32
     max_new_tokens: int = 128
+    # None = greedy; SamplingParams enables temperature/top-k/top-p for
+    # this request only (mixed batches share one compiled sampled step)
+    sampling: Optional["SamplingParams"] = None  # noqa: F821
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -69,27 +81,50 @@ class Request:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _batched_decode_step(params, cfg: ModelConfig, tokens, cache, positions):
-    """tokens [B, 1], positions int32 [B] -> (next_tokens [B], cache)."""
+def _batched_decode_step(
+    params, cfg: ModelConfig, tokens, cache, positions, sampling=None, key=None
+):
+    """tokens [B, 1], positions int32 [B] -> (next_tokens [B], cache).
+    ``sampling``: (temperature, top_k, top_p) per-slot arrays (None =
+    all-greedy trace, no sort in the step)."""
     logits, cache = forward(params, cfg, tokens, cache, pos=positions)
-    return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32), cache
+    last = logits[:, -1, :]
+    if sampling is None:
+        return jnp.argmax(last, axis=-1).astype(jnp.int32), cache
+    t, k, p = sampling
+    return sample_logits(last, key, t, k, p), cache
 
 
 @partial(jax.jit, static_argnames=("cfg", "steps", "eos"))
 def _batched_decode_multi(
-    params, cfg: ModelConfig, tokens, cache, positions, active, steps: int, eos
+    params,
+    cfg: ModelConfig,
+    tokens,
+    cache,
+    positions,
+    active,
+    steps: int,
+    eos,
+    sampling=None,
+    key=None,
 ):
-    """``steps`` decode steps fully on-device (one dispatch): greedy
-    tokens chained per slot, eos-aware freezing. Inactive/finished slots
-    keep decoding into their own positions but their outputs are masked.
+    """``steps`` decode steps fully on-device (one dispatch): next
+    tokens (greedy, or sampled when ``sampling`` arrays are given)
+    chained per slot, eos-aware freezing. Inactive/finished slots keep
+    decoding into their own positions but their outputs are masked.
 
     Returns (token trace [B, steps], final tokens [B,1], cache,
     positions, active)."""
 
-    def body(carry, _):
+    def body(carry, i):
         tokens, cache, positions, active = carry
         logits, cache = forward(params, cfg, tokens, cache, pos=positions)
-        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        last = logits[:, -1, :]
+        if sampling is None:
+            nxt = jnp.argmax(last, axis=-1).astype(jnp.int32)
+        else:
+            t, k, p = sampling
+            nxt = sample_logits(last, jax.random.fold_in(key, i), t, k, p)
         if eos is not None:
             now_finished = nxt == eos
         else:
@@ -101,31 +136,39 @@ def _batched_decode_multi(
         return (tokens, cache, positions, active), emit
 
     (tokens, cache, positions, active), trace = jax.lax.scan(
-        body, (tokens, cache, positions, active), None, length=steps
+        body, (tokens, cache, positions, active), jnp.arange(steps)
     )
     return trace.T, tokens, cache, positions, active
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _prefill_one(params, cfg: ModelConfig, tokens, cache, length):
-    """Right-padded prompt [1, Tb]; only positions < length are real."""
+    """Right-padded prompt [1, Tb]; only positions < length are real.
+    Returns (last real position's logits [1, V], cache) — the first
+    token is picked outside (greedy or sampled per request)."""
     logits, cache = forward(params, cfg, tokens, cache, pos=jnp.int32(0))
     last = jnp.take_along_axis(
         logits, (length - 1)[None, None, None], axis=1
     )[:, 0]
-    return jnp.argmax(last, axis=-1).astype(jnp.int32), cache
+    return last, cache
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _prefill_chunk(params, cfg: ModelConfig, tokens, cache, offset, length):
     """One chunk [1, C] of a long prompt at position ``offset``; returns
-    the greedy token after the LAST REAL position (only meaningful on
-    the final chunk, where offset + real <= offset + C = length pad)."""
+    the logits after the LAST REAL position (only meaningful on the
+    final chunk, where offset + real <= offset + C = length pad)."""
     logits, cache = forward(params, cfg, tokens, cache, pos=offset)
     last = jnp.take_along_axis(
         logits, jnp.maximum(length - offset - 1, 0)[None, None, None], axis=1
     )[:, 0]
-    return jnp.argmax(last, axis=-1).astype(jnp.int32), cache
+    return last, cache
+
+
+@jax.jit
+def _pick_first(last, key, t, k, p):
+    """First-token pick from prefill logits ([1, V]); t<=0 -> greedy."""
+    return sample_logits(last, key, t, k, p)
 
 
 class ContinuousBatchingEngine:
@@ -140,6 +183,12 @@ class ContinuousBatchingEngine:
         self.slot_req: List[Optional[Request]] = [None] * B
         self.positions = np.zeros(B, np.int32)  # next write offset/slot
         self.tokens = np.zeros((B, 1), np.int32)  # next token to feed
+        # per-slot sampling params (temp<=0 = greedy slot)
+        self.samp_t = np.zeros(B, np.float32)
+        self.samp_k = np.zeros(B, np.int32)
+        self.samp_p = np.ones(B, np.float32)
+        self._key = jax.random.key(serve_cfg.seed)
+        self._dispatches = 0  # folds the engine key per dispatch
         self.queue: deque[Request] = deque()
         self._uid = 0
         # in-flight chunked admission: (req, slot, mini_cache, done_toks)
@@ -147,12 +196,18 @@ class ContinuousBatchingEngine:
 
     # ----------------------------------------------------------------- API
 
-    def submit(self, prompt, max_new_tokens: int = 128) -> Request:
+    def submit(
+        self,
+        prompt,
+        max_new_tokens: int = 128,
+        sampling: Optional[SamplingParams] = None,
+    ) -> Request:
         self._uid += 1
         req = Request(
             uid=self._uid,
             prompt=np.asarray(prompt, np.int32).reshape(-1),
             max_new_tokens=max_new_tokens,
+            sampling=sampling,
             submitted_at=time.time(),
         )
         self.queue.append(req)
@@ -181,9 +236,24 @@ class ContinuousBatchingEngine:
                 return b
         return self.scfg.max_seq
 
-    def _finish_admission(self, req, slot, mini, first_tok) -> None:
+    def _next_key(self) -> jax.Array:
+        self._dispatches += 1
+        return jax.random.fold_in(self._key, self._dispatches)
+
+    def _finish_admission(self, req, slot, mini, last_logits) -> None:
         self.cache = self.cache.insert_slot(slot, mini)
         T = len(req.prompt)
+        sp = req.sampling or SamplingParams()
+        self.samp_t[slot] = sp.temperature
+        self.samp_k[slot] = sp.top_k
+        self.samp_p[slot] = sp.top_p
+        first_tok = _pick_first(
+            last_logits,
+            self._next_key(),
+            jnp.asarray([sp.temperature], jnp.float32),
+            jnp.asarray([sp.top_k], jnp.int32),
+            jnp.asarray([sp.top_p], jnp.float32),
+        )
         req.first_token_at = time.time()
         req.output.append(int(first_tok[0]))
         self.slot_req[slot] = req
@@ -204,7 +274,7 @@ class ContinuousBatchingEngine:
             n = min(C, T - done)
             chunk = np.zeros((1, C), np.int32)
             chunk[0, :n] = req.prompt[done : done + n]
-            tok, mini = _prefill_chunk(
+            last_logits, mini = _prefill_chunk(
                 self.params,
                 self.cfg,
                 jnp.asarray(chunk),
@@ -214,7 +284,7 @@ class ContinuousBatchingEngine:
             )
             done += n
             if done >= T:
-                self._finish_admission(req, slot, mini, tok)
+                self._finish_admission(req, slot, mini, last_logits)
                 self._admitting = None
             else:
                 self._admitting = (req, slot, mini, done)
@@ -237,14 +307,14 @@ class ContinuousBatchingEngine:
             padded = np.zeros((1, Tb), np.int32)
             padded[0, :T] = req.prompt
             mini = make_cache(self.cfg, 1, Tb, self.scfg.quantized_kv)
-            first_tok, mini = _prefill_one(
+            last_logits, mini = _prefill_one(
                 self.params,
                 self.cfg,
                 jnp.asarray(padded),
                 mini,
                 jnp.int32(T),
             )
-            self._finish_admission(req, slot, mini, first_tok)
+            self._finish_admission(req, slot, mini, last_logits)
             if self._req_done(req):
                 pass  # reaped after the next step scan
 
@@ -278,6 +348,7 @@ class ContinuousBatchingEngine:
             jnp.asarray(self.tokens),
             self.cache,
             jnp.asarray(self.positions),
+            *self._sampling_args(act),
         )
         next_np = np.asarray(next_tokens)
         for slot in act:
@@ -290,6 +361,21 @@ class ContinuousBatchingEngine:
             self.tokens[slot, 0] = tok
             if on_token is not None:
                 on_token(req, tok)
+
+    def _sampling_args(self, act) -> tuple:
+        """(sampling, key) for the jitted steps: (None, None) when every
+        active slot is greedy — keeps the hot all-greedy trace free of
+        the [B, V] sort."""
+        if not any(self.samp_t[s] > 0 for s in act):
+            return (None, None)
+        return (
+            (
+                jnp.asarray(self.samp_t),
+                jnp.asarray(self.samp_k),
+                jnp.asarray(self.samp_p),
+            ),
+            self._next_key(),
+        )
 
     def _step_multi(self, act, steps: int, on_token) -> None:
         B = self.scfg.max_batch
@@ -304,6 +390,7 @@ class ContinuousBatchingEngine:
             jnp.asarray(active),
             steps,
             self.scfg.eos_token_id,
+            *self._sampling_args(act),
         )
         trace_np = np.asarray(trace)
         pos_np = np.asarray(pos)
