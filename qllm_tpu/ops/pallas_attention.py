@@ -997,7 +997,10 @@ def decode_attention_ring(
 
     hb = 1
     hb_env = int(os.environ.get("QLLM_TPU_ATTN_HB", "0"))
-    for cand in (hb_env,) if hb_env else (8, 4, 2):
+    # 16 first: swept 2026-08-18 (tools/sweep_attn_hb.py) — hb=16 edges
+    # out 8 (18.7 vs 19.3 us/layer standalone) and 32 regresses; the
+    # 2 MB VMEM cap still drops long-S caches to smaller blocks
+    for cand in (hb_env,) if hb_env else (16, 8, 4, 2):
         if Hkv % cand == 0 and 2 * cand * S * d <= 2 * 1024 * 1024:
             hb = cand
             break

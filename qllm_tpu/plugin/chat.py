@@ -51,16 +51,37 @@ def generate_stream(
     prompt: str,
     max_new_tokens: int = 256,
     quantized_kv: bool = True,
+    sampling=None,  # models.sampling.SamplingParams or None = greedy
 ) -> Iterator[str]:
-    """Greedy streaming decode (reference generation.py generate_stream)."""
+    """Streaming decode, greedy by default (reference generation.py
+    generate_stream is greedy-only; ``sampling`` adds temperature /
+    top-k / top-p on top)."""
+    import jax
+
     from ..models.generate import decode_step, make_cache, prefill
+    from ..models.sampling import params_arrays, sample_logits
 
     ids = tokenizer(prompt, return_tensors="np").input_ids.astype(np.int32)
     T = ids.shape[1]
     max_seq = ((T + max_new_tokens + 127) // 128) * 128
     cache = make_cache(cfg, 1, max_seq, quantized_kv)
     logits, cache = prefill(params, cfg, jnp.asarray(ids), cache)
-    token = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+
+    if sampling is not None and sampling.temperature > 0:
+        t, k, p = params_arrays([sampling])
+        key = jax.random.key(sampling.seed)
+
+        def pick(lg, pos):
+            return sample_logits(
+                lg, jax.random.fold_in(key, pos), t, k, p
+            ).astype(jnp.int32)[:, None]
+
+    else:
+
+        def pick(lg, pos):
+            return jnp.argmax(lg, axis=-1).astype(jnp.int32)[:, None]
+
+    token = pick(logits, T - 1)
     eos = tokenizer.eos_token_id
     emitted = []
     for i in range(max_new_tokens):
@@ -71,7 +92,7 @@ def generate_stream(
         text = tokenizer.decode(emitted, skip_special_tokens=True)
         yield text
         logits, cache = decode_step(params, cfg, token, cache, jnp.int32(T + i))
-        token = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        token = pick(logits, T + i)
 
 
 def chat_loop(
@@ -82,6 +103,7 @@ def chat_loop(
     quantized_kv: bool = True,
     inp: Optional[callable] = None,
     outp: Optional[callable] = None,
+    sampling=None,
 ) -> None:
     """Interactive chat (reference chatcli/inference.py:21-109)."""
     inp = inp or (lambda: input("USER: "))
@@ -107,6 +129,7 @@ def chat_loop(
             conv.prompt(),
             max_new_tokens,
             quantized_kv,
+            sampling,
         ):
             outp(partial[last_len:])
             last_len = len(partial)
@@ -154,6 +177,16 @@ def loop_in_chat_completion(params, cfg, tokenizer, args=None) -> None:
         max_new_tokens=getattr(args, "max_new_tokens", 256) if args else 256,
         quantized_kv=getattr(args, "kv_quant", True) if args else True,
     )
+    temp = float(getattr(args, "temperature", 0.0) or 0.0) if args else 0.0
+    if temp > 0:
+        from ..models.sampling import SamplingParams
+
+        kwargs["sampling"] = SamplingParams(
+            temperature=temp,
+            top_k=int(getattr(args, "top_k", 0) or 0),
+            top_p=float(getattr(args, "top_p", 1.0) or 1.0),
+            seed=int(getattr(args, "seed", 0) or 0),
+        )
     if jax.process_count() > 1:
         io = DistChatIO()
         kwargs.update(inp=io.inp, outp=io.outp)

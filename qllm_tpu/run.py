@@ -74,6 +74,11 @@ def define_basic_args() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-kv-quant", dest="kv_quant", action="store_false")
     p.add_argument("--max_new_tokens", type=int, default=50)
+    # sampling for --use_plugin chat / --eval generation (beyond the
+    # reference, whose chat loop is greedy-only: chatcli/generation.py)
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument(
         "--quant_cache_dir",
         type=str,

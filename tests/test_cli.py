@@ -199,3 +199,22 @@ def test_synthetic_loader_deterministic():
     b, bt = get_loaders("synthetic", None, nsamples=4, seed=3, seqlen=64)
     np.testing.assert_array_equal(a, b)
     assert a.shape == (4, 64)
+
+
+def test_chat_loop_sampled_scripted():
+    """--temperature chat path: sampled stream, deterministic by seed."""
+    from qllm_tpu.models.sampling import SamplingParams
+    from qllm_tpu.plugin.chat import generate_stream
+
+    params = init_params(CFG, jax.random.key(2))
+    tok = _DummyTokenizer()
+
+    def run(seed):
+        sp = SamplingParams(temperature=1.5, top_k=20, seed=seed)
+        return list(
+            generate_stream(params, CFG, tok, "hello", 5, sampling=sp)
+        )[-1]
+
+    assert run(3) == run(3)
+    outs = {run(s) for s in range(6)}
+    assert len(outs) > 1  # really stochastic across seeds
