@@ -7,13 +7,18 @@ either dense arrays or QuantizedTensor — no module replacement needed.
 """
 
 from .llama import ModelConfig, init_params, forward, TINY_LLAMA_TEST_CONFIG
-from .generate import greedy_generate, prefill, decode_step
+from .generate import greedy_generate, prefill, decode_step, sample_generate
+from .sampling import SamplingParams
+from .speculative import speculative_generate
 
 __all__ = [
     "ModelConfig",
     "init_params",
     "forward",
     "greedy_generate",
+    "sample_generate",
+    "SamplingParams",
+    "speculative_generate",
     "prefill",
     "decode_step",
     "TINY_LLAMA_TEST_CONFIG",

