@@ -62,6 +62,13 @@ class ServeConfig:
     # engine-level PRNG seed for stochastic requests (per-request
     # sampling params live on Request.sampling)
     seed: int = 0
+    # n-gram speculative decoding for all-greedy batches: each dispatch
+    # drafts spec_gamma tokens from the slot's own token history and
+    # emits 1..spec_gamma+1 verified tokens (exact greedy stream).
+    # Sampled batches and near-full caches fall back to normal steps.
+    speculative: bool = False
+    spec_gamma: int = 4
+    spec_ngram: int = 2
 
 
 @dataclasses.dataclass
@@ -141,6 +148,50 @@ def _batched_decode_multi(
     return trace.T, tokens, cache, positions, active
 
 
+@partial(jax.jit, static_argnames=("cfg", "gamma", "ngram", "eos"))
+def _batched_spec_step(
+    params,
+    cfg: ModelConfig,
+    tokens,  # [B, 1] last emitted token per slot
+    cache,
+    positions,  # [B] int32 — cache offset of `tokens`
+    active,  # [B] bool
+    history,  # [B, S] int32 token history (prompt + emitted)
+    hist_len,  # [B] int32
+    gamma: int,
+    ngram: int,
+    eos,
+):
+    """One speculative round for the whole batch: draft gamma tokens per
+    slot from its history, verify in ONE forward over gamma+1 positions,
+    emit the agreeing prefix + bonus token (cut at eos). Rejected-draft
+    KV is overwritten before it is ever visible (models.speculative
+    docstring). Returns (emit [B, gamma+1], emit_len [B], next tokens,
+    cache, positions, active)."""
+    from ..models.speculative import ngram_draft
+
+    B = tokens.shape[0]
+    draft = ngram_draft(history, hist_len, gamma, ngram)
+    seq = jnp.concatenate([tokens, draft], axis=1)  # [B, 1+g]
+    logits, cache = forward(params, cfg, seq, cache, pos=positions)
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, 1+g]
+    match = (draft == nxt[:, :-1]).astype(jnp.int32)
+    el = jnp.cumprod(match, axis=1).sum(axis=1) + 1  # [B] in [1, g+1]
+    finished_now = jnp.zeros((B,), bool)
+    if eos is not None:
+        iseos = nxt == eos
+        eos_idx = jnp.argmax(iseos, axis=1)
+        hit = jnp.any(iseos, axis=1) & (eos_idx < el)
+        el = jnp.where(hit, eos_idx + 1, el)
+        finished_now = hit
+    el = jnp.where(active, el, 0)
+    last = jnp.take_along_axis(nxt, jnp.maximum(el - 1, 0)[:, None], axis=1)
+    positions = positions + el
+    active2 = active & (~finished_now)
+    tokens = jnp.where(active2, last[:, 0], tokens[:, 0])[:, None]
+    return nxt, el, tokens, cache, positions, active2
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _prefill_one(params, cfg: ModelConfig, tokens, cache, length):
     """Right-padded prompt [1, Tb]; only positions < length are real.
@@ -189,6 +240,13 @@ class ContinuousBatchingEngine:
         self.samp_p = np.ones(B, np.float32)
         self._key = jax.random.key(serve_cfg.seed)
         self._dispatches = 0  # folds the engine key per dispatch
+        if serve_cfg.speculative:
+            # per-slot token history for n-gram drafting; sized so a
+            # final gamma+1 write at hist_len == max_seq still fits
+            self.history = np.zeros(
+                (B, serve_cfg.max_seq + serve_cfg.spec_gamma + 1), np.int32
+            )
+            self.hist_len = np.zeros(B, np.int32)
         self.queue: deque[Request] = deque()
         self._uid = 0
         # in-flight chunked admission: (req, slot, mini_cache, done_toks)
@@ -259,6 +317,11 @@ class ContinuousBatchingEngine:
         self.slot_req[slot] = req
         self.positions[slot] = T
         self.tokens[slot, 0] = int(first_tok[0])
+        if self.scfg.speculative:
+            self.history[slot, :T] = req.prompt
+            self.history[slot, T] = int(first_tok[0])
+            self.history[slot, T + 1 :] = 0
+            self.hist_len[slot] = T + 1
 
     def _admit(self) -> None:
         """Admission with CHUNKED prefill: at most ``prefill_chunk``
@@ -327,6 +390,17 @@ class ContinuousBatchingEngine:
         ]
         if not act:
             return
+        if (
+            self.scfg.speculative
+            and not any(self.samp_t[s] > 0 for s in act)
+            and all(
+                self.positions[s] + self.scfg.spec_gamma + 1
+                <= self.scfg.max_seq
+                for s in act
+            )
+        ):
+            self._step_spec(act, on_token)
+            return
         chunk = max(1, self.scfg.decode_chunk)
         if chunk > 1:
             rem = min(
@@ -376,6 +450,45 @@ class ContinuousBatchingEngine:
             ),
             self._next_key(),
         )
+
+    def _step_spec(self, act, on_token) -> None:
+        """One speculative round: up to spec_gamma+1 verified greedy
+        tokens per active slot from a single forward."""
+        B = self.scfg.max_batch
+        active = np.zeros(B, bool)
+        active[act] = True
+        emit, el, toks, self.cache, pos, _ = _batched_spec_step(
+            self.params,
+            self.cfg,
+            jnp.asarray(self.tokens),
+            self.cache,
+            jnp.asarray(self.positions),
+            jnp.asarray(active),
+            jnp.asarray(self.history),
+            jnp.asarray(self.hist_len),
+            self.scfg.spec_gamma,
+            self.scfg.spec_ngram,
+            self.scfg.eos_token_id,
+        )
+        emit_np = np.asarray(emit)
+        el_np = np.asarray(el)
+        toks_np = np.asarray(toks)
+        pos_np = np.asarray(pos)
+        for s in act:
+            req = self.slot_req[s]
+            n = int(el_np[s])
+            hl = int(self.hist_len[s])
+            self.history[s, hl : hl + n] = emit_np[s, :n]
+            self.hist_len[s] = hl + n
+            for t in emit_np[s, :n]:
+                if self._req_done(req):
+                    break
+                req.output.append(int(t))
+                if on_token is not None:
+                    on_token(req, int(t))
+            self.positions[s] = int(pos_np[s])
+            self.tokens[s, 0] = int(toks_np[s, 0])
+            self._req_done(req)
 
     def _step_multi(self, act, steps: int, on_token) -> None:
         B = self.scfg.max_batch

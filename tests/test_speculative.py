@@ -101,3 +101,86 @@ def test_speculative_rejects_ring_cache():
             hist,
             jnp.asarray([5], jnp.int32),
         )
+
+
+def _engine_outputs(params, prompts, n, scfg_kwargs):
+    from qllm_tpu.serve import ContinuousBatchingEngine, ServeConfig
+
+    engine = ContinuousBatchingEngine(
+        params, CFG, ServeConfig(max_seq=64, prefill_buckets=(16,), **scfg_kwargs)
+    )
+    reqs = [engine.submit(p, max_new_tokens=n) for p in prompts]
+    engine.run()
+    return [r.output for r in reqs]
+
+
+def test_engine_speculative_matches_greedy():
+    params = init_params(CFG, jax.random.key(0))
+    rng = np.random.default_rng(7)
+    prompts = [
+        rng.integers(1, CFG.vocab_size, size=t).astype(np.int32)
+        for t in (5, 9, 3)
+    ]
+    n = 10
+    spec = _engine_outputs(
+        params, prompts, n, dict(max_batch=2, speculative=True, spec_gamma=3)
+    )
+    plain = _engine_outputs(params, prompts, n, dict(max_batch=2))
+    assert spec == plain
+    for p, out in zip(prompts, spec):
+        ref = greedy_generate(
+            params, CFG, jnp.asarray(p[None]), n, max_seq=64
+        )
+        assert out == np.asarray(ref)[0, len(p):].tolist()
+
+
+def test_engine_speculative_eos_stops():
+    params = init_params(CFG, jax.random.key(0))
+    rng = np.random.default_rng(8)
+    p = rng.integers(1, CFG.vocab_size, size=6).astype(np.int32)
+    # find the greedy stream's 3rd token and use it as eos
+    ref = np.asarray(
+        greedy_generate(params, CFG, jnp.asarray(p[None]), 12, max_seq=64)
+    )[0, len(p):]
+    eos = int(ref[2])
+    from qllm_tpu.serve import ContinuousBatchingEngine, ServeConfig
+
+    engine = ContinuousBatchingEngine(
+        params,
+        CFG,
+        ServeConfig(
+            max_batch=1, max_seq=64, prefill_buckets=(16,),
+            eos_token_id=eos, speculative=True,
+        ),
+    )
+    r = engine.submit(p, max_new_tokens=12)
+    engine.run()
+    # stream must stop at (and include) the eos token
+    assert r.output == ref[: r.output.index(eos) + 1].tolist()
+    assert r.output[-1] == eos and len(r.output) <= 4
+
+
+def test_engine_speculative_sampled_request_falls_back():
+    """A sampled request in the batch disables spec for those steps but
+    everything still completes and greedy rows stay exact."""
+    from qllm_tpu.models.sampling import SamplingParams
+    from qllm_tpu.serve import ContinuousBatchingEngine, ServeConfig
+
+    params = init_params(CFG, jax.random.key(0))
+    rng = np.random.default_rng(9)
+    pg = rng.integers(1, CFG.vocab_size, size=5).astype(np.int32)
+    ph = rng.integers(1, CFG.vocab_size, size=4).astype(np.int32)
+    engine = ContinuousBatchingEngine(
+        params,
+        CFG,
+        ServeConfig(max_batch=2, max_seq=64, prefill_buckets=(16,),
+                    speculative=True),
+    )
+    rg = engine.submit(pg, max_new_tokens=6)
+    rh = engine.submit(
+        ph, max_new_tokens=6, sampling=SamplingParams(temperature=2.0)
+    )
+    engine.run()
+    ref = greedy_generate(params, CFG, jnp.asarray(pg[None]), 6, max_seq=64)
+    assert rg.output == np.asarray(ref)[0, len(pg):].tolist()
+    assert len(rh.output) == 6
