@@ -369,6 +369,9 @@ def _local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
         cfg,
         num_attention_heads=cfg.num_attention_heads // tp,
         num_key_value_heads=cfg.num_key_value_heads // tp,
+        # pin the head dim: the derived-from-hidden_size fallback would
+        # inflate it by tp once the head counts shrink
+        head_dim=cfg.hd,
     )
 
 

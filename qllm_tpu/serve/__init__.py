@@ -1,3 +1,15 @@
-from .engine import ContinuousBatchingEngine, Request, ServeConfig
+from .engine import (
+    ContinuousBatchingEngine,
+    Request,
+    SamplingParams,
+    ServeConfig,
+)
+from .tp_engine import TPEngine
 
-__all__ = ["ContinuousBatchingEngine", "Request", "ServeConfig"]
+__all__ = [
+    "ContinuousBatchingEngine",
+    "Request",
+    "SamplingParams",
+    "ServeConfig",
+    "TPEngine",
+]

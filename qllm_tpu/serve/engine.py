@@ -170,11 +170,21 @@ def _batched_spec_step(
     cache, positions, active)."""
     from ..models.speculative import ngram_draft
 
-    B = tokens.shape[0]
     draft = ngram_draft(history, hist_len, gamma, ngram)
     seq = jnp.concatenate([tokens, draft], axis=1)  # [B, 1+g]
     logits, cache = forward(params, cfg, seq, cache, pos=positions)
     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, 1+g]
+    el, tokens, positions, active2 = _spec_accept(
+        nxt, draft, tokens, positions, active, eos
+    )
+    return nxt, el, tokens, cache, positions, active2
+
+
+def _spec_accept(nxt, draft, tokens, positions, active, eos):
+    """Shared speculative acceptance math: longest agreeing prefix +
+    bonus token, cut at eos. Returns (emit_len, next tokens, positions,
+    active)."""
+    B = tokens.shape[0]
     match = (draft == nxt[:, :-1]).astype(jnp.int32)
     el = jnp.cumprod(match, axis=1).sum(axis=1) + 1  # [B] in [1, g+1]
     finished_now = jnp.zeros((B,), bool)
@@ -189,7 +199,7 @@ def _batched_spec_step(
     positions = positions + el
     active2 = active & (~finished_now)
     tokens = jnp.where(active2, last[:, 0], tokens[:, 0])[:, None]
-    return nxt, el, tokens, cache, positions, active2
+    return el, tokens, positions, active2
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -251,6 +261,58 @@ class ContinuousBatchingEngine:
         self._uid = 0
         # in-flight chunked admission: (req, slot, mini_cache, done_toks)
         self._admitting: Optional[tuple] = None
+
+    # ------------------------------------------------- backend step hooks
+    # (the TP engine overrides these with shard_map-wrapped versions)
+
+    def _fn_decode_step(self, tokens, cache, positions, sampling, key):
+        return _batched_decode_step(
+            self.params, self.cfg, tokens, cache, positions, sampling, key
+        )
+
+    def _fn_decode_multi(
+        self, tokens, cache, positions, active, steps, sampling, key
+    ):
+        return _batched_decode_multi(
+            self.params,
+            self.cfg,
+            tokens,
+            cache,
+            positions,
+            active,
+            steps,
+            self.scfg.eos_token_id,
+            sampling,
+            key,
+        )
+
+    def _fn_spec_step(
+        self, tokens, cache, positions, active, history, hist_len
+    ):
+        return _batched_spec_step(
+            self.params,
+            self.cfg,
+            tokens,
+            cache,
+            positions,
+            active,
+            history,
+            hist_len,
+            self.scfg.spec_gamma,
+            self.scfg.spec_ngram,
+            self.scfg.eos_token_id,
+        )
+
+    def _fn_prefill_one(self, tokens, cache, length):
+        return _prefill_one(self.params, self.cfg, tokens, cache, length)
+
+    def _fn_prefill_chunk(self, tokens, cache, offset, length):
+        return _prefill_chunk(
+            self.params, self.cfg, tokens, cache, offset, length
+        )
+
+    def _make_mini_cache(self, Tcap):
+        return make_cache(self.cfg, 1, Tcap, self.scfg.quantized_kv)
 
     # ----------------------------------------------------------------- API
 
@@ -337,13 +399,8 @@ class ContinuousBatchingEngine:
             n = min(C, T - done)
             chunk = np.zeros((1, C), np.int32)
             chunk[0, :n] = req.prompt[done : done + n]
-            last_logits, mini = _prefill_chunk(
-                self.params,
-                self.cfg,
-                jnp.asarray(chunk),
-                mini,
-                jnp.int32(done),
-                jnp.int32(T),
+            last_logits, mini = self._fn_prefill_chunk(
+                jnp.asarray(chunk), mini, jnp.int32(done), jnp.int32(T)
             )
             done += n
             if done >= T:
@@ -361,7 +418,7 @@ class ContinuousBatchingEngine:
                 # long prompt: chunked admission over the next calls;
                 # pad the mini cache to a whole number of chunks
                 Tcap = min(max(Tb, -(-T // C) * C), self.scfg.max_seq)
-                mini = make_cache(self.cfg, 1, Tcap, self.scfg.quantized_kv)
+                mini = self._make_mini_cache(Tcap)
                 self.slot_req[slot] = req  # reserve the slot
                 self.positions[slot] = 0
                 self._admitting = (req, slot, mini, 0)
@@ -369,13 +426,9 @@ class ContinuousBatchingEngine:
                 return
             padded = np.zeros((1, Tb), np.int32)
             padded[0, :T] = req.prompt
-            mini = make_cache(self.cfg, 1, Tb, self.scfg.quantized_kv)
-            last_logits, mini = _prefill_one(
-                self.params,
-                self.cfg,
-                jnp.asarray(padded),
-                mini,
-                jnp.int32(T),
+            mini = self._make_mini_cache(Tb)
+            last_logits, mini = self._fn_prefill_one(
+                jnp.asarray(padded), mini, jnp.int32(T)
             )
             self._finish_admission(req, slot, mini, last_logits)
             if self._req_done(req):
@@ -416,9 +469,7 @@ class ContinuousBatchingEngine:
         if steps > 1:
             self._step_multi(act, steps, on_token)
             return
-        next_tokens, self.cache = _batched_decode_step(
-            self.params,
-            self.cfg,
+        next_tokens, self.cache = self._fn_decode_step(
             jnp.asarray(self.tokens),
             self.cache,
             jnp.asarray(self.positions),
@@ -457,18 +508,13 @@ class ContinuousBatchingEngine:
         B = self.scfg.max_batch
         active = np.zeros(B, bool)
         active[act] = True
-        emit, el, toks, self.cache, pos, _ = _batched_spec_step(
-            self.params,
-            self.cfg,
+        emit, el, toks, self.cache, pos, _ = self._fn_spec_step(
             jnp.asarray(self.tokens),
             self.cache,
             jnp.asarray(self.positions),
             jnp.asarray(active),
             jnp.asarray(self.history),
             jnp.asarray(self.hist_len),
-            self.scfg.spec_gamma,
-            self.scfg.spec_ngram,
-            self.scfg.eos_token_id,
         )
         emit_np = np.asarray(emit)
         el_np = np.asarray(el)
@@ -494,15 +540,12 @@ class ContinuousBatchingEngine:
         B = self.scfg.max_batch
         active = np.zeros(B, bool)
         active[act] = True
-        trace, toks, self.cache, pos, _ = _batched_decode_multi(
-            self.params,
-            self.cfg,
+        trace, toks, self.cache, pos, _ = self._fn_decode_multi(
             jnp.asarray(self.tokens),
             self.cache,
             jnp.asarray(self.positions),
             jnp.asarray(active),
             steps,
-            self.scfg.eos_token_id,
             *self._sampling_args(act),
         )
         trace_np = np.asarray(trace)
