@@ -9,7 +9,7 @@ either dense arrays or QuantizedTensor — no module replacement needed.
 from .llama import ModelConfig, init_params, forward, TINY_LLAMA_TEST_CONFIG
 from .generate import greedy_generate, prefill, decode_step, sample_generate
 from .sampling import SamplingParams
-from .speculative import speculative_generate
+from .speculative import draft_speculative_generate, speculative_generate
 
 __all__ = [
     "ModelConfig",
@@ -19,6 +19,7 @@ __all__ = [
     "sample_generate",
     "SamplingParams",
     "speculative_generate",
+    "draft_speculative_generate",
     "prefill",
     "decode_step",
     "TINY_LLAMA_TEST_CONFIG",

@@ -38,7 +38,13 @@ import jax.numpy as jnp
 
 from .llama import ModelConfig, forward
 
-__all__ = ["ngram_draft", "speculative_decode_loop", "speculative_generate"]
+__all__ = [
+    "ngram_draft",
+    "speculative_decode_loop",
+    "speculative_generate",
+    "draft_speculative_decode_loop",
+    "draft_speculative_generate",
+]
 
 
 def ngram_draft(
@@ -187,3 +193,133 @@ def speculative_generate(
     )
     out = jnp.concatenate([prompt, first, toks], axis=1)
     return out, int(rounds) + 1  # + the prefill's first token
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "draft_cfg", "steps", "gamma")
+)
+def draft_speculative_decode_loop(
+    params,
+    cfg: ModelConfig,
+    draft_params,
+    draft_cfg: ModelConfig,
+    token: jax.Array,  # [B, 1] int32 — last emitted token
+    cache,
+    draft_cache,
+    pos0: jax.Array,  # [B] or scalar int32
+    steps: int,
+    gamma: int = 4,
+) -> Tuple[jax.Array, object, object, jax.Array]:
+    """Greedy decode with a DRAFT MODEL proposing gamma tokens per round
+    (classic two-model speculation; the n-gram variant above needs no
+    draft). Per round: gamma sequential draft-model steps (cheap — the
+    draft's weights are small), ONE target forward over gamma+1
+    positions, exact greedy acceptance. Both KV caches stay consistent:
+    accepted positions hold real tokens in both; stale draft/target
+    entries from rejected proposals are overwritten by the next round's
+    writes before any attention can see them (same argument as the
+    n-gram loop). Vocabularies must match.
+
+    Returns (tokens [B, steps] — exactly the target's greedy stream,
+    cache, draft_cache, rounds)."""
+    for c in (cache, draft_cache):
+        if getattr(c, "ring_k", None) is not None:
+            raise ValueError(
+                "speculative decode does not support ring caches"
+            )
+    B = token.shape[0]
+    pos0 = jnp.broadcast_to(jnp.asarray(pos0, jnp.int32), (B,))
+    outbuf = jnp.zeros((B, steps + gamma + 1), jnp.int32)
+    cursor = jnp.zeros((B,), jnp.int32)
+
+    def body(st):
+        token, cache, dcache, pos, cursor, rounds, outbuf = st
+
+        def draft_step(carry, i):
+            tok, dcache = carry
+            dlogits, dcache = forward(
+                draft_params, draft_cfg, tok, dcache, pos=pos + i
+            )
+            nxt = jnp.argmax(dlogits[:, -1], axis=-1).astype(jnp.int32)
+            return (nxt[:, None], dcache), nxt
+
+        (_, dcache), draft = jax.lax.scan(
+            draft_step, (token, dcache), jnp.arange(gamma)
+        )
+        draft = draft.T  # [B, gamma]
+        seq = jnp.concatenate([token, draft], axis=1)
+        logits, cache = forward(params, cfg, seq, cache, pos=pos)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        match = (draft == nxt[:, :-1]).astype(jnp.int32)
+        acc = jnp.cumprod(match, axis=1).sum(axis=1)
+        # cap at gamma-1: the draft chain only wrote ITS OWN KV for the
+        # gamma fed tokens [token, d1..d_{gamma-1}] at pos..pos+gamma-1;
+        # accepting all gamma drafts would leave the draft cache with a
+        # permanent hole at pos+gamma (the next round's writes start at
+        # pos+gamma+1 and never rewrite it)
+        acc = jnp.minimum(acc, gamma - 1)
+        emit_len = acc + 1
+
+        def write_row(buf, emit, at):
+            return jax.lax.dynamic_update_slice(buf, emit, (at,))
+
+        outbuf = jax.vmap(write_row)(outbuf, nxt, cursor)
+        token = jnp.take_along_axis(nxt, acc[:, None], axis=1)
+        return (
+            token,
+            cache,
+            dcache,
+            pos + emit_len,
+            cursor + emit_len,
+            rounds + 1,
+            outbuf,
+        )
+
+    def cond(st):
+        return jnp.min(st[4]) < steps
+
+    st = (token, cache, draft_cache, pos0, cursor, jnp.int32(0), outbuf)
+    token, cache, draft_cache, pos, cursor, rounds, outbuf = (
+        jax.lax.while_loop(cond, body, st)
+    )
+    return outbuf[:, :steps], cache, draft_cache, rounds
+
+
+def draft_speculative_generate(
+    params,
+    cfg: ModelConfig,
+    draft_params,
+    draft_cfg: ModelConfig,
+    prompt: jax.Array,  # [B, T]
+    max_new_tokens: int,
+    max_seq: Optional[int] = None,
+    quantized_kv: bool = True,
+    gamma: int = 4,
+) -> Tuple[jax.Array, int]:
+    """Prefill both models + draft-model speculative greedy decode.
+    Returns ([B, T + max_new_tokens] ids — identical to the target's
+    greedy_generate — and the number of target forwards used)."""
+    from .generate import make_cache, prefill
+
+    B, T = prompt.shape
+    max_seq = max_seq or (T + max_new_tokens)
+    cache = make_cache(cfg, B, max_seq + gamma + 1, quantized_kv)
+    dcache = make_cache(draft_cfg, B, max_seq + gamma + 1, quantized_kv)
+    logits, cache = prefill(params, cfg, prompt, cache)
+    _, dcache = prefill(draft_params, draft_cfg, prompt, dcache)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+
+    toks, _, _, rounds = draft_speculative_decode_loop(
+        params,
+        cfg,
+        draft_params,
+        draft_cfg,
+        first,
+        cache,
+        dcache,
+        jnp.full((B,), T, jnp.int32),
+        max_new_tokens - 1,
+        gamma=gamma,
+    )
+    out = jnp.concatenate([prompt, first, toks], axis=1)
+    return out, int(rounds) + 1

@@ -184,3 +184,52 @@ def test_engine_speculative_sampled_request_falls_back():
     ref = greedy_generate(params, CFG, jnp.asarray(pg[None]), 6, max_seq=64)
     assert rg.output == np.asarray(ref)[0, len(pg):].tolist()
     assert len(rh.output) == 6
+
+
+def test_draft_model_speculative_equals_greedy():
+    """Draft-model speculation: exact target greedy stream, with both an
+    unrelated draft (poor acceptance) and the target itself as draft
+    (high acceptance — exercises the full-accept KV-consistency cap)."""
+    from qllm_tpu.models.speculative import draft_speculative_generate
+
+    params = init_params(CFG, jax.random.key(0))
+    draft_same = params
+    draft_other = init_params(CFG, jax.random.key(5))
+    rng = np.random.default_rng(10)
+    for draft in (draft_same, draft_other):
+        for trial in range(2):
+            T = int(rng.integers(4, 9))
+            prompt = jnp.asarray(
+                rng.integers(1, CFG.vocab_size, (1, T)), jnp.int32
+            )
+            n = 12
+            ref = greedy_generate(params, CFG, prompt, n, max_seq=64)
+            out, rounds = draft_speculative_generate(
+                params, CFG, draft, CFG, prompt, n, max_seq=64, gamma=3
+            )
+            np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+            assert 1 <= rounds <= n
+    # self-draft must accept nearly everything: gamma=3, cap at 2
+    # accepted + 1 bonus = 3 tokens/round -> ~ceil((n-1)/3) + 1 rounds
+    out, rounds = draft_speculative_generate(
+        params, CFG, draft_same, CFG,
+        jnp.asarray(rng.integers(1, CFG.vocab_size, (1, 6)), jnp.int32),
+        12, max_seq=64, gamma=3,
+    )
+    assert rounds <= 6  # vs 12 without speculation
+
+
+def test_draft_model_speculative_batched():
+    from qllm_tpu.models.speculative import draft_speculative_generate
+
+    params = init_params(CFG, jax.random.key(0))
+    draft = init_params(CFG, jax.random.key(6))
+    rng = np.random.default_rng(11)
+    prompts = jnp.asarray(rng.integers(1, CFG.vocab_size, (2, 5)), jnp.int32)
+    n = 9
+    out, _ = draft_speculative_generate(
+        params, CFG, draft, CFG, prompts, n, max_seq=64, gamma=4
+    )
+    for b in range(2):
+        ref = greedy_generate(params, CFG, prompts[b : b + 1], n, max_seq=64)
+        np.testing.assert_array_equal(np.asarray(out[b]), np.asarray(ref)[0])
