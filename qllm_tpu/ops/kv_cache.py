@@ -192,6 +192,37 @@ class QuantizedKVCache:
             )
         return out
 
+    def insert_seq(
+        self, other: "QuantizedKVCache", offset: int = 0
+    ) -> "QuantizedKVCache":
+        """Copy ``other``'s full sequence range into positions
+        [offset, offset + other.max_seq) of this cache (batch sizes must
+        match; quantized layouts copy verbatim — the per-position scales
+        travel with their rows). Used by prefix caching: a stored
+        prompt-prefix cache is stamped into a fresh admission cache, and
+        only the suffix is prefilled."""
+
+        def put5(buf, src):
+            return jax.lax.dynamic_update_slice(
+                buf, src, (0, 0, 0, offset, 0)
+            )
+
+        def put4(buf, src):
+            return jax.lax.dynamic_update_slice(buf, src, (0, 0, 0, offset))
+
+        out = dataclasses.replace(
+            self,
+            k=put5(self.k, other.k.astype(self.k.dtype)),
+            v=put5(self.v, other.v.astype(self.v.dtype)),
+        )
+        if self.quantized:
+            out = dataclasses.replace(
+                out,
+                k_scale=put4(self.k_scale, other.k_scale),
+                v_scale=put4(self.v_scale, other.v_scale),
+            )
+        return out
+
     def layer_kv(self, layer: int, dtype=jnp.bfloat16):
         """Dequantized (k, v) [B, S, H_kv, D] for the XLA reference path."""
         k = self.k[layer]

@@ -79,6 +79,10 @@ class Request:
     # None = greedy; SamplingParams enables temperature/top-k/top-p for
     # this request only (mixed batches share one compiled sampled step)
     sampling: Optional["SamplingParams"] = None  # noqa: F821
+    # id from engine.register_prefix: the prompt must start with that
+    # prefix; admission stamps the cached prefix KV and prefills only
+    # the suffix
+    prefix_id: Optional[int] = None
     # filled by the engine:
     output: List[int] = dataclasses.field(default_factory=list)
     finished: bool = False
@@ -259,6 +263,8 @@ class ContinuousBatchingEngine:
             self.hist_len = np.zeros(B, np.int32)
         self.queue: deque[Request] = deque()
         self._uid = 0
+        # prefix cache: id -> (tokens, mini KV cache with [0, Tp) filled)
+        self._prefixes: Dict[int, tuple] = {}
         # in-flight chunked admission: (req, slot, mini_cache, done_toks)
         self._admitting: Optional[tuple] = None
 
@@ -321,17 +327,47 @@ class ContinuousBatchingEngine:
         prompt,
         max_new_tokens: int = 128,
         sampling: Optional[SamplingParams] = None,
+        prefix_id: Optional[int] = None,
     ) -> Request:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        if prefix_id is not None:
+            ptoks, _ = self._prefixes[prefix_id]  # KeyError = unknown id
+            Tp = len(ptoks)
+            if len(prompt) <= Tp or not np.array_equal(prompt[:Tp], ptoks):
+                raise ValueError(
+                    "prompt must extend the registered prefix by >= 1 "
+                    "token (prefix caching reuses its KV verbatim)"
+                )
         self._uid += 1
         req = Request(
             uid=self._uid,
-            prompt=np.asarray(prompt, np.int32).reshape(-1),
+            prompt=prompt,
             max_new_tokens=max_new_tokens,
             sampling=sampling,
+            prefix_id=prefix_id,
             submitted_at=time.time(),
         )
         self.queue.append(req)
         return req
+
+    def register_prefix(self, tokens) -> int:
+        """Prefill a shared prompt prefix (e.g. a system prompt) ONCE and
+        cache its KV; subsequent submit(prefix_id=...) admissions stamp
+        it in and prefill only the suffix. Returns the prefix id."""
+        toks = np.asarray(tokens, np.int32).reshape(-1)
+        Tp = len(toks)
+        if Tp < 1:
+            raise ValueError("empty prefix")
+        Tb = self._bucket(Tp)
+        padded = np.zeros((1, Tb), np.int32)
+        padded[0, :Tp] = toks
+        mini = self._make_mini_cache(Tb)
+        _, mini = self._fn_prefill_one(
+            jnp.asarray(padded), mini, jnp.int32(Tp)
+        )
+        pid = len(self._prefixes)
+        self._prefixes[pid] = (toks, mini)
+        return pid
 
     def run(self, on_token: Optional[Callable] = None) -> List[Request]:
         """Drive until queue and slots drain. Returns finished requests."""
@@ -414,6 +450,43 @@ class ContinuousBatchingEngine:
             req = self.queue.popleft()
             T = len(req.prompt)
             Tb = self._bucket(T)
+            if req.prefix_id is not None:
+                # stamp the cached prefix KV, then prefill ONLY the
+                # suffix (admission cost drops from O(T) to O(T - Tp))
+                ptoks, pmini = self._prefixes[req.prefix_id]
+                Tp = len(ptoks)
+                rem = T - Tp
+                if rem <= C:
+                    # one suffix window, bucketed to bound compile count
+                    Sb = self._bucket(rem)
+                    if Tp + Sb > self.scfg.max_seq:
+                        Sb = rem  # exact window (rare near-full case)
+                    Tcap = min(
+                        max(Tb, Tp + Sb, pmini.max_seq), self.scfg.max_seq
+                    )
+                    mini = self._make_mini_cache(Tcap).insert_seq(pmini, 0)
+                    window = np.zeros((1, Sb), np.int32)
+                    window[0, :rem] = req.prompt[Tp:]
+                    last_logits, mini = self._fn_prefill_chunk(
+                        jnp.asarray(window),
+                        mini,
+                        jnp.int32(Tp),
+                        jnp.int32(T),
+                    )
+                    self._finish_admission(req, slot, mini, last_logits)
+                    continue
+                # long suffix: the chunk windows start at Tp (not
+                # C-aligned) — size the cache so the last [Tp+k*C, +C)
+                # window fits without dynamic_update_slice clamp-shifting
+                # onto the prefix KV
+                span = Tp + -(-rem // C) * C
+                Tcap = min(max(Tb, span), self.scfg.max_seq)
+                mini = self._make_mini_cache(Tcap).insert_seq(pmini, 0)
+                self.slot_req[slot] = req  # reserve the slot
+                self.positions[slot] = 0
+                self._admitting = (req, slot, mini, Tp)
+                self._admit()  # process the first suffix chunk now
+                return
             if T > C:
                 # long prompt: chunked admission over the next calls;
                 # pad the mini cache to a whole number of chunks

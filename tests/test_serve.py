@@ -186,3 +186,64 @@ def test_engine_chunked_prefill_does_not_stall_active():
     )
     eng.run()
     assert len(b.output) == 4
+
+
+def test_prefix_caching_matches_plain_admission():
+    """register_prefix + suffix-only admission == full-prompt admission,
+    for several requests sharing one system prefix."""
+    params = init_params(CFG, jax.random.key(5))
+    rng = np.random.default_rng(12)
+    prefix = rng.integers(1, CFG.vocab_size, size=7).astype(np.int32)
+    suffixes = [
+        rng.integers(1, CFG.vocab_size, size=t).astype(np.int32)
+        for t in (3, 5, 2)
+    ]
+    scfg = ServeConfig(max_batch=2, max_seq=64, prefill_buckets=(16, 32))
+
+    eng = ContinuousBatchingEngine(params, CFG, scfg)
+    pid = eng.register_prefix(prefix)
+    reqs = [
+        eng.submit(np.concatenate([prefix, sfx]), 6, prefix_id=pid)
+        for sfx in suffixes
+    ]
+    eng.run()
+
+    ref_eng = ContinuousBatchingEngine(params, CFG, scfg)
+    ref_reqs = [
+        ref_eng.submit(np.concatenate([prefix, sfx]), 6) for sfx in suffixes
+    ]
+    ref_eng.run()
+    assert [r.output for r in reqs] == [r.output for r in ref_reqs]
+
+
+def test_prefix_caching_rejects_mismatched_prompt():
+    import pytest
+
+    params = init_params(CFG, jax.random.key(5))
+    eng = ContinuousBatchingEngine(
+        params, CFG, ServeConfig(max_batch=1, max_seq=64)
+    )
+    pid = eng.register_prefix(np.asarray([3, 4, 5], np.int32))
+    with pytest.raises(ValueError, match="extend the registered prefix"):
+        eng.submit(np.asarray([3, 9, 5, 6], np.int32), 4, prefix_id=pid)
+    with pytest.raises(ValueError, match="extend the registered prefix"):
+        eng.submit(np.asarray([3, 4, 5], np.int32), 4, prefix_id=pid)
+
+
+def test_prefix_caching_with_small_chunks_and_long_suffix():
+    params = init_params(CFG, jax.random.key(6))
+    rng = np.random.default_rng(13)
+    prefix = rng.integers(1, CFG.vocab_size, size=5).astype(np.int32)
+    suffix = rng.integers(1, CFG.vocab_size, size=11).astype(np.int32)
+    prompt = np.concatenate([prefix, suffix])
+    scfg = ServeConfig(
+        max_batch=1, max_seq=64, prefill_buckets=(16, 32), prefill_chunk=4
+    )
+    eng = ContinuousBatchingEngine(params, CFG, scfg)
+    pid = eng.register_prefix(prefix)
+    r = eng.submit(prompt, 6, prefix_id=pid)
+    eng.run()
+    ref = greedy_generate(
+        params, CFG, jnp.asarray(prompt[None]), 6, max_seq=64
+    )
+    assert r.output == np.asarray(ref)[0, len(prompt):].tolist()

@@ -115,3 +115,25 @@ def test_tp_engine_eos_and_slot_reuse():
     tp_out = _run(TPEngine, params, prompts, 6, scfg, mesh=_mesh())
     ref_out = _run(ContinuousBatchingEngine, params, prompts, 6, scfg)
     assert tp_out == ref_out
+
+
+def test_tp_engine_prefix_caching_matches():
+    params = init_params(CFG, jax.random.key(5))
+    rng = np.random.default_rng(14)
+    prefix = rng.integers(1, CFG.vocab_size, size=6).astype(np.int32)
+    suffixes = [
+        rng.integers(1, CFG.vocab_size, size=t).astype(np.int32)
+        for t in (3, 4)
+    ]
+    scfg = ServeConfig(max_batch=2, max_seq=64, prefill_buckets=(16, 32))
+    eng = TPEngine(params, CFG, scfg, mesh=_mesh())
+    pid = eng.register_prefix(prefix)
+    reqs = [
+        eng.submit(np.concatenate([prefix, s]), 6, prefix_id=pid)
+        for s in suffixes
+    ]
+    eng.run()
+    ref = ContinuousBatchingEngine(params, CFG, scfg)
+    rr = [ref.submit(np.concatenate([prefix, s]), 6) for s in suffixes]
+    ref.run()
+    assert [r.output for r in reqs] == [r.output for r in rr]
