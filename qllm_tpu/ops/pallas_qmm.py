@@ -64,6 +64,40 @@ def _pick_block(dim: int, quantum: int, target: int) -> int:
     return best if best is not None else dim
 
 
+def _shrink_to_vmem(
+    M: int,
+    bm: int,
+    bn: int,
+    bk: int,
+    pf: int,
+    g: int,
+    x_bytes: int,
+    budget: int = 12 << 20,
+) -> Tuple[int, int]:
+    """Shrink (bm, bn) until the kernel's per-step VMEM working set fits.
+
+    Mosaic's scoped-vmem stack is 16MB; double-buffered in/out blocks
+    plus the accumulator scratch must fit. Irrelevant for decode (bm<=8)
+    but prefill at bm=256 with a full-K fallback bk (e.g. K=11008, whose
+    only group-aligned divisors are 128/256/5504/11008) overflows it.
+    """
+
+    def working_set(bm: int, bn: int) -> int:
+        x_blk = bm * bk * x_bytes
+        qw_blk = (bk // pf) * bn * 4
+        sc_blk = max(1, bk // g) * bn * 4
+        out_blk = bm * bn * 4
+        return 2 * (x_blk + qw_blk + sc_blk + out_blk) + bm * bn * 4
+
+    while working_set(bm, bn) > budget and (bm > 8 or bn > 128):
+        if bm > 8:
+            # any multiple of 8 dividing bm also divides M
+            bm = _pick_block(bm, 8, bm // 2)
+        else:
+            bn = _pick_block(bn, 128, bn // 2)
+    return bm, bn
+
+
 def _choose_bk(K: int, g: int, pf: int, target: int) -> int:
     """k-block satisfying the Mosaic block constraints:
       * xt block last dim bk/pf: multiple of 128 (lanes) — bk % 128*pf == 0
@@ -289,6 +323,7 @@ def _qmm_2d(
 
     f32_dot = M <= 32
     in_dt = jnp.float32 if f32_dot else jnp.bfloat16
+    bm, bn = _shrink_to_vmem(M, bm, bn, bk, pf, g, 4 if f32_dot else 2)
     xf = x.astype(jnp.float32)
     scales = scales.astype(jnp.float32)
     zeros = zeros.astype(jnp.float32)
