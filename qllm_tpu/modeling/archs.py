@@ -382,6 +382,74 @@ def _cfg_gemma(d):
     )
 
 
+def _cfg_gemma2(d):
+    """Gemma-2 (HF modeling_gemma2): gemma norms/multiplier plus
+    post-sublayer norms, attn/final logit soft-capping and the
+    query_pre_attn_scalar attention scale. Sliding-window layers are
+    exact here for contexts shorter than the window (4096), same
+    documented simplification as mistral (_cfg_mistral)."""
+    return _llama_like(
+        d,
+        arch="gemma2",
+        norm_type="rmsnorm_plus1",
+        hidden_act=d.get("hidden_activation")
+        or d.get("hidden_act")
+        or "gelu_pytorch_tanh",
+        embedding_multiplier=math.sqrt(d["hidden_size"]),
+        tie_word_embeddings=True,
+        post_norms=True,
+        attn_logit_softcap=d.get("attn_logit_softcapping") or 0.0,
+        final_logit_softcap=d.get("final_logit_softcapping") or 0.0,
+        attn_scale=d.get("query_pre_attn_scalar", 256) ** -0.5,
+    )
+
+
+def _cfg_cohere(d):
+    """Cohere Command-R (HF modeling_cohere): parallel attn+mlp sharing
+    ONE mean-subtracting no-bias layernorm, interleaved rotary, scaled
+    tied logits, optional per-head q/k norm (Command R+)."""
+    return _llama_like(
+        d,
+        arch="cohere",
+        norm_type="layernorm",
+        rms_norm_eps=d.get("layer_norm_eps", 1e-5),
+        rope_style="gptj",
+        parallel_residual=True,
+        shared_input_norm=True,
+        tie_word_embeddings=True,
+        logit_scale=d.get("logit_scale", 1.0),
+        qk_norm="cohere" if d.get("use_qk_norm") else "",
+    )
+
+
+def _cfg_internlm2(d):
+    """InternLM2: llama semantics, renamed weights + grouped fused wqkv
+    ([Hkv, n_rep q's, k, v] per group == the falcon_new column layout,
+    HF remote modeling_internlm2 rearrange 'b q (h gs d)')."""
+    return _llama_like(
+        d,
+        arch="internlm2",
+        attention_bias=d.get("bias", False),
+        fused_qkv_layout="falcon_new",
+    )
+
+
+def _cfg_minicpm(d):
+    """MiniCPM: llama shape with mup-style scaling — embeddings scaled
+    by scale_emb, every residual branch by scale_depth/sqrt(L), logits
+    by dim_model_base/hidden_size (remote modeling_minicpm.py)."""
+    L = d["num_hidden_layers"]
+    return _llama_like(
+        d,
+        arch="minicpm",
+        embedding_multiplier=float(d.get("scale_emb", 1.0)),
+        residual_multiplier=float(d.get("scale_depth", math.sqrt(L)))
+        / math.sqrt(L),
+        logit_scale=float(d.get("dim_model_base", d["hidden_size"]))
+        / d["hidden_size"],
+    )
+
+
 def _cfg_gpt2(d):
     D = d["n_embd"]
     if d.get("scale_attn_by_inverse_layer_idx"):
@@ -563,6 +631,50 @@ _SPECS = [
         norms={"input_layernorm": "ln1", "post_attention_layernorm": "ln2"},
     ),
     _llama_spec("internlm", "InternLMForCausalLM", _cfg_internlm),
+    _llama_spec(
+        "gemma2",
+        "Gemma2ForCausalLM",
+        _cfg_gemma2,
+        norms={
+            "input_layernorm": "input_layernorm",
+            # canonical post_attention_layernorm == the PRE-mlp norm;
+            # gemma2's key of that name is the post-ATTN output norm
+            "post_attention_layernorm": "pre_feedforward_layernorm",
+            "post_attn_norm": "post_attention_layernorm",
+            "post_mlp_norm": "post_feedforward_layernorm",
+        },
+    ),
+    _llama_spec(
+        "cohere",
+        "CohereForCausalLM",
+        _cfg_cohere,
+        norms={
+            "input_layernorm": "input_layernorm",
+            "q_norm": "self_attn.q_norm",
+            "k_norm": "self_attn.k_norm",
+        },
+    ),
+    ArchSpec(
+        kind="internlm2",
+        hf_arch="InternLM2ForCausalLM",
+        layers_prefix="model.layers",
+        embed="model.tok_embeddings.weight",
+        final_norm="model.norm",
+        lm_head="output",
+        linears={
+            "o_proj": "attention.wo",
+            "gate_proj": "feed_forward.w1",
+            "up_proj": "feed_forward.w3",
+            "down_proj": "feed_forward.w2",
+        },
+        norms={
+            "input_layernorm": "attention_norm",
+            "post_attention_layernorm": "ffn_norm",
+        },
+        fused_qkv="attention.wqkv",
+        config_fn=_cfg_internlm2,
+    ),
+    _llama_spec("minicpm", "MiniCPMForCausalLM", _cfg_minicpm),
     _llama_spec(
         "baichuan",
         "BaiChuanForCausalLM",
@@ -793,7 +905,6 @@ _ALIASES = {
     # its llama tables: aquila/xverse in sequential_layes_*_config.py)
     "AquilaForCausalLM": "LlamaForCausalLM",
     "XverseForCausalLM": "LlamaForCausalLM",
-    "XverseForCausalLM ": "LlamaForCausalLM",
     "BaichuanForCausalLM": "BaiChuanForCausalLM",  # 13B spelling
     "MossForCausalLM": "CodeGenForCausalLM",  # codegen-derived fused qkv
     "RWForCausalLM": "FalconForCausalLM",  # pre-rename falcon
@@ -808,6 +919,8 @@ SUPPORTED_HF_ARCHS = sorted(_BY_HF) + sorted(_ALIASES)
 
 
 def get_spec(hf_arch: str) -> ArchSpec:
+    # some checkpoints in the wild carry stray whitespace in the tag
+    hf_arch = hf_arch.strip()
     hf_arch = _ALIASES.get(hf_arch, hf_arch)
     if hf_arch not in _BY_HF:
         raise NotImplementedError(

@@ -82,6 +82,14 @@ class ModelConfig:
     # MoE (mixtral-family); 0 experts = dense MLP
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # gemma2-family: norms on BOTH sides of attn/mlp + logit soft-capping
+    post_norms: bool = False  # post_attn_norm/post_mlp_norm on sublayer outputs
+    attn_logit_softcap: float = 0.0  # cap*tanh(logits/cap); 0 = off
+    final_logit_softcap: float = 0.0
+    attn_scale: float = 0.0  # overrides hd**-0.5 (gemma2 query_pre_attn_scalar**-0.5)
+    # minicpm: residuals scaled by scale_depth/sqrt(num_layers)
+    residual_multiplier: float = 1.0
+    qk_norm: str = ""  # "" | "cohere" (per-head mean-sub layernorm on q/k)
 
     @property
     def hd(self) -> int:
@@ -151,6 +159,12 @@ def init_params(
         }
         if not cfg.shared_input_norm:
             p["post_attention_layernorm"] = norm_w()
+        if cfg.post_norms:
+            p["post_attn_norm"] = norm_w()
+            p["post_mlp_norm"] = norm_w()
+        if cfg.qk_norm == "cohere":
+            p["q_norm"] = jnp.ones((H, hd), dtype)
+            p["k_norm"] = jnp.ones((Hkv, hd), dtype)
         if cfg.norm_type == "layernorm":
             p["input_layernorm_bias"] = jnp.zeros((D,), dtype)
             if not cfg.shared_input_norm:
@@ -272,6 +286,17 @@ def layer_norm(
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(dt)
+
+
+def qk_head_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """Cohere use_qk_norm: mean-subtracting layernorm (no bias) over the
+    head dim, with a PER-HEAD weight [H, hd] (HF CohereLayerNorm applied
+    to q/k reshaped [B, T, H, hd])."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)[None, None]).astype(x.dtype)
 
 
 def apply_norm(cfg: ModelConfig, x, weight, bias=None) -> jax.Array:
@@ -425,6 +450,7 @@ def _flash_prefill_ok(cfg, T: int, hd: int) -> bool:
     return (
         T >= int(_os.environ.get("QLLM_TPU_PREFILL_FLASH_MIN_T", "256"))
         and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
+        and cfg.attn_logit_softcap == 0.0  # kernel lacks the tanh cap
         and hd % 128 == 0  # lane-aligned head width
         and _pallas_attn_enabled()
     )
@@ -436,6 +462,7 @@ def _attention(
     v: jax.Array,  # [B, S, Hkv, hd]
     mask: jax.Array,  # [B, 1|H, T, S] additive (0 / -inf / alibi)
     n_rep: int,
+    softcap: float = 0.0,
 ) -> jax.Array:
     if n_rep > 1:
         k = jnp.repeat(k, n_rep, axis=2)
@@ -447,6 +474,10 @@ def _attention(
         k.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ) * (hd**-0.5)
+    if softcap:
+        # gemma2 attn_logit_softcapping (HF eager semantics: capped
+        # BEFORE the causal mask is added)
+        logits = softcap * jnp.tanh(logits / softcap)
     probs = jax.nn.softmax(logits + mask, axis=-1)
     out = jnp.einsum(
         "bhts,bshd->bthd",
@@ -499,8 +530,16 @@ def _block_attn_mlp(
     q = q.reshape(B, T, H, hd)
     k = k.reshape(B, T, Hkv, hd)
     v = v.reshape(B, T, Hkv, hd)
+    if cfg.qk_norm == "cohere":
+        q = qk_head_norm(q, pv.get("q_norm"), cfg.rms_norm_eps)
+        k = qk_head_norm(k, pv.get("k_norm"), cfg.rms_norm_eps)
     if cfg.pos_embedding == "rope":
         q, k = apply_rope(q, k, cos, sin, cfg.rope_style, cfg.rotary_dim)
+    if cfg.attn_scale:
+        # fold a non-default attention scale into q so EVERY attention
+        # path (XLA + Pallas kernels, all of which multiply hd**-0.5)
+        # nets out to attn_scale — keeps gemma2 on the fused kernels
+        q = q * jnp.asarray(cfg.attn_scale * hd**0.5, q.dtype)
 
     if cache is not None:
         import os as _os
@@ -509,6 +548,7 @@ def _block_attn_mlp(
             T == 1
             and cache.quantized
             and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
+            and cfg.attn_logit_softcap == 0.0  # kernel lacks the tanh cap
             and _pallas_attn_enabled()
         )
         if can_kernel and cache.ring_k is not None:
@@ -614,7 +654,9 @@ def _block_attn_mlp(
                     q, k_all, v_all, 0 if pos is None else pos, cfg.n_rep
                 ).astype(h.dtype)
             else:
-                attn = _attention(q, k_all, v_all, mask, cfg.n_rep)
+                attn = _attention(
+                    q, k_all, v_all, mask, cfg.n_rep, cfg.attn_logit_softcap
+                )
     elif _flash_prefill_ok(cfg, T, hd):
         from ..ops.pallas_attention import prefill_attention_flash
 
@@ -622,9 +664,17 @@ def _block_attn_mlp(
             q, k, v, 0 if pos is None else pos, cfg.n_rep
         ).astype(h.dtype)
     else:
-        attn = _attention(q, k, v, mask, cfg.n_rep)
+        attn = _attention(q, k, v, mask, cfg.n_rep, cfg.attn_logit_softcap)
 
     attn_out = pv.apply("o_proj", attn.reshape(B, T, H * hd))
+    if cfg.post_norms:
+        attn_out = apply_norm(
+            cfg, attn_out, pv.get("post_attn_norm"), pv.get("post_attn_norm_bias")
+        )
+    rm = cfg.residual_multiplier
+
+    def _res(a):
+        return a if rm == 1.0 else a * jnp.asarray(rm, a.dtype)
 
     if cfg.parallel_residual:
         if cfg.shared_input_norm:
@@ -632,11 +682,19 @@ def _block_attn_mlp(
         else:
             x2 = _norm_input(pv, cfg, h, "post_attention_layernorm")
         mlp_out = _mlp_from_view(pv, cfg, x2)
-        h = h + attn_out + mlp_out
+        h = h + _res(attn_out) + _res(mlp_out)
     else:
-        h = h + attn_out
+        h = h + _res(attn_out)
         x2 = _norm_input(pv, cfg, h, "post_attention_layernorm")
-        h = h + _mlp_from_view(pv, cfg, x2)
+        mlp_out = _mlp_from_view(pv, cfg, x2)
+        if cfg.post_norms:
+            mlp_out = apply_norm(
+                cfg,
+                mlp_out,
+                pv.get("post_mlp_norm"),
+                pv.get("post_mlp_norm_bias"),
+            )
+        h = h + _res(mlp_out)
     return h, cache
 
 
@@ -724,9 +782,16 @@ def layer_intermediates(
     q = pv.apply("q_proj", x1).reshape(B, T, H, hd)
     k = pv.apply("k_proj", x1).reshape(B, T, Hkv, hd)
     v = pv.apply("v_proj", x1).reshape(B, T, Hkv, hd)
+    if cfg.qk_norm == "cohere":
+        q = qk_head_norm(q, pv.get("q_norm"), cfg.rms_norm_eps)
+        k = qk_head_norm(k, pv.get("k_norm"), cfg.rms_norm_eps)
     if cfg.pos_embedding == "rope":
         q, k = apply_rope(q, k, cos, sin, cfg.rope_style, cfg.rotary_dim)
-    attn = _attention(q, k, v, mask, cfg.n_rep).reshape(B, T, H * hd)
+    if cfg.attn_scale:
+        q = q * jnp.asarray(cfg.attn_scale * hd**0.5, q.dtype)
+    attn = _attention(
+        q, k, v, mask, cfg.n_rep, cfg.attn_logit_softcap
+    ).reshape(B, T, H * hd)
     out = {
         "q_proj": x1,
         "k_proj": x1,
@@ -745,7 +810,19 @@ def layer_intermediates(
             )
         )
     else:
-        h2 = h + pv.apply("o_proj", attn)
+        attn_out = pv.apply("o_proj", attn)
+        if cfg.post_norms:
+            attn_out = apply_norm(
+                cfg,
+                attn_out,
+                pv.get("post_attn_norm"),
+                pv.get("post_attn_norm_bias"),
+            )
+        if cfg.residual_multiplier != 1.0:
+            attn_out = attn_out * jnp.asarray(
+                cfg.residual_multiplier, attn_out.dtype
+            )
+        h2 = h + attn_out
         x2 = apply_norm(
             cfg,
             h2,
@@ -842,6 +919,9 @@ def final_logits(
         ).astype(jnp.float32)
     if cfg.logit_scale != 1.0:
         logits = logits * cfg.logit_scale
+    if cfg.final_logit_softcap:
+        cap = cfg.final_logit_softcap
+        logits = cap * jnp.tanh(logits / cap)
     return logits.astype(jnp.float32)
 
 

@@ -239,8 +239,11 @@ def _layer_groups(lp, model_cfg=None) -> list:
     shared = model_cfg is not None and model_cfg.shared_input_norm
     gated = "gate_proj" in lp or "experts" in lp
     qkv = [n for n in ("q_proj", "k_proj", "v_proj") if n in lp]
+    # a shared input norm feeds the MLP too (gptj/falcon-7b/phi plain
+    # fc_in; cohere's parallel block is GATED — both gate and up)
+    shared_mlp = (["gate_proj", "up_proj"] if gated else ["up_proj"]) if shared else []
     groups = [
-        ("ln", "input_layernorm", qkv + (["up_proj"] if shared else [])),
+        ("ln", "input_layernorm", qkv + shared_mlp),
         ("fc", "v_proj", ["o_proj"]),
     ]
     if "experts" in lp:

@@ -237,11 +237,59 @@ CASES = [
         ),
         "codegen",
     ),
+    (
+        "Gemma2Config",
+        "Gemma2ForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=128,
+            num_key_value_heads=2,
+            head_dim=16,
+            query_pre_attn_scalar=16,
+            attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+            sliding_window=4096,  # > test seq len: SWA == full causal
+            max_position_embeddings=128,
+        ),
+        "gemma2",
+    ),
+    (
+        "CohereConfig",
+        "CohereForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=128,
+            num_key_value_heads=4,
+            logit_scale=0.0625,
+            use_qk_norm=False,
+            max_position_embeddings=128,
+        ),
+        "cohere",
+    ),
+    (
+        "CohereConfig",
+        "CohereForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=128,
+            num_key_value_heads=4,
+            logit_scale=0.25,
+            use_qk_norm=True,  # Command R+ per-head q/k layernorm
+            max_position_embeddings=128,
+        ),
+        "cohere",
+    ),
 ]
 
 
 def _build_and_save(cfg_name, model_name, kwargs, path):
     cfg = getattr(transformers, cfg_name)(**kwargs)
+    # eager attention: gemma2's logit softcapping (and exact numerics
+    # generally) are only guaranteed on the eager path
+    cfg._attn_implementation = "eager"
     torch.manual_seed(0)
     model = getattr(transformers, model_name)(cfg)
     model = model.eval().to(torch.float32)
@@ -272,8 +320,10 @@ def test_arch_logits_parity(tmp_path, cfg_name, model_name, kwargs, kind):
 
 @pytest.mark.parametrize(
     "case_idx",
-    [7, 2, 11],  # bloom (headwise fused), neox (fused+parallel), gpt2 (conv1d)
-    ids=["bloom", "gpt_neox", "gpt2"],
+    # bloom (headwise fused), neox (fused+parallel), gpt2 (conv1d),
+    # gemma2 (post-norms+softcap), cohere (qk-norm)
+    [7, 2, 11, 17, 19],
+    ids=["bloom", "gpt_neox", "gpt2", "gemma2", "cohere_qknorm"],
 )
 def test_arch_quantize_roundtrip(tmp_path, case_idx):
     """HQQ-quantize a fused-qkv arch, save (fused re-export), reload,
@@ -364,6 +414,183 @@ def test_gptq_plain_mlp_arch(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ours).argmax(-1), ref.float().numpy().argmax(-1)
     )
+
+
+def _tiny_hf_llama(path):
+    cfg = transformers.LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg).eval().to(torch.float32)
+    model.save_pretrained(path, safe_serialization=True)
+    return model, cfg
+
+
+def _write_checkpoint(path, tensors, config):
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    save_file(tensors, os.path.join(path, "model.safetensors"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(config, f)
+
+
+def test_internlm2_dialect_parity(tmp_path):
+    """InternLM2 == llama semantics under renamed weights + grouped
+    fused wqkv (falcon_new layout). Build the internlm2-dialect
+    checkpoint from a tiny HF llama and check logits parity vs torch —
+    transformers ships no InternLM2 class (remote code upstream)."""
+    from safetensors import safe_open
+
+    src = str(tmp_path / "llama")
+    hf_model, hf_cfg = _tiny_hf_llama(src)
+    with safe_open(src + "/model.safetensors", framework="np") as f:
+        sd = {k: f.get_tensor(k) for k in f.keys()}
+
+    from qllm_tpu.modeling.archs import get_spec, qkv_split_indices
+
+    spec = get_spec("InternLM2ForCausalLM")
+    icfg = dict(
+        architectures=["InternLM2ForCausalLM"],
+        model_type="internlm2",
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        bias=False,
+    )
+    mcfg_probe = spec.config_fn(icfg)
+    iq, ik, iv = qkv_split_indices(mcfg_probe)
+    out = {
+        "model.tok_embeddings.weight": sd["model.embed_tokens.weight"],
+        "model.norm.weight": sd["model.norm.weight"],
+        "output.weight": sd["lm_head.weight"],
+    }
+    for i in range(2):
+        lb, ob = f"model.layers.{i}", f"model.layers.{i}"
+        fused = np.empty((len(iq) + len(ik) + len(iv), 64), np.float32)
+        fused[iq] = sd[f"{lb}.self_attn.q_proj.weight"]
+        fused[ik] = sd[f"{lb}.self_attn.k_proj.weight"]
+        fused[iv] = sd[f"{lb}.self_attn.v_proj.weight"]
+        out[f"{ob}.attention.wqkv.weight"] = fused
+        out[f"{ob}.attention.wo.weight"] = sd[f"{lb}.self_attn.o_proj.weight"]
+        out[f"{ob}.feed_forward.w1.weight"] = sd[f"{lb}.mlp.gate_proj.weight"]
+        out[f"{ob}.feed_forward.w3.weight"] = sd[f"{lb}.mlp.up_proj.weight"]
+        out[f"{ob}.feed_forward.w2.weight"] = sd[f"{lb}.mlp.down_proj.weight"]
+        out[f"{ob}.attention_norm.weight"] = sd[f"{lb}.input_layernorm.weight"]
+        out[f"{ob}.ffn_norm.weight"] = sd[
+            f"{lb}.post_attention_layernorm.weight"
+        ]
+    dst = str(tmp_path / "internlm2")
+    _write_checkpoint(dst, out, icfg)
+
+    params, mcfg = AutoQ.from_pretrained(dst, dtype=jnp.float32)
+    assert mcfg.arch == "internlm2"
+    ids = np.array([[3, 17, 42, 99, 7]], np.int64)
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(ids)).logits.float().numpy()
+    ours, _ = forward(params, mcfg, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=0.15, rtol=0.05)
+
+
+def test_minicpm_neutral_scales_parity(tmp_path):
+    """MiniCPM with neutral scaling (scale_emb=1, scale_depth=sqrt(L),
+    dim_model_base=hidden) IS llama — parity vs torch llama validates
+    the dialect; scaled factors are covered by the numpy test below."""
+    from safetensors import safe_open
+
+    src = str(tmp_path / "llama")
+    hf_model, _ = _tiny_hf_llama(src)
+    with safe_open(src + "/model.safetensors", framework="np") as f:
+        sd = {k: f.get_tensor(k) for k in f.keys()}
+    mcfg_json = dict(
+        architectures=["MiniCPMForCausalLM"],
+        model_type="minicpm",
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-6,
+        scale_emb=1.0,
+        scale_depth=float(np.sqrt(2.0)),
+        dim_model_base=64,
+    )
+    dst = str(tmp_path / "minicpm")
+    _write_checkpoint(dst, sd, mcfg_json)
+    params, mcfg = AutoQ.from_pretrained(dst, dtype=jnp.float32)
+    assert mcfg.arch == "minicpm"
+    assert mcfg.residual_multiplier == pytest.approx(1.0)
+    ids = np.array([[3, 17, 42, 99]], np.int64)
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(ids)).logits.float().numpy()
+    ours, _ = forward(params, mcfg, jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=0.15, rtol=0.05)
+
+
+def test_minicpm_scaling_factors():
+    """MiniCPM mup scalings against exact algebraic equivalences:
+    scale_emb folds into the embedding table, logit_scale into the
+    (untied) lm_head, and residual_multiplier=0 freezes the stream so
+    logits equal the zero-layer model's."""
+    import dataclasses
+
+    from qllm_tpu.models import init_params
+    from qllm_tpu.models.llama import ModelConfig
+
+    base = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        arch="minicpm",
+    )
+    import jax
+
+    params = init_params(base, jax.random.key(0))
+    ids = jnp.asarray(np.array([[1, 5, 9]], np.int32))
+
+    # scale_emb: embedding_multiplier s == embed_tokens * s
+    cfg_s = dataclasses.replace(base, embedding_multiplier=3.0)
+    a, _ = forward(params, cfg_s, ids)
+    p2 = dict(params, embed_tokens=params["embed_tokens"] * 3.0)
+    b, _ = forward(p2, base, ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    # logit_scale c == logits * c
+    cfg_c = dataclasses.replace(base, logit_scale=0.25)
+    a, _ = forward(params, cfg_c, ids)
+    b, _ = forward(params, base, ids)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b) * 0.25, atol=1e-4
+    )
+
+    # residual_multiplier 0: blocks contribute nothing
+    cfg_r = dataclasses.replace(base, residual_multiplier=0.0)
+    a, _ = forward(params, cfg_r, ids)
+    cfg_0 = dataclasses.replace(base, num_hidden_layers=0)
+    b, _ = forward(dict(params, layers=[]), cfg_0, ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_normalized_config_roundtrip(tmp_path):

@@ -139,3 +139,46 @@ def test_prepare_lm_head_l1_stack_matches_dense():
     np.testing.assert_allclose(
         np.asarray(y1), np.asarray(y2d), atol=3e-2, rtol=3e-2
     )
+
+
+def test_stacked_gemma2_features_match_unrolled():
+    """post_norms + attn softcap + attn_scale + qk-norm survive the
+    stacked scan path (gemma2/cohere serving)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        arch="gemma2",
+        norm_type="rmsnorm_plus1",
+        post_norms=True,
+        attn_logit_softcap=30.0,
+        final_logit_softcap=15.0,
+        attn_scale=0.17,
+        qk_norm="cohere",
+        residual_multiplier=0.9,
+    )
+    params = init_params(cfg, jax.random.key(2))
+    layers = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        for n in ("q_proj", "k_proj", "v_proj", "o_proj",
+                  "gate_proj", "up_proj", "down_proj"):
+            nlp[n] = quantize_tensor(lp[n], 4, 32)
+        layers.append(nlp)
+    qp = {**params, "layers": layers}
+    sp = stack_layer_params(qp)
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)), jnp.int32)
+    c1 = make_cache(cfg, 2, 16, quantized_kv=True)
+    c2 = make_cache(cfg, 2, 16, quantized_kv=True)
+    l1, c1 = prefill(qp, cfg, tokens, c1)
+    l2, c2 = prefill(sp, cfg, tokens, c2)
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l2), atol=2e-2, rtol=2e-2
+    )
+    tok = jnp.argmax(l1, axis=-1).astype(jnp.int32)[:, None]
+    d1, _ = decode_step(qp, cfg, tok, c1, jnp.int32(8))
+    d2, _ = decode_step(sp, cfg, tok, c2, jnp.int32(8))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), atol=2e-2, rtol=2e-2
+    )
