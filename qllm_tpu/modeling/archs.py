@@ -62,6 +62,13 @@ class ArchSpec:
     fused_qkv: Optional[str] = None  # per-layer path of the fused qkv linear
     fused_gate_up: Optional[str] = None  # phi3 gate_up_proj
     conv1d: bool = False  # gpt2/qwen1 Conv1D stores [in, out] (no transpose)
+    # MoE checkpoint dialect: mixtral (block_sparse_moe.experts.N.w1/w2/w3)
+    # or deepseek (mlp.experts.N.gate_proj/... + mlp.shared_experts.*)
+    moe_dialect: str = "mixtral"
+    # tensor-key prefixes carried through load->quantize->save verbatim
+    # (llava vision tower + projector: the reference quantizes only the
+    # language tower, sequential_layes_awq_config.py llava entries)
+    passthrough: Tuple[str, ...] = ()
     # archs whose sub-variant changes naming/layout resolve themselves
     # against the raw config dict (falcon) — returns a concrete spec
     specialize: Optional[Callable[["ArchSpec", dict], "ArchSpec"]] = None
@@ -563,6 +570,74 @@ def _cfg_baichuan(d):
     )
 
 
+# text-tower config translators for multimodal wrappers (llava/next):
+# the language model is one of the llama-dialect families
+_LLAVA_TEXT_CFGS = {
+    "llama": _cfg_llama,
+    "mistral": _cfg_mistral,
+    "qwen2": _cfg_qwen2,
+}
+
+
+def _cfg_llava(d):
+    """LlavaConfig/LlavaNextConfig -> ModelConfig of the language tower.
+    The reference routes llava through its llama AWQ/GPTQ tables
+    (sequential_layes_awq_config.py llava/llava_next entries); vision
+    tower + projector tensors pass through unquantized."""
+    td = dict(d.get("text_config") or {})
+    fn = _LLAVA_TEXT_CFGS.get(td.get("model_type", "llama"), _cfg_llama)
+    cfg = fn(td)
+    return dataclasses.replace(cfg, arch="llava")
+
+
+def _cfg_deepseek_v2(d):
+    """DeepSeek-V2 (MLA + deepseek MoE). Reference covers this family in
+    its AWQ topology table (sequential_layes_awq_config.py
+    get_deepseek_v2_layers); here it maps onto the MLA block in
+    models.llama (_mla_attention) and the deepseek router
+    (_router_weights)."""
+    scaling = d.get("rope_scaling")
+    if scaling and scaling.get("rope_type", scaling.get("type")) not in (
+        None,
+        "default",
+    ):
+        raise NotImplementedError(
+            f"deepseek-v2 rope_scaling {scaling!r} (yarn) not supported yet"
+        )
+    qk_hd = d["qk_nope_head_dim"] + d["qk_rope_head_dim"]
+    return ModelConfig(
+        **_norm_cfg(d),
+        intermediate_size=d["intermediate_size"],
+        # MLA expands to per-head k/v before the cache (HF eager
+        # semantics) — the cache holds all H heads
+        num_key_value_heads=d["num_attention_heads"],
+        head_dim=qk_hd,
+        rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+        rope_theta=d.get("rope_theta", 10000.0),
+        attention_bias=d.get("attention_bias", False),
+        hidden_act=d.get("hidden_act", "silu"),
+        arch="deepseek_v2",
+        attn_type="mla",
+        rope_style="gptj",  # interleaved-pair (complex) rotation
+        rotary_dim=d["qk_rope_head_dim"],
+        q_lora_rank=d.get("q_lora_rank") or 0,
+        kv_lora_rank=d["kv_lora_rank"],
+        qk_nope_head_dim=d["qk_nope_head_dim"],
+        qk_rope_head_dim=d["qk_rope_head_dim"],
+        v_head_dim=d["v_head_dim"],
+        num_local_experts=d.get("n_routed_experts") or 0,
+        num_experts_per_tok=d.get("num_experts_per_tok") or 2,
+        moe_router="deepseek",
+        topk_method=d.get("topk_method", "greedy"),
+        n_group=d.get("n_group") or 0,
+        topk_group=d.get("topk_group") or 0,
+        routed_scaling_factor=d.get("routed_scaling_factor", 1.0),
+        n_shared_experts=d.get("n_shared_experts") or 0,
+        first_k_dense_replace=d.get("first_k_dense_replace", 0),
+        moe_intermediate_size=d.get("moe_intermediate_size") or 0,
+    )
+
+
 def _cfg_qwen(d):
     return ModelConfig(
         **_norm_cfg(d),
@@ -883,6 +958,51 @@ _SPECS = [
         config_fn=_cfg_phi,
     ),
     ArchSpec(
+        kind="llava",
+        hf_arch="LlavaForConditionalGeneration",
+        layers_prefix="model.language_model.layers",
+        embed="model.language_model.embed_tokens.weight",
+        final_norm="model.language_model.norm",
+        lm_head="lm_head",
+        linears=dict(_LLAMA_LINEARS),
+        norms=dict(_LLAMA_NORMS),
+        config_fn=_cfg_llava,
+        passthrough=(
+            "model.vision_tower.",
+            "model.multi_modal_projector.",
+            "model.image_newline",  # llava-next
+        ),
+    ),
+    ArchSpec(
+        kind="deepseek_v2",
+        hf_arch="DeepseekV2ForCausalLM",
+        layers_prefix="model.layers",
+        embed="model.embed_tokens.weight",
+        final_norm="model.norm",
+        lm_head="lm_head",
+        linears={
+            "q_proj": "self_attn.q_proj",
+            "q_a_proj": "self_attn.q_a_proj",
+            "q_b_proj": "self_attn.q_b_proj",
+            "kv_a_proj_with_mqa": "self_attn.kv_a_proj_with_mqa",
+            "kv_b_proj": "self_attn.kv_b_proj",
+            "o_proj": "self_attn.o_proj",
+            # dense (first_k_dense_replace) layers only; MoE layers load
+            # through the deepseek moe_dialect
+            "gate_proj": "mlp.gate_proj",
+            "up_proj": "mlp.up_proj",
+            "down_proj": "mlp.down_proj",
+        },
+        norms={
+            "input_layernorm": "input_layernorm",
+            "post_attention_layernorm": "post_attention_layernorm",
+            "q_a_layernorm": "self_attn.q_a_layernorm",
+            "kv_a_layernorm": "self_attn.kv_a_layernorm",
+        },
+        moe_dialect="deepseek",
+        config_fn=_cfg_deepseek_v2,
+    ),
+    ArchSpec(
         kind="qwen",
         hf_arch="QWenLMHeadModel",
         layers_prefix="transformer.h",
@@ -910,6 +1030,8 @@ _ALIASES = {
     "RWForCausalLM": "FalconForCausalLM",  # pre-rename falcon
     "MPTForCausalLM": "MptForCausalLM",
     "GPT2ForCausalLM": "GPT2LMHeadModel",
+    # llava-next shares llava's key layout (+ model.image_newline)
+    "LlavaNextForConditionalGeneration": "LlavaForConditionalGeneration",
 }
 
 _BY_HF: Dict[str, ArchSpec] = {s.hf_arch: s for s in _SPECS}

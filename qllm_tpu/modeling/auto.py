@@ -45,6 +45,14 @@ _QUANT_SUFFIXES = ("qweight", "qzeros", "scales", "g_idx", "zeros")
 
 # HF Mixtral expert naming: w1=gate, w2=down, w3=up
 _MOE_WMAP = {"gate_proj": "w1", "down_proj": "w2", "up_proj": "w3"}
+_SHARED_NAMES = ("gate_proj", "up_proj", "down_proj")
+
+
+def _moe_naming(spec: ArchSpec) -> Tuple[str, Dict[str, str]]:
+    """(per-layer MoE module prefix, canonical->checkpoint name map)."""
+    if spec.moe_dialect == "deepseek":
+        return "mlp", {n: n for n in _SHARED_NAMES}
+    return "block_sparse_moe", _MOE_WMAP
 _QKV = ("q_proj", "k_proj", "v_proj")
 _VPTQ_SUFFIXES = (
     "indices",
@@ -118,6 +126,29 @@ def _load_config_dict(path: str) -> dict:
         return json.load(f)
 
 
+def _remap_legacy_llava(tensors: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Pre-transformers-4.52 llava checkpoints keyed the language tower
+    as ``language_model.model.*`` (and kept the vision parts unprefixed);
+    normalize to the current ``model.language_model.*`` dialect."""
+    if any(k.startswith("model.language_model.") for k in tensors):
+        return tensors
+    if not any(k.startswith("language_model.") for k in tensors):
+        return tensors
+    out = {}
+    for k, v in tensors.items():
+        if k.startswith("language_model.model."):
+            out["model.language_model." + k[len("language_model.model.") :]] = v
+        elif k.startswith("language_model.lm_head."):
+            out["lm_head." + k[len("language_model.lm_head.") :]] = v
+        elif k.startswith(
+            ("vision_tower.", "multi_modal_projector.", "image_newline")
+        ):
+            out["model." + k] = v
+        else:
+            out[k] = v
+    return out
+
+
 class AutoQuantizedModelForCausalLM:
     """Namespace-style API mirroring the reference class
     (modeling/base.py:175-336)."""
@@ -138,7 +169,13 @@ class AutoQuantizedModelForCausalLM:
         spec = spec_for_config(hf_cfg)
         cfg = spec.config_fn(hf_cfg)
         tensors = _st_load(path)
+        if spec.passthrough:
+            tensors = _remap_legacy_llava(tensors)
         params = cls._float_params(tensors, cfg, spec, dtype)
+        if spec.passthrough:
+            # keep the wrapper's own config (nested vision config etc.)
+            # so save_pretrained round-trips the full multimodal model
+            params["hf_config"] = hf_cfg
         return params, cfg
 
     @classmethod
@@ -152,9 +189,13 @@ class AutoQuantizedModelForCausalLM:
         cfg = model_config_from_hf_dict(hf_cfg)
         qconf = BaseQuantizeConfig.from_pretrained(path)
         tensors = _st_load(path)
+        if spec.passthrough:
+            tensors = _remap_legacy_llava(tensors)
         params = cls._float_params(
             tensors, cfg, spec, dtype, skip_quantized=True
         )
+        if spec.passthrough:
+            params["hf_config"] = hf_cfg
 
         def import_group(base: str, lname: str):
             """-> imported tensor or None if not quantized at ``base``."""
@@ -257,14 +298,24 @@ class AutoQuantizedModelForCausalLM:
                     ("gate_proj", "up_proj"),
                     gate_up_split_indices(cfg),
                 )
+            moe_prefix, wmap = _moe_naming(spec)
             for e, ep in enumerate(lp.get("experts", [])):
-                for name, wtag in _MOE_WMAP.items():
+                for name, wtag in wmap.items():
                     w = import_group(
-                        f"{lbase}.block_sparse_moe.experts.{e}.{wtag}",
+                        f"{lbase}.{moe_prefix}.experts.{e}.{wtag}",
                         f"model.layers.{i}.experts.{e}.{name}",
                     )
                     if w is not None:
                         ep[name] = maybe_promote(w)
+            se = lp.get("shared_experts")
+            if se is not None:
+                for name in _SHARED_NAMES:
+                    w = import_group(
+                        f"{lbase}.{moe_prefix}.shared_experts.{name}",
+                        f"model.layers.{i}.shared_experts.{name}",
+                    )
+                    if w is not None:
+                        se[name] = maybe_promote(w)
         return params, cfg
 
     # ------------------------------------------------------------------ save
@@ -469,21 +520,29 @@ class AutoQuantizedModelForCausalLM:
                     gate_up_split_indices(cfg),
                     2 * cfg.intermediate_size,
                 )
+            moe_prefix, wmap = _moe_naming(spec)
             if "router" in lp:
                 put_dense(
-                    f"{lbase}.block_sparse_moe.gate.weight",
+                    f"{lbase}.{moe_prefix}.gate.weight",
                     lp["router"],
                     transpose=True,
                 )
             for e, ep in enumerate(lp.get("experts", [])):
-                for name in ("gate_proj", "up_proj", "down_proj"):
+                for name in _SHARED_NAMES:
                     if name in ep and ep[name] is not None:
                         put_any(
-                            f"{lbase}.block_sparse_moe.experts.{e}."
-                            f"{_MOE_WMAP[name]}",
+                            f"{lbase}.{moe_prefix}.experts.{e}."
+                            f"{wmap[name]}",
                             f"model.layers.{i}.experts.{e}.{name}",
                             ep[name],
                         )
+            for name, w in (lp.get("shared_experts") or {}).items():
+                if w is not None:
+                    put_any(
+                        f"{lbase}.{moe_prefix}.shared_experts.{name}",
+                        f"model.layers.{i}.shared_experts.{name}",
+                        w,
+                    )
         _st_save(tensors, path)
         qconf = BaseQuantizeConfig(
             bits=max(bits_seen) if bits_seen else 16,
@@ -568,6 +627,14 @@ class AutoQuantizedModelForCausalLM:
             params["lm_head"] = get(f"{spec.lm_head}.weight").T  # -> [K, N]
             if f"{spec.lm_head}.bias" in tensors:
                 params["lm_head_bias"] = get(f"{spec.lm_head}.bias")
+        if spec.passthrough:
+            extras = {
+                k: np.asarray(v)
+                for k, v in tensors.items()
+                if k.startswith(spec.passthrough)
+            }
+            if extras:
+                params["extra_tensors"] = extras
 
         def load_fused(lp, lbase, fused_path, names, indices):
             base = f"{lbase}.{fused_path}"
@@ -621,19 +688,20 @@ class AutoQuantizedModelForCausalLM:
                     ("gate_proj", "up_proj"),
                     gate_up_split_indices(cfg),
                 )
-            router_key = f"{lbase}.block_sparse_moe.gate.weight"
-            if router_key in tensors:  # Mixtral MoE layer
+            moe_prefix, wmap = _moe_naming(spec)
+            router_key = f"{lbase}.{moe_prefix}.gate.weight"
+            if router_key in tensors:  # MoE layer (mixtral / deepseek)
                 lp["router"] = get(router_key).T
                 experts = []
                 e = 0
                 while True:
-                    ebase = f"{lbase}.block_sparse_moe.experts.{e}"
+                    ebase = f"{lbase}.{moe_prefix}.experts.{e}"
                     if not any(
                         k.startswith(ebase + ".") for k in tensors
                     ):
                         break
                     ep = {}
-                    for name, w in _MOE_WMAP.items():
+                    for name, w in wmap.items():
                         key = f"{ebase}.{w}.weight"
                         if key in tensors:
                             ep[name] = get(key).T
@@ -644,5 +712,18 @@ class AutoQuantizedModelForCausalLM:
                     experts.append(ep)
                     e += 1
                 lp["experts"] = experts
+                sbase = f"{lbase}.{moe_prefix}.shared_experts"
+                if any(k.startswith(sbase + ".") for k in tensors):
+                    se = {}
+                    for name in _SHARED_NAMES:
+                        key = f"{sbase}.{name}.weight"
+                        if key in tensors:
+                            se[name] = get(key).T
+                        elif skip_quantized and any(
+                            k.startswith(f"{sbase}.{name}.")
+                            for k in tensors
+                        ):
+                            se[name] = None
+                    lp["shared_experts"] = se
             params["layers"].append(lp)
         return params

@@ -90,6 +90,26 @@ class ModelConfig:
     # minicpm: residuals scaled by scale_depth/sqrt(num_layers)
     residual_multiplier: float = 1.0
     qk_norm: str = ""  # "" | "cohere" (per-head mean-sub layernorm on q/k)
+    # deepseek-v2 MLA (multi-head latent attention) — reference supports
+    # this family via its AWQ topology table
+    # (sequential_layes_awq_config.py get_deepseek_v2_layers)
+    attn_type: str = "mha"  # mha | mla
+    q_lora_rank: int = 0  # 0 = plain q_proj (deepseek-v2-lite)
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    # deepseek MoE routing (vs mixtral's softmax-over-top-k):
+    # softmax over ALL experts -> (optional group-limited) top-k ->
+    # weights * routed_scaling_factor, plus always-on shared experts
+    moe_router: str = "mixtral"  # mixtral | deepseek
+    topk_method: str = "greedy"  # deepseek: greedy | group_limited_greedy
+    n_group: int = 0
+    topk_group: int = 0
+    routed_scaling_factor: float = 1.0
+    n_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    moe_intermediate_size: int = 0
 
     @property
     def hd(self) -> int:
@@ -125,6 +145,19 @@ LINEAR_NAMES = (
     "up_proj",
     "down_proj",
 )
+
+# deepseek-v2 MLA projections (reference quantizes these through its
+# AWQ/GPTQ name tables; here they are first-class canonical linears)
+MLA_LINEAR_NAMES = (
+    "q_a_proj",
+    "q_b_proj",
+    "kv_a_proj_with_mqa",
+    "kv_b_proj",
+)
+
+# every canonical linear name any architecture can carry — drivers
+# iterate this and skip names absent from the layer dict
+ALL_LINEAR_NAMES = LINEAR_NAMES + MLA_LINEAR_NAMES
 
 
 def init_params(
@@ -524,6 +557,11 @@ def _block_attn_mlp(
     H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
 
     x = _norm_input(pv, cfg, h, "input_layernorm")
+    if cfg.attn_type == "mla":
+        attn_flat, cache = _mla_attention(
+            pv, cfg, x, cos, sin, mask, cache, layer_idx, pos
+        )
+        return _finish_block(pv, cfg, h, x, attn_flat, cache)
     q = pv.apply("q_proj", x)
     k = pv.apply("k_proj", x)
     v = pv.apply("v_proj", x)
@@ -666,7 +704,15 @@ def _block_attn_mlp(
     else:
         attn = _attention(q, k, v, mask, cfg.n_rep, cfg.attn_logit_softcap)
 
-    attn_out = pv.apply("o_proj", attn.reshape(B, T, H * hd))
+    return _finish_block(pv, cfg, h, x, attn.reshape(B, T, H * hd), cache)
+
+
+def _finish_block(
+    pv, cfg: ModelConfig, h, x, attn_flat, cache
+) -> Tuple[jax.Array, Optional[QuantizedKVCache]]:
+    """o_proj -> residual -> MLP tail shared by the MHA and MLA paths.
+    ``x`` is the input-norm output (reused when shared_input_norm)."""
+    attn_out = pv.apply("o_proj", attn_flat)
     if cfg.post_norms:
         attn_out = apply_norm(
             cfg, attn_out, pv.get("post_attn_norm"), pv.get("post_attn_norm_bias")
@@ -698,9 +744,79 @@ def _block_attn_mlp(
     return h, cache
 
 
+def _mla_projections(pv, cfg: ModelConfig, x: jax.Array, cos, sin):
+    """MLA q/k/v from the input-norm output ``x`` (HF eager semantics,
+    transformers modeling_deepseek_v2.DeepseekV2Attention.forward):
+      q  = q_b(rmsnorm(q_a(x)))  (or plain q_proj when q_lora_rank==0)
+      kv = kv_b(rmsnorm(c_kv)), [c_kv | k_pe] = kv_a_proj_with_mqa(x)
+      rope on the (q_pe, k_pe) tails only, interleaved-pair ("gptj")
+      rotation; the single k_pe head broadcasts across all heads.
+    Returns q/k [B,T,H,dn+dr] and v [B,T,H,dn+dr] zero-padded from
+    v_head_dim so k and v share the cache/attention plumbing."""
+    B, T, _ = x.shape
+    H = cfg.num_attention_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    qk_hd = dn + dr
+    if cfg.q_lora_rank:
+        qa = pv.apply("q_a_proj", x)
+        qa = rms_norm(qa, pv.get("q_a_layernorm"), cfg.rms_norm_eps)
+        q = pv.apply("q_b_proj", qa)
+    else:
+        q = pv.apply("q_proj", x)
+    q = q.reshape(B, T, H, qk_hd)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+    ckv = pv.apply("kv_a_proj_with_mqa", x)
+    c_kv, k_pe = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank :]
+    kv = pv.apply(
+        "kv_b_proj", rms_norm(c_kv, pv.get("kv_a_layernorm"), cfg.rms_norm_eps)
+    ).reshape(B, T, H, dn + dv)
+    k_nope, v = kv[..., :dn], kv[..., dn:]
+    q_pe, k_pe = apply_rope(q_pe, k_pe[:, :, None, :], cos, sin, "gptj", 0)
+    q = jnp.concatenate([q_nope, q_pe], axis=-1)
+    k = jnp.concatenate(
+        [k_nope, jnp.broadcast_to(k_pe, (B, T, H, dr))], axis=-1
+    )
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, qk_hd - dv)))
+    return q, k, v
+
+
+def _mla_attention(
+    pv, cfg: ModelConfig, x, cos, sin, mask, cache, layer_idx, pos
+) -> Tuple[jax.Array, Optional[QuantizedKVCache]]:
+    """Multi-head latent attention (deepseek-v2). Runs the XLA attention
+    path (the fused decode kernels require hd%128==0 uniform k/v head
+    widths; MLA's 192/128 split is served by XLA — a dedicated
+    latent-cache Pallas kernel is a later optimization)."""
+    B, T, _ = x.shape
+    dv = cfg.v_head_dim
+    q, k, v = _mla_projections(pv, cfg, x, cos, sin)
+    if cache is not None:
+        if cache.ring_k is not None:
+            raise NotImplementedError(
+                "MLA decode uses the XLA cache path; create the cache "
+                "with ring=False"
+            )
+        cache = cache.update(layer_idx, k, v, pos)
+        k_all, v_all = cache.layer_kv(layer_idx, dtype=x.dtype)
+    else:
+        k_all, v_all = k, v
+    attn = _attention(q, k_all, v_all, mask, 1)[..., :dv]
+    return attn.reshape(B, T, cfg.num_attention_heads * dv), cache
+
+
 def _mlp_from_view(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     if pv.get("experts") is not None:
-        return _moe_forward(pv.lp, cfg, _mat(x))
+        out = _moe_forward(pv.lp, cfg, _mat(x))
+        se = pv.get("shared_experts")
+        if se is not None:
+            # deepseek shared experts: always-on gated MLP added to the
+            # routed output (modeling_deepseek_v2.DeepseekV2MoE.forward)
+            gate = apply_linear(se["gate_proj"], x)
+            up = apply_linear(se["up_proj"], x)
+            out = out + apply_linear(
+                se["down_proj"], act_fn(cfg.hidden_act, gate) * up
+            )
+        return out
     if cfg.mlp_type == "gated":
         gate = pv.apply("gate_proj", x)
         up = pv.apply("up_proj", x)
@@ -729,24 +845,52 @@ def _layer_forward(
     )
 
 
-def _moe_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Array:
-    """Mixtral-style top-k sparse MoE (reference supports Mixtral via its
-    GPTQ/AWQ tables, sequential_layes_gptq_config.py:70-101).
+def _router_weights(
+    lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array
+) -> jax.Array:
+    """Dense [B, T, E] expert combination weights.
 
-    MoE note: experts run densely over all tokens and are combined with
-    the router's top-k weights — correct and XLA-friendly; token
-    gathering/megablocking is a later optimization."""
+    mixtral: top-k of the logits, softmax over the selected k
+    (HF MixtralSparseMoeBlock). deepseek: softmax over ALL experts,
+    optional group-limited selection (top groups by per-group max score,
+    others masked to 0), top-k, then * routed_scaling_factor — NO
+    renormalization (HF DeepseekV2MoEGate.forward)."""
     router_logits = jnp.dot(
         x.astype(jnp.float32), lp["router"].astype(jnp.float32)
     )  # [B, T, E]
     E = len(lp["experts"])
     k = min(cfg.num_experts_per_tok, E)
-    top_w, top_ids = jax.lax.top_k(router_logits, k)
-    top_w = jax.nn.softmax(top_w, axis=-1)  # HF: softmax over the top-k
-    weights = jnp.sum(
+    if cfg.moe_router == "deepseek":
+        scores = jax.nn.softmax(router_logits, axis=-1)
+        if cfg.topk_method == "group_limited_greedy":
+            G = cfg.n_group
+            gs = scores.reshape(*scores.shape[:-1], G, E // G)
+            gmax = jnp.max(gs, axis=-1)  # [B, T, G]
+            _, gidx = jax.lax.top_k(gmax, cfg.topk_group)
+            gmask = jnp.sum(
+                jax.nn.one_hot(gidx, G, dtype=scores.dtype), axis=-2
+            )  # [B, T, G]
+            scores = (gs * gmask[..., None]).reshape(scores.shape)
+        top_w, top_ids = jax.lax.top_k(scores, k)
+        top_w = top_w * jnp.float32(cfg.routed_scaling_factor)
+    else:
+        top_w, top_ids = jax.lax.top_k(router_logits, k)
+        top_w = jax.nn.softmax(top_w, axis=-1)  # HF: softmax over the top-k
+    return jnp.sum(
         jax.nn.one_hot(top_ids, E, dtype=jnp.float32) * top_w[..., None],
         axis=-2,
     )  # [B, T, E]
+
+
+def _moe_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Array:
+    """Top-k sparse MoE, mixtral and deepseek routing (reference supports
+    Mixtral/deepseek-v2 via its GPTQ/AWQ tables,
+    sequential_layes_gptq_config.py:70-101, get_deepseek_v2_layers).
+
+    MoE note: experts run densely over all tokens and are combined with
+    the router's top-k weights — correct and XLA-friendly; token
+    gathering/megablocking is a later optimization."""
+    weights = _router_weights(lp, cfg, x)
     out = jnp.zeros_like(x, shape=x.shape).astype(jnp.float32)
     for e, ep in enumerate(lp["experts"]):
         gate = apply_linear(ep["gate_proj"], x)
@@ -779,6 +923,8 @@ def layer_intermediates(
     x1 = apply_norm(
         cfg, h, pv.get("input_layernorm"), pv.get("input_layernorm_bias")
     )
+    if cfg.attn_type == "mla":
+        return _mla_intermediates(lp, cfg, h, x1, cos, sin, mask)
     q = pv.apply("q_proj", x1).reshape(B, T, H, hd)
     k = pv.apply("k_proj", x1).reshape(B, T, Hkv, hd)
     v = pv.apply("v_proj", x1).reshape(B, T, Hkv, hd)
@@ -829,23 +975,23 @@ def layer_intermediates(
             pv.get("post_attention_layernorm"),
             pv.get("post_attention_layernorm_bias"),
         )
+    out.update(_mlp_intermediates(lp, cfg, x2))
+    return out
+
+
+def _mlp_intermediates(
+    lp: Dict[str, Any], cfg: ModelConfig, x2: jax.Array
+) -> Dict[str, jax.Array]:
+    """MLP-part calibration inputs (dense, MoE, shared experts)."""
+    pv = LayerView(lp)
+    out: Dict[str, jax.Array] = {}
     if "experts" in lp:
         # MoE: per-expert inputs weighted by the router (sqrt weight so
         # the Hessian XᵀX carries the routing probability) — the
         # calibration analog of the reference's hook-captured routed
         # inputs for Mixtral (sequential_layes_gptq_config.py:70-101)
         out["experts_input"] = x2  # unweighted (AWQ scale search)
-        router_logits = jnp.dot(
-            x2.astype(jnp.float32), lp["router"].astype(jnp.float32)
-        )
-        E = len(lp["experts"])
-        k = min(cfg.num_experts_per_tok, E)
-        top_w, top_ids = jax.lax.top_k(router_logits, k)
-        top_w = jax.nn.softmax(top_w, axis=-1)
-        weights = jnp.sum(
-            jax.nn.one_hot(top_ids, E, dtype=jnp.float32) * top_w[..., None],
-            axis=-2,
-        )  # [B, T, E]
+        weights = _router_weights(lp, cfg, x2)
         for e, ep in enumerate(lp["experts"]):
             wsq = jnp.sqrt(weights[..., e : e + 1]).astype(x2.dtype)
             xe = x2 * wsq
@@ -854,6 +1000,13 @@ def layer_intermediates(
             out[f"experts.{e}.gate_proj"] = xe
             out[f"experts.{e}.up_proj"] = xe
             out[f"experts.{e}.down_proj"] = (jax.nn.silu(gate) * up) * wsq
+        se = lp.get("shared_experts")
+        if se is not None:
+            gate = apply_linear(se["gate_proj"], x2)
+            up = apply_linear(se["up_proj"], x2)
+            out["shared_experts.gate_proj"] = x2
+            out["shared_experts.up_proj"] = x2
+            out["shared_experts.down_proj"] = act_fn(cfg.hidden_act, gate) * up
     elif cfg.mlp_type == "gated":
         gate = pv.apply("gate_proj", x2)
         up = pv.apply("up_proj", x2)
@@ -868,6 +1021,48 @@ def layer_intermediates(
         if asc is not None:
             dn = dn / asc.astype(dn.dtype)
         out["down_proj"] = dn
+    return out
+
+
+def _mla_intermediates(
+    lp: Dict[str, Any],
+    cfg: ModelConfig,
+    h: jax.Array,
+    x1: jax.Array,
+    cos,
+    sin,
+    mask,
+) -> Dict[str, jax.Array]:
+    """layer_intermediates for an MLA (deepseek-v2) block — in lock-step
+    with _mla_attention/_finish_block."""
+    pv = LayerView(lp)
+    out: Dict[str, jax.Array] = {"kv_a_proj_with_mqa": x1}
+    if cfg.q_lora_rank:
+        out["q_a_proj"] = x1
+        qa = rms_norm(
+            pv.apply("q_a_proj", x1), pv.get("q_a_layernorm"), cfg.rms_norm_eps
+        )
+        out["q_b_proj"] = qa
+    else:
+        out["q_proj"] = x1
+    ckv = pv.apply("kv_a_proj_with_mqa", x1)
+    out["kv_b_proj"] = rms_norm(
+        ckv[..., : cfg.kv_lora_rank], pv.get("kv_a_layernorm"), cfg.rms_norm_eps
+    )
+    q, k, v = _mla_projections(pv, cfg, x1, cos, sin)
+    attn = _attention(q, k, v, mask, 1)[..., : cfg.v_head_dim]
+    attn_flat = attn.reshape(
+        h.shape[0], h.shape[1], cfg.num_attention_heads * cfg.v_head_dim
+    )
+    out["o_proj"] = attn_flat
+    h2 = h + pv.apply("o_proj", attn_flat)
+    x2 = apply_norm(
+        cfg,
+        h2,
+        pv.get("post_attention_layernorm"),
+        pv.get("post_attention_layernorm_bias"),
+    )
+    out.update(_mlp_intermediates(lp, cfg, x2))
     return out
 
 
@@ -983,12 +1178,12 @@ def iter_quantizable(params: Dict[str, Any]):
     The analog of reference find_layers (utils/modelutils.py:17-23).
     """
     for i, lp in enumerate(params["layers"]):
-        for name in LINEAR_NAMES:
+        for name in ALL_LINEAR_NAMES:
             if name in lp:
                 yield (f"model.layers.{i}.{_hf_name(name)}", i, name, lp[name])
 
 
 def _hf_name(name: str) -> str:
-    if name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+    if name in ("q_proj", "k_proj", "v_proj", "o_proj") + MLA_LINEAR_NAMES:
         return f"self_attn.{name}"
     return f"mlp.{name}"

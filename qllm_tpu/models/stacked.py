@@ -54,6 +54,8 @@ def is_stackable(params: Dict[str, Any]) -> bool:
         return False
     if "experts" in layers[0]:
         return False  # MoE layer bodies not yet scan-specialized
+    if "kv_a_proj_with_mqa" in layers[0]:
+        return False  # MLA (deepseek-v2) serves via the per-layer path
     ref = jax.tree_util.tree_structure(layers[0])
     ref_shapes = [x.shape for x in jax.tree_util.tree_leaves(layers[0])]
     for lp in layers[1:]:

@@ -221,6 +221,27 @@ _ACT_SCALE_ARCHS = {
 }
 
 
+def _moe_groups(lp) -> list:
+    """post-LN -> every (routed + shared) expert gate/up, plus per-expert
+    up->down folds (the reference's mixtral/deepseek-v2 tables)."""
+    E = len(lp["experts"])
+    fan_in = [
+        f"experts.{e}.{n}" for e in range(E) for n in ("gate_proj", "up_proj")
+    ]
+    groups = []
+    if "shared_experts" in lp:
+        fan_in += ["shared_experts.gate_proj", "shared_experts.up_proj"]
+        groups.append(
+            ("fc", "shared_experts.up_proj", ["shared_experts.down_proj"])
+        )
+    groups.insert(0, ("ln", "post_attention_layernorm", fan_in))
+    for e in range(E):
+        groups.append(
+            ("fc", f"experts.{e}.up_proj", [f"experts.{e}.down_proj"])
+        )
+    return groups
+
+
 def _layer_groups(lp, model_cfg=None) -> list:
     """Scale groups for one layer, derived from the architecture shape
     (the role of the reference's 24 per-arch get_*_layers functions,
@@ -235,7 +256,27 @@ def _layer_groups(lp, model_cfg=None) -> list:
         divider instead (ScaledActivation, _awq_quantizer.py:79-124)
 
     MoE layers route the post-LN group into every expert's gate/up and
-    add per-expert up->down groups (the reference's mixtral table)."""
+    add per-expert up->down groups (the reference's mixtral table).
+
+    MLA (deepseek-v2, reference get_deepseek_v2_layers): input norm ->
+    (q branch entry + kv_a); the low-rank norms q_a_layernorm /
+    kv_a_layernorm fold into q_b / kv_b. No v->o fold (v is an interior
+    slice of kv_b's per-head output)."""
+    if "kv_a_proj_with_mqa" in lp:  # MLA
+        first = [n for n in ("q_proj", "q_a_proj") if n in lp]
+        first.append("kv_a_proj_with_mqa")
+        groups = [("ln", "input_layernorm", first)]
+        if "q_b_proj" in lp:
+            groups.append(("ln", "q_a_layernorm", ["q_b_proj"]))
+        groups.append(("ln", "kv_a_layernorm", ["kv_b_proj"]))
+        if "experts" in lp:
+            groups += _moe_groups(lp)
+        else:
+            groups.append(
+                ("ln", "post_attention_layernorm", ["gate_proj", "up_proj"])
+            )
+            groups.append(("fc", "up_proj", ["down_proj"]))
+        return groups
     shared = model_cfg is not None and model_cfg.shared_input_norm
     gated = "gate_proj" in lp or "experts" in lp
     qkv = [n for n in ("q_proj", "k_proj", "v_proj") if n in lp]
@@ -247,23 +288,7 @@ def _layer_groups(lp, model_cfg=None) -> list:
         ("fc", "v_proj", ["o_proj"]),
     ]
     if "experts" in lp:
-        E = len(lp["experts"])
-        groups.append(
-            (
-                "ln",
-                "post_attention_layernorm",
-                [
-                    f"experts.{e}.{n}"
-                    for e in range(E)
-                    for n in ("gate_proj", "up_proj")
-                ],
-            )
-        )
-        for e in range(E):
-            groups.append(
-                ("fc", f"experts.{e}.up_proj", [f"experts.{e}.down_proj"])
-            )
-        return groups
+        return groups + _moe_groups(lp)
     if not shared:
         mlp_in = ["gate_proj", "up_proj"] if gated else ["up_proj"]
         groups.append(("ln", "post_attention_layernorm", mlp_in))
@@ -275,6 +300,8 @@ def _layer_groups(lp, model_cfg=None) -> list:
 
 
 def _getw(lp, name):
+    if name.startswith("shared_experts."):
+        return lp["shared_experts"][name.split(".", 1)[1]]
     if name.startswith("experts."):
         _, e, n = name.split(".")
         return lp["experts"][int(e)][n]
@@ -282,7 +309,9 @@ def _getw(lp, name):
 
 
 def _setw(lp, name, w):
-    if name.startswith("experts."):
+    if name.startswith("shared_experts."):
+        lp["shared_experts"][name.split(".", 1)[1]] = w
+    elif name.startswith("experts."):
         _, e, n = name.split(".")
         lp["experts"][int(e)][n] = w
     else:
@@ -304,7 +333,7 @@ class AWQQuantizer:
         progress: bool = True,
         cache_dir: Optional[str] = None,
     ) -> Dict[str, Any]:
-        from ..models.llama import LINEAR_NAMES, layer_intermediates
+        from ..models.llama import ALL_LINEAR_NAMES, layer_intermediates
         from .frame import (
             embed_inputs,
             load_layer_cache,
@@ -330,6 +359,8 @@ class AWQQuantizer:
             nlp = dict(lp)
             if "experts" in lp:
                 nlp["experts"] = [dict(ep) for ep in lp["experts"]]
+            if "shared_experts" in lp:
+                nlp["shared_experts"] = dict(lp["shared_experts"])
             # --- scale search + fold, group by group ---
             for kind, prev, linears in _layer_groups(lp, model_cfg):
                 if kind == "fc" and prev == "v_proj" and (
@@ -339,8 +370,8 @@ class AWQQuantizer:
                     continue  # GQA: v/o shapes differ (reference llama table)
                 xk = (
                     "experts_input"
-                    if linears[0].startswith("experts.")
-                    and prev == "post_attention_layernorm"
+                    if prev == "post_attention_layernorm"
+                    and any(n.split(".")[0] == "experts" for n in linears)
                     else linears[0]
                 )
                 x = acts[xk].reshape(-1, acts[xk].shape[-1])
@@ -443,11 +474,16 @@ class AWQQuantizer:
                         nlp[bias_name].astype(jnp.float32) / s
                     ).astype(nlp[bias_name].dtype)
             # --- auto clip (skip q/k: reference :246) + final quantize ---
-            quant_names = [n for n in LINEAR_NAMES if n in nlp]
+            quant_names = [n for n in ALL_LINEAR_NAMES if n in nlp]
             if "experts" in lp:
                 quant_names += [
                     f"experts.{e}.{n}"
                     for e in range(len(lp["experts"]))
+                    for n in ("gate_proj", "up_proj", "down_proj")
+                ]
+            if "shared_experts" in lp:
+                quant_names += [
+                    f"shared_experts.{n}"
                     for n in ("gate_proj", "up_proj", "down_proj")
                 ]
             for name in quant_names:
@@ -458,7 +494,9 @@ class AWQQuantizer:
                 if b >= 16:
                     continue
                 w = _getw(nlp, name).astype(jnp.float32)
-                if name not in ("q_proj", "k_proj"):
+                # reference auto_clip skips query/key-side projections
+                # (substring match on q_/k_, _awq_quantizer.py:246)
+                if name not in ("q_proj", "k_proj", "q_a_proj", "q_b_proj"):
                     xa = acts[
                         name
                         if name in acts

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.llama import (
-    LINEAR_NAMES,
+    ALL_LINEAR_NAMES,
     ModelConfig,
     _layer_forward,
     _rope_cos_sin,
@@ -103,7 +103,7 @@ def quantize_params_uniform(
     new_layers: List[Dict[str, Any]] = []
     for i, lp in enumerate(params["layers"]):
         nlp = dict(lp)
-        for name in LINEAR_NAMES:
+        for name in ALL_LINEAR_NAMES:
             if name not in lp:
                 continue
             full = f"model.layers.{i}.{name}"
@@ -111,6 +111,17 @@ def quantize_params_uniform(
             if b >= 16:
                 continue
             nlp[name] = quantize_fn(lp[name], b, gs)
+        if "shared_experts" in lp:  # deepseek always-on shared experts
+            nse = dict(lp["shared_experts"])
+            for name in ("gate_proj", "up_proj", "down_proj"):
+                full = f"model.layers.{i}.shared_experts.{name}"
+                b, gs = resolve_layer_bits(
+                    full, bits, group_size, layer_overrides
+                )
+                if b >= 16:
+                    continue
+                nse[name] = quantize_fn(nse[name], b, gs)
+            nlp["shared_experts"] = nse
         if "experts" in lp:  # MoE: quantize every expert projection
             nexp = []
             for e, ep in enumerate(lp["experts"]):

@@ -368,6 +368,26 @@ _TRUE_SEQUENTIAL = [
     ["down_proj"],
 ]
 
+# deepseek-v2 MLA: the q branch and kv_a share the block input; kv_b
+# reads the normed latent — its Hessian must see the (already
+# quantized) kv_a output, so it gets its own subset
+_TRUE_SEQUENTIAL_MLA = [
+    ["q_proj", "q_a_proj", "kv_a_proj_with_mqa"],
+    ["q_b_proj", "kv_b_proj"],
+    ["o_proj"],
+    ["gate_proj", "up_proj"],
+    ["down_proj"],
+]
+
+
+def true_sequential_subsets(model_cfg) -> List[List[str]]:
+    """Per-architecture true_sequential grouping (the role of the
+    reference's sequential_layes_gptq_config.py tables — here derived
+    from the block shape instead of 19 hand tables)."""
+    if getattr(model_cfg, "attn_type", "mha") == "mla":
+        return [list(s) for s in _TRUE_SEQUENTIAL_MLA]
+    return [list(s) for s in _TRUE_SEQUENTIAL]
+
 
 class GPTQQuantizer:
     """Model-level GPTQ driver (reference quant_gptq.py): per block —
@@ -438,14 +458,16 @@ class GPTQQuantizer:
             save_layer_cache,
         )
         from .hessian import collect_block_hessians
-        from ..models.llama import LINEAR_NAMES
+        from ..models.llama import ALL_LINEAR_NAMES
 
         cfg = self.config
         h, cos, sin, mask = embed_inputs(params, model_cfg, calib_tokens)
         new_layers: List[Dict[str, Any]] = []
         promotions = 0
         subsets = (
-            _TRUE_SEQUENTIAL if cfg.true_sequential else [list(LINEAR_NAMES)]
+            true_sequential_subsets(model_cfg)
+            if cfg.true_sequential
+            else [list(ALL_LINEAR_NAMES)]
         )
         for i, lp in enumerate(params["layers"]):
             t_layer = time.time()
@@ -512,6 +534,28 @@ class GPTQQuantizer:
                         nep[name] = qt
                     nexp.append(nep)
                 nlp["experts"] = nexp
+                if "shared_experts" in lp:
+                    # deepseek shared experts: quantized with the same
+                    # post-LN input Hessian (weight 1 — always routed)
+                    nse = dict(lp["shared_experts"])
+                    for name in ("gate_proj", "up_proj", "down_proj"):
+                        full = f"model.layers.{i}.shared_experts.{name}"
+                        b, gs = resolve_layer_bits(
+                            full, cfg.wbits, cfg.groupsize, layer_overrides
+                        )
+                        if b >= 16:
+                            continue
+                        qt, promoted = self._quantize_one(
+                            nse[name].astype(jnp.float32),
+                            Hs[f"shared_experts.{name}"],
+                            b,
+                            gs,
+                            full,
+                            self.MAX_PROMOTIONS - promotions,
+                        )
+                        promotions += int(promoted)
+                        nse[name] = qt
+                    nlp["shared_experts"] = nse
             save_layer_cache(cache_dir, i, nlp)
             # propagate QUANTIZED activations to the next block
             # (reference quant_gptq.py:146-154)

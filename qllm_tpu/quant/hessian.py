@@ -27,6 +27,10 @@ __all__ = ["collect_block_hessians", "hessian_update"]
 def _share_key(name: str, keys) -> str:
     if name in ("k_proj", "v_proj") and "q_proj" in keys:
         return "q_proj"
+    if name == "kv_a_proj_with_mqa":  # MLA: shares x with the q branch
+        for cand in ("q_a_proj", "q_proj"):
+            if cand in keys:
+                return cand
     if name.endswith("up_proj"):
         gate = name[: -len("up_proj")] + "gate_proj"
         if gate in keys:
@@ -79,6 +83,11 @@ def collect_block_hessians(
     if "q_proj" in partial_Hs:
         for name in ("k_proj", "v_proj"):
             out[name] = partial_Hs["q_proj"]
+    if "kv_a_proj_with_mqa" not in partial_Hs:  # MLA shared-x alias
+        for cand in ("q_a_proj", "q_proj"):
+            if cand in partial_Hs:
+                out["kv_a_proj_with_mqa"] = partial_Hs[cand]
+                break
     for key in list(partial_Hs):
         if key.endswith("gate_proj"):
             out[key[: -len("gate_proj")] + "up_proj"] = partial_Hs[key]

@@ -306,7 +306,7 @@ class VPTQQuantizer:
         completion markers, like the reference's done.txt). Requires
         ``proxy_hessian_dir`` — offline Hessians are what make layers
         independent — and a shared ``cache_dir``."""
-        from ..models.llama import LINEAR_NAMES
+        from ..models.llama import ALL_LINEAR_NAMES as LINEAR_NAMES
         from .frame import embed_inputs, run_block
         from .hessian import _share_key, collect_block_hessians
 

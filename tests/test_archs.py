@@ -282,6 +282,58 @@ CASES = [
         ),
         "cohere",
     ),
+    (
+        # deepseek-v2-lite shape: plain q_proj (no q lora), greedy
+        # top-k, dense layer 0 + MoE layer 1 with one shared expert
+        "DeepseekV2Config",
+        "DeepseekV2ForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=96,
+            max_position_embeddings=128,
+            q_lora_rank=None,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            n_routed_experts=4,
+            num_experts_per_tok=2,
+            n_shared_experts=1,
+            moe_intermediate_size=48,
+            first_k_dense_replace=1,
+            topk_method="greedy",
+            routed_scaling_factor=1.0,
+        ),
+        "deepseek_v2",
+    ),
+    (
+        # deepseek-v2 shape: q lora + group-limited-greedy routing +
+        # routed_scaling_factor != 1
+        "DeepseekV2Config",
+        "DeepseekV2ForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=96,
+            max_position_embeddings=128,
+            q_lora_rank=32,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            n_routed_experts=4,
+            num_experts_per_tok=2,
+            n_shared_experts=2,
+            moe_intermediate_size=48,
+            first_k_dense_replace=0,
+            topk_method="group_limited_greedy",
+            n_group=2,
+            topk_group=1,
+            routed_scaling_factor=2.0,
+        ),
+        "deepseek_v2",
+    ),
 ]
 
 
@@ -608,3 +660,160 @@ def test_normalized_config_roundtrip(tmp_path):
     a, _ = forward(params, mcfg, ids)
     b, _ = forward(p2, c2, ids)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# deepseek-v2 (MLA + deepseek MoE) — reference covers this family via its
+# AWQ topology table (sequential_layes_awq_config.py get_deepseek_v2_layers)
+# ---------------------------------------------------------------------------
+
+_DSV2_MOE_IDX = len(CASES) - 1  # the q-lora + group-limited MoE case
+
+
+def test_deepseek_v2_quantize_roundtrip(tmp_path):
+    """HQQ-quantize the MLA+MoE case (q_a/q_b/kv_a/kv_b + routed and
+    shared experts all quantized), save in the deepseek checkpoint
+    dialect (mlp.experts.N.gate_proj / mlp.shared_experts.*), reload,
+    and check argmax parity vs the float torch model."""
+    cfg_name, model_name, kwargs, kind = CASES[_DSV2_MOE_IDX]
+    path = str(tmp_path / kind)
+    hf_model = _build_and_save(cfg_name, model_name, kwargs, path)
+
+    from qllm_tpu.args_config import FakeArgs
+    from qllm_tpu.auto_quant import AutoModelQuantization
+    from qllm_tpu.quant.qtensor import QuantizedTensor
+
+    amq = AutoModelQuantization()
+    params, mcfg = AutoQ.from_pretrained(path, dtype=jnp.float32)
+    qparams = amq.api_quantize(
+        params,
+        mcfg,
+        args=FakeArgs(
+            model=path,
+            quant_method="hqq",
+            wbits=8,
+            groupsize=16,  # divides kv_lora_rank / moe_intermediate_size
+            nsamples=2,
+            seqlen=32,
+            dataset="synthetic",
+        ),
+    )
+    out = str(tmp_path / f"{kind}-q")
+    amq.save_model(
+        qparams,
+        mcfg,
+        FakeArgs(model=path, quant_method="hqq", pack_mode="HQQ"),
+        out,
+    )
+    # deepseek MoE dialect on disk
+    import os
+    from safetensors import safe_open
+
+    with safe_open(os.path.join(out, "model.safetensors"), framework="np") as f:
+        keys = set(f.keys())
+    assert "model.layers.0.mlp.experts.0.gate_proj.qweight" in keys
+    assert "model.layers.0.mlp.shared_experts.down_proj.qweight" in keys
+    assert "model.layers.0.mlp.gate.weight" in keys  # router stays dense
+    assert "model.layers.0.self_attn.kv_b_proj.qweight" in keys
+
+    p2, c2 = AutoQ.from_quantized(out, dtype=jnp.float32)
+    lp = p2["layers"][0]
+    assert isinstance(lp["q_a_proj"], QuantizedTensor)
+    assert isinstance(lp["kv_b_proj"], QuantizedTensor)
+    assert isinstance(lp["shared_experts"]["down_proj"], QuantizedTensor)
+    assert isinstance(lp["experts"][0]["gate_proj"], QuantizedTensor)
+    ids = np.array([[5, 9, 33, 77]], np.int32)
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(ids.astype(np.int64))).logits
+    ours, _ = forward(p2, c2, jnp.asarray(ids))
+    np.testing.assert_array_equal(
+        np.asarray(ours).argmax(-1), ref.float().numpy().argmax(-1)
+    )
+
+
+def _tiny_dsv2_dense(path):
+    """1-layer all-dense MLA checkpoint (first_k_dense_replace=1) —
+    cheap enough to push through the GPTQ/AWQ drivers on CPU."""
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        max_position_embeddings=128,
+        q_lora_rank=32,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        n_routed_experts=4,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        moe_intermediate_size=48,
+        first_k_dense_replace=1,
+    )
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    model = transformers.DeepseekV2ForCausalLM(cfg).eval().to(torch.float32)
+    model.save_pretrained(path, safe_serialization=True)
+    return model
+
+
+@pytest.mark.parametrize("method", ["awq", "gptq"])
+def test_deepseek_v2_driver_smoke(tmp_path, method):
+    """AWQ (MLA scale topology: input-LN -> q_a+kv_a, q_a_layernorm ->
+    q_b, kv_a_layernorm -> kv_b) and GPTQ (MLA true_sequential subsets)
+    drivers quantize every MLA projection."""
+    from qllm_tpu.args_config import FakeArgs
+    from qllm_tpu.auto_quant import AutoModelQuantization
+    from qllm_tpu.quant.qtensor import QuantizedTensor
+
+    path = str(tmp_path / "dsv2-dense")
+    _tiny_dsv2_dense(path)
+    amq = AutoModelQuantization()
+    params, mcfg = AutoQ.from_pretrained(path, dtype=jnp.float32)
+    qp = amq.api_quantize(
+        params,
+        mcfg,
+        args=FakeArgs(
+            model=path,
+            quant_method=method,
+            wbits=8,
+            groupsize=16,
+            nsamples=2,
+            seqlen=32,
+            dataset="synthetic",
+            true_sequential=True,
+        ),
+    )
+    lp = qp["layers"][0]
+    for name in (
+        "q_a_proj",
+        "q_b_proj",
+        "kv_a_proj_with_mqa",
+        "kv_b_proj",
+        "o_proj",
+        "down_proj",
+    ):
+        assert isinstance(lp[name], QuantizedTensor), name
+
+
+def test_deepseek_v2_cache_decode(tmp_path):
+    """MLA step-by-step KV-cache decode matches the cacheless forward
+    (v is zero-padded to the qk head width inside the shared cache;
+    attention output is sliced back to v_head_dim)."""
+    cfg_name, model_name, kwargs, kind = CASES[_DSV2_MOE_IDX]
+    path = str(tmp_path / kind)
+    _build_and_save(cfg_name, model_name, kwargs, path)
+    from qllm_tpu.models.generate import make_cache
+
+    params, mcfg = AutoQ.from_pretrained(path, dtype=jnp.float32)
+    ids = np.array([[5, 9, 33, 77, 2, 8]], np.int32)
+    full, _ = forward(params, mcfg, jnp.asarray(ids))
+    cache = make_cache(mcfg, 1, 32, quantized_kv=False)
+    _, cache = forward(params, mcfg, jnp.asarray(ids[:, :4]), cache, jnp.int32(0))
+    _, cache = forward(params, mcfg, jnp.asarray(ids[:, 4:5]), cache, jnp.int32(4))
+    step, _ = forward(params, mcfg, jnp.asarray(ids[:, 5:6]), cache, jnp.int32(5))
+    np.testing.assert_allclose(
+        np.asarray(step[:, -1]), np.asarray(full[:, -1]), atol=1e-4
+    )
