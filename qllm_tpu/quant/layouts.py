@@ -327,8 +327,12 @@ def _export_ort(qt: QuantizedTensor):
     G = K // g
     qT = q.T.astype(np.uint8)  # [N, K]
     qw = (qT[:, 0::2] | (qT[:, 1::2] << 4)).reshape(N, G, g // 2)
-    zT = zeros.astype(np.uint8)  # [G, N]
-    if N % 2:
+    # zero_points: n-major, adjacent-G pairs packed low-nibble-first —
+    # exactly onnxruntime's MatMulNBits layout and the reference's
+    # pack_on_device (quant_linear_onnxruntime.py:115-136: zeros.T to
+    # [N, G], pad G to even, z[:,0::2] | z[:,1::2]<<4, flatten)
+    zT = zeros.astype(np.uint8).T  # [N, G]
+    if G % 2:
         zT = np.pad(zT, ((0, 0), (0, 1)))
     qz = (zT[:, 0::2] | (zT[:, 1::2] << 4)).reshape(-1)
     return {
@@ -349,11 +353,11 @@ def _import_ort(t: dict, bits: int, group_size: int) -> QuantizedTensor:
     qT = np.zeros((N, K), np.int32)
     qT[:, 0::2] = qw.reshape(N, -1) & 0xF
     qT[:, 1::2] = (qw.reshape(N, -1) >> 4) & 0xF
-    qz = np.asarray(t["qzeros"]).reshape(G, -1)
-    zpad = np.zeros((G, qz.shape[1] * 2), np.int32)
+    qz = np.asarray(t["qzeros"]).reshape(N, -1)  # [N, ceil_even(G)/2]
+    zpad = np.zeros((N, qz.shape[1] * 2), np.int32)
     zpad[:, 0::2] = qz & 0xF
     zpad[:, 1::2] = (qz >> 4) & 0xF
-    zeros = zpad[:, :N]
+    zeros = zpad[:, :G].T  # [G, N]
     scales = np.asarray(t["scales"]).reshape(N, G).T.astype(np.float16)
     g_idx = np.asarray(t["g_idx"]) if t.get("g_idx") is not None else None
     return _from_grid(qT.T, scales, zeros, 4, group_size, g_idx)
