@@ -214,8 +214,29 @@ class AutoModelQuantization:
     # --------------------------------------------------------------- export
 
     def export_onnx(self, params, cfg, args, path: str):
+        """Full merged ONNX decoder (reference artifact: decoder_model_
+        merged.onnx, utils/onnx/exporter.py:11-128) verified by
+        executing the serialized bytes against the numpy forward, plus
+        the StableHLO prefill/decode pair (the TPU-native artifact)."""
         from .export import export_model
 
+        try:
+            from .export.onnx_decoder import export_onnx_decoder
+            from .export.onnx_verify import verify_onnx_decoder
+
+            paths = export_onnx_decoder(params, cfg, path)
+            logger.info(f"exported ONNX decoder: {sorted(paths)}")
+            err = verify_onnx_decoder(params, cfg, paths)
+            logger.info(f"ONNX decoder verified: rel err {err:.4g}")
+        except NotImplementedError as e:
+            logger.warning(
+                f"full ONNX decoder unsupported for this arch ({e}); "
+                "falling back to per-block MatMulNBits subgraphs"
+            )
+            from .export.onnx_matmulnbits import export_linears_onnx
+
+            written = export_linears_onnx(params, os.path.join(path, "blocks"))
+            logger.info(f"exported {len(written)} MatMulNBits block graphs")
         export_model(params, cfg, path, tokenizer=self.tokenizer)
 
     # ----------------------------------------------------------------- run

@@ -1,0 +1,598 @@
+"""Full-model ONNX decoder export (the reference's headline artifact).
+
+Reference contract being matched: qllm exports the WHOLE causal LM as
+`decoder_model.onnx` (prefill) + `decoder_with_past_model.onnx`
+(single-token decode with KV-cache inputs) and fuses them into
+`decoder_model_merged.onnx` via an If node on ``use_cache_branch``
+(qllm/utils/onnx/exporter.py:11-128, merge_encoder_decoder.py:325+).
+Every quantized linear lowers to ``com.microsoft::MatMulNBits``
+(quant_linear_gptq.py:57-68, quant_linear_onnxruntime.py:17-29); the
+rest of the graph (embedding Gather, RMS/LayerNorm, rotary, attention,
+gated MLP, logits) is standard ONNX opset-17 ops.
+
+The reference leans on torch.onnx tracing; here the graph is built
+directly from the params pytree — no torch in the path, no ``onnx``
+package needed (export/onnx_proto.py writes the wire format). The
+artifacts load with ``onnx.load`` and run under onnxruntime unchanged;
+offline they are verified by executing the merged graph with the
+pure-numpy evaluator (export/onnx_exec.py) against eval/numpy_ref.py.
+
+I/O signature (optimum/ORT decoder convention):
+  inputs : input_ids [B,T] int64, attention_mask [B,S] int64,
+           position_ids [B,T] int64,
+           past_key_values.{i}.key/value [B,Hkv,P,hd] (with_past only)
+  outputs: logits [B,T,V], present.{i}.key/value [B,Hkv,S,hd]
+The with_past graph follows the reference's single-new-token contract
+(T==1: no intra-block causal mask, exactly like the torch-exported
+decoder_with_past).
+
+Coverage: the llama shape family — rope neox/gptj (incl. partial
+rotary), rms/layer norm (+gemma "+1" variant), gated/plain MLP, GQA,
+biases, tied or quantized lm_head, gemma2 softcaps. Configs outside it
+(MoE, MLA, alibi, parallel-residual) raise NotImplementedError and the
+CLI falls back to per-block MatMulNBits subgraphs with a warning.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..quant.qtensor import QuantizedTensor
+from .onnx_matmulnbits import matmulnbits_node
+from .onnx_merge import merge_decoders
+from .onnx_proto import (
+    DT,
+    AttributeProto,
+    GraphProto,
+    ModelProto,
+    NodeProto,
+    TensorProto,
+    ValueInfoProto,
+)
+
+__all__ = ["build_decoder_graph", "export_onnx_decoder"]
+
+_INT_MAX = 2**31 - 1
+
+
+def _np_dt(dt: int):
+    return {DT.FLOAT: np.float32, DT.FLOAT16: np.float16}[dt]
+
+
+class _GB:
+    """Tiny graph-builder: names, nodes, initializers."""
+
+    def __init__(self, act_dtype: int, prefix: str):
+        self.act = act_dtype
+        self.prefix = prefix
+        self.nodes: List[NodeProto] = []
+        self.inits: List[TensorProto] = []
+        self._n = 0
+
+    def fresh(self, hint: str) -> str:
+        self._n += 1
+        return f"{self.prefix}/{hint}_{self._n}"
+
+    def init(self, hint: str, array: np.ndarray, fresh: bool = True) -> str:
+        name = self.fresh(hint) if fresh else hint
+        self.inits.append(TensorProto(name, np.ascontiguousarray(array)))
+        return name
+
+    def add(
+        self,
+        op: str,
+        inputs: Sequence[str],
+        n_out: int = 1,
+        domain: str = "",
+        out_names: Optional[List[str]] = None,
+        **attrs,
+    ) -> Union[str, List[str]]:
+        outs = out_names or [self.fresh(op.lower()) for _ in range(n_out)]
+        alist = []
+        for k, v in attrs.items():
+            if isinstance(v, bool):
+                alist.append(AttributeProto(k, i=int(v)))
+            elif isinstance(v, int):
+                alist.append(AttributeProto(k, i=v))
+            elif isinstance(v, float):
+                alist.append(AttributeProto(k, f=v))
+            elif isinstance(v, str):
+                alist.append(AttributeProto(k, s=v))
+            elif isinstance(v, (list, tuple)):
+                alist.append(AttributeProto(k, ints=list(v)))
+            elif isinstance(v, TensorProto):
+                alist.append(AttributeProto(k, t=v))
+            elif isinstance(v, GraphProto):
+                alist.append(AttributeProto(k, g=v))
+            else:
+                raise TypeError(f"attr {k}: {type(v)}")
+        self.nodes.append(
+            NodeProto(
+                op_type=op,
+                inputs=list(inputs),
+                outputs=outs,
+                name=outs[0],
+                domain=domain,
+                attributes=alist,
+            )
+        )
+        return outs[0] if len(outs) == 1 else outs
+
+    # ---- common composites ------------------------------------------
+
+    def constf(self, hint: str, value) -> str:
+        return self.init(hint, np.asarray(value, _np_dt(self.act)))
+
+    def consti(self, hint: str, value) -> str:
+        return self.init(hint, np.asarray(value, np.int64))
+
+    def slice(self, x, starts, ends, axes, steps=None) -> str:
+        ins = [
+            x,
+            self.consti("starts", starts),
+            self.consti("ends", ends),
+            self.consti("axes", axes),
+        ]
+        if steps is not None:
+            ins.append(self.consti("steps", steps))
+        return self.add("Slice", ins)
+
+    def unsqueeze(self, x, axes) -> str:
+        return self.add("Unsqueeze", [x, self.consti("axes", axes)])
+
+    def reshape(self, x, shape) -> str:
+        return self.add("Reshape", [x, self.consti("shape", shape)])
+
+    def mul(self, a, b) -> str:
+        return self.add("Mul", [a, b])
+
+    def addn(self, a, b) -> str:
+        return self.add("Add", [a, b])
+
+
+def _as_np(x, dtype=np.float32) -> np.ndarray:
+    """Pytree leaf (possibly bf16 jax array) -> numpy."""
+    try:
+        import jax.numpy as jnp
+
+        return np.asarray(jnp.asarray(x, jnp.float32)).astype(dtype)
+    except Exception:
+        return np.asarray(x, np.float32).astype(dtype)
+
+
+def _check_supported(cfg) -> None:
+    bad = []
+    if cfg.pos_embedding != "rope":
+        bad.append(f"pos_embedding={cfg.pos_embedding}")
+    if getattr(cfg, "parallel_residual", False):
+        bad.append("parallel_residual")
+    if getattr(cfg, "num_local_experts", 0):
+        bad.append("MoE")
+    if getattr(cfg, "attn_type", "mha") != "mha":
+        bad.append(f"attn_type={cfg.attn_type}")
+    if getattr(cfg, "qk_norm", ""):
+        bad.append(f"qk_norm={cfg.qk_norm}")
+    if getattr(cfg, "embed_layernorm", False):
+        bad.append("embed_layernorm")
+    if bad:
+        raise NotImplementedError(
+            f"ONNX decoder export does not cover: {', '.join(bad)}"
+        )
+
+
+class _DecoderBuilder:
+    def __init__(self, params, cfg, with_past: bool, act_dtype: int):
+        _check_supported(cfg)
+        self.p = params
+        self.cfg = cfg
+        self.with_past = with_past
+        self.act = act_dtype
+        self.g = _GB(act_dtype, "wp" if with_past else "np")
+        self.big_neg = 65000.0 if act_dtype == DT.FLOAT16 else 1e9
+
+    # ---- building blocks --------------------------------------------
+
+    def linear(self, x: str, w, name: str, bias=None) -> str:
+        g = self.g
+        if isinstance(w, QuantizedTensor) and w.bits == 4 and not w.planar:
+            node, inits = matmulnbits_node(
+                w, name, x, f"{name}.mm_out", act_dtype=self.act
+            )
+            g.nodes.append(node)
+            g.inits.extend(inits)
+            out = f"{name}.mm_out"
+        else:
+            if isinstance(w, QuantizedTensor):
+                from ..eval.numpy_ref import np_dequantize
+
+                arr = np_dequantize(w).astype(_np_dt(self.act))
+            else:
+                arr = _as_np(w, _np_dt(self.act))
+            wn = g.init(f"{name}.weight", arr, fresh=False)
+            out = g.add("MatMul", [x, wn])
+        if bias is not None:
+            bn = g.init(
+                f"{name}.bias", _as_np(bias, _np_dt(self.act)), fresh=False
+            )
+            out = g.addn(out, bn)
+        return out
+
+    def norm(self, x: str, weight, bias, name: str) -> str:
+        cfg, g = self.cfg, self.g
+        w = _as_np(weight, _np_dt(self.act))
+        eps = g.constf("eps", cfg.rms_norm_eps)
+        if cfg.norm_type == "layernorm":
+            mu = g.add("ReduceMean", [x], axes=[-1], keepdims=1)
+            xc = g.add("Sub", [x, mu])
+            var = g.add(
+                "ReduceMean", [g.mul(xc, xc)], axes=[-1], keepdims=1
+            )
+            xn = g.add("Div", [xc, g.add("Sqrt", [g.addn(var, eps)])])
+            out = g.mul(xn, g.init(f"{name}.weight", w, fresh=False))
+            if bias is not None:
+                out = g.addn(
+                    out,
+                    g.init(
+                        f"{name}.bias",
+                        _as_np(bias, _np_dt(self.act)),
+                        fresh=False,
+                    ),
+                )
+            return out
+        if cfg.norm_type == "rmsnorm_plus1":
+            w = w + 1.0
+        var = g.add("ReduceMean", [g.mul(x, x)], axes=[-1], keepdims=1)
+        xn = g.add("Div", [x, g.add("Sqrt", [g.addn(var, eps)])])
+        return g.mul(xn, g.init(f"{name}.weight", w, fresh=False))
+
+    def act_fn(self, x: str) -> str:
+        g = self.g
+        name = self.cfg.hidden_act
+        if name == "silu":
+            return g.mul(x, g.add("Sigmoid", [x]))
+        if name in ("gelu", "gelu_python", "gelu_new", "gelu_pytorch_tanh"):
+            # tanh approximation (matches eval/numpy_ref.py _act)
+            x3 = g.mul(g.mul(x, x), x)
+            inner = g.mul(
+                g.addn(x, g.mul(x3, g.constf("c0", 0.044715))),
+                g.constf("c1", 0.7978845608028654),
+            )
+            t = g.add("Tanh", [inner])
+            return g.mul(
+                g.mul(x, g.constf("half", 0.5)),
+                g.addn(t, g.constf("one", 1.0)),
+            )
+        if name == "relu":
+            return g.add("Relu", [x])
+        raise NotImplementedError(f"hidden_act {name}")
+
+    def rope_tables(self, position_ids: str):
+        """cos/sin [B,T,1,rd/2] in act dtype (angles in f32)."""
+        cfg, g = self.cfg, self.g
+        rd = cfg.rot_dim
+        inv = 1.0 / (
+            cfg.rope_theta
+            ** (np.arange(0, rd, 2, dtype=np.float32) / rd)
+        )
+        posf = g.add("Cast", [position_ids], to=DT.FLOAT)
+        ang = g.mul(
+            g.unsqueeze(posf, [2]), g.init("inv_freq", inv[None, None])
+        )  # [B,T,rd/2]
+        cos = g.add("Cast", [g.add("Cos", [ang])], to=self.act)
+        sin = g.add("Cast", [g.add("Sin", [ang])], to=self.act)
+        return g.unsqueeze(cos, [2]), g.unsqueeze(sin, [2])
+
+    def rope(self, x: str, cos: str, sin: str) -> str:
+        """Apply rotary to x [B,T,H,hd] (broadcast cos/sin over H)."""
+        cfg, g = self.cfg, self.g
+        hd, rd = cfg.hd, cfg.rot_dim
+        if rd < hd:
+            xr = g.slice(x, [0], [rd], [3])
+            xp = g.slice(x, [rd], [_INT_MAX], [3])
+        else:
+            xr, xp = x, None
+        if cfg.rope_style == "gptj":
+            x1 = g.slice(xr, [0], [_INT_MAX], [3], steps=[2])
+            x2 = g.slice(xr, [1], [_INT_MAX], [3], steps=[2])
+            r1 = g.add("Sub", [g.mul(x1, cos), g.mul(x2, sin)])
+            r2 = g.addn(g.mul(x2, cos), g.mul(x1, sin))
+            st = g.add(
+                "Concat",
+                [g.unsqueeze(r1, [4]), g.unsqueeze(r2, [4])],
+                axis=4,
+            )
+            out = g.reshape(st, [0, 0, 0, rd])
+        else:  # neox rotate-half
+            half = rd // 2
+            x1 = g.slice(xr, [0], [half], [3])
+            x2 = g.slice(xr, [half], [rd], [3])
+            cc = g.add("Concat", [cos, cos], axis=3)
+            ss = g.add("Concat", [sin, sin], axis=3)
+            rot = g.add("Concat", [g.add("Neg", [x2]), x1], axis=3)
+            out = g.addn(g.mul(xr, cc), g.mul(rot, ss))
+        if xp is not None:
+            out = g.add("Concat", [out, xp], axis=3)
+        return out
+
+    def build_mask(self, input_ids: str, attention_mask: str) -> str:
+        """Additive mask broadcastable to [B,Hkv,rep,T,S]."""
+        g = self.g
+        am = g.add("Cast", [attention_mask], to=self.act)  # [B,S]
+        pad = g.mul(
+            g.add("Sub", [am, g.constf("one", 1.0)]),
+            g.constf("big", self.big_neg),
+        )
+        pad5 = g.unsqueeze(pad, [1, 2, 3])  # [B,1,1,1,S]
+        if self.with_past:
+            # reference decoder_with_past contract: T==1 (one new token
+            # attends to everything the padding mask allows)
+            return pad5
+        shp = g.add("Shape", [input_ids])  # [2]
+        t = g.add("Gather", [shp, g.consti("idx1", [1])], axis=0)  # [1]
+        tt = g.add("Concat", [t, t], axis=0)  # [2]
+        ones = g.add(
+            "ConstantOfShape",
+            [tt],
+            value=TensorProto("v", np.ones((1,), _np_dt(self.act))),
+        )
+        tril = g.add("Trilu", [ones], upper=0)  # [T,T]
+        causal = g.mul(
+            g.add("Sub", [tril, g.constf("one", 1.0)]),
+            g.constf("big", self.big_neg),
+        )
+        return g.addn(pad5, g.unsqueeze(causal, [0, 1, 2]))
+
+    # ---- the graph ---------------------------------------------------
+
+    def build(self) -> GraphProto:
+        cfg, g, p = self.cfg, self.g, self.p
+        H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+        rep = H // Hkv
+        np_dt = _np_dt(self.act)
+
+        emb = _as_np(p["embed_tokens"], np_dt)
+        emb_name = g.init("model.embed_tokens.weight", emb, fresh=False)
+        h = g.add("Gather", [emb_name, "input_ids"], axis=0)
+        if cfg.embedding_multiplier != 1.0:
+            h = g.mul(h, g.constf("emb_mult", cfg.embedding_multiplier))
+
+        cos, sin = self.rope_tables("position_ids")
+        mask = self.build_mask("input_ids", "attention_mask")
+        scale = (
+            cfg.attn_scale if getattr(cfg, "attn_scale", 0.0) else hd**-0.5
+        )
+        resid_mult = (
+            g.constf("resid_mult", cfg.residual_multiplier)
+            if cfg.residual_multiplier != 1.0
+            else None
+        )
+
+        outputs = [ValueInfoProto("logits", self.act, ["batch", "seq", cfg.vocab_size])]
+        present: List[ValueInfoProto] = []
+
+        for i, lp in enumerate(p["layers"]):
+            pre = f"model.layers.{i}"
+            x1 = self.norm(
+                h,
+                lp["input_layernorm"],
+                lp.get("input_layernorm_bias"),
+                f"{pre}.input_layernorm",
+            )
+            q = self.linear(x1, lp["q_proj"], f"{pre}.self_attn.q_proj", lp.get("q_proj_bias"))
+            k = self.linear(x1, lp["k_proj"], f"{pre}.self_attn.k_proj", lp.get("k_proj_bias"))
+            v = self.linear(x1, lp["v_proj"], f"{pre}.self_attn.v_proj", lp.get("v_proj_bias"))
+            q = g.reshape(q, [0, 0, H, hd])
+            k = g.reshape(k, [0, 0, Hkv, hd])
+            v = g.reshape(v, [0, 0, Hkv, hd])
+            q = self.rope(q, cos, sin)
+            k = self.rope(k, cos, sin)
+            kT = g.add("Transpose", [k], perm=[0, 2, 1, 3])  # [B,Hkv,T,hd]
+            vT = g.add("Transpose", [v], perm=[0, 2, 1, 3])
+            if self.with_past:
+                k_full = g.add(
+                    "Concat",
+                    [f"past_key_values.{i}.key", kT],
+                    axis=2,
+                    out_names=[f"present.{i}.key"],
+                )
+                v_full = g.add(
+                    "Concat",
+                    [f"past_key_values.{i}.value", vT],
+                    axis=2,
+                    out_names=[f"present.{i}.value"],
+                )
+            else:
+                k_full = g.add(
+                    "Identity", [kT], out_names=[f"present.{i}.key"]
+                )
+                v_full = g.add(
+                    "Identity", [vT], out_names=[f"present.{i}.value"]
+                )
+            present += [
+                ValueInfoProto(
+                    f"present.{i}.key",
+                    self.act,
+                    ["batch", Hkv, "total_seq", hd],
+                ),
+                ValueInfoProto(
+                    f"present.{i}.value",
+                    self.act,
+                    ["batch", Hkv, "total_seq", hd],
+                ),
+            ]
+            # GQA without Expand: group q to [B,Hkv,rep,T,hd], k/v get a
+            # broadcast axis -> batched MatMul broadcasts over `rep`
+            qg = g.add(
+                "Transpose",
+                [g.reshape(q, [0, 0, Hkv, rep, hd])],
+                perm=[0, 2, 3, 1, 4],
+            )
+            k5 = g.add(
+                "Transpose",
+                [g.unsqueeze(k_full, [2])],
+                perm=[0, 1, 2, 4, 3],
+            )  # [B,Hkv,1,hd,S]
+            scores = g.mul(
+                g.add("MatMul", [qg, k5]), g.constf("attn_scale", scale)
+            )
+            if getattr(cfg, "attn_logit_softcap", 0.0):
+                cap = cfg.attn_logit_softcap
+                scores = g.mul(
+                    g.add(
+                        "Tanh",
+                        [g.mul(scores, g.constf("icap", 1.0 / cap))],
+                    ),
+                    g.constf("cap", cap),
+                )
+            probs = g.add("Softmax", [g.addn(scores, mask)], axis=-1)
+            ctx = g.add("MatMul", [probs, g.unsqueeze(v_full, [2])])
+            ctx = g.add("Transpose", [ctx], perm=[0, 3, 1, 2, 4])
+            ctx = g.reshape(ctx, [0, 0, H * hd])
+            o = self.linear(
+                ctx, lp["o_proj"], f"{pre}.self_attn.o_proj", lp.get("o_proj_bias")
+            )
+            if getattr(cfg, "post_norms", False):
+                o = self.norm(
+                    o,
+                    lp["post_attn_norm"],
+                    None,
+                    f"{pre}.post_attn_norm",
+                )
+            if resid_mult is not None:
+                o = g.mul(o, resid_mult)
+            h = g.addn(h, o)
+
+            x2 = self.norm(
+                h,
+                lp["post_attention_layernorm"],
+                lp.get("post_attention_layernorm_bias"),
+                f"{pre}.post_attention_layernorm",
+            )
+            if "gate_proj" in lp:
+                gate = self.act_fn(
+                    self.linear(
+                        x2, lp["gate_proj"], f"{pre}.mlp.gate_proj", lp.get("gate_proj_bias")
+                    )
+                )
+                up = self.linear(
+                    x2, lp["up_proj"], f"{pre}.mlp.up_proj", lp.get("up_proj_bias")
+                )
+                mid = g.mul(gate, up)
+            else:
+                mid = self.act_fn(
+                    self.linear(
+                        x2, lp["up_proj"], f"{pre}.mlp.up_proj", lp.get("up_proj_bias")
+                    )
+                )
+                asc = lp.get("down_proj_act_scale")
+                if asc is not None:
+                    mid = g.add(
+                        "Div",
+                        [
+                            mid,
+                            g.init(
+                                f"{pre}.mlp.act_scale",
+                                _as_np(asc, np_dt),
+                                fresh=False,
+                            ),
+                        ],
+                    )
+            mlp = self.linear(
+                mid, lp["down_proj"], f"{pre}.mlp.down_proj", lp.get("down_proj_bias")
+            )
+            if getattr(cfg, "post_norms", False):
+                mlp = self.norm(
+                    mlp, lp["post_mlp_norm"], None, f"{pre}.post_mlp_norm"
+                )
+            if resid_mult is not None:
+                mlp = g.mul(mlp, resid_mult)
+            h = g.addn(h, mlp)
+
+        h = self.norm(h, p["norm"], p.get("norm_bias"), "model.norm")
+        lm = p.get("lm_head")
+        if cfg.tie_word_embeddings or lm is None:
+            lmw = g.init("lm_head.weight_t", np.ascontiguousarray(emb.T), fresh=False)
+            logits = g.add("MatMul", [h, lmw])
+        else:
+            logits = self.linear(h, lm, "lm_head", p.get("lm_head_bias"))
+        if getattr(cfg, "final_logit_softcap", 0.0):
+            cap = cfg.final_logit_softcap
+            logits = g.mul(
+                g.add("Tanh", [g.mul(logits, g.constf("icap", 1.0 / cap))]),
+                g.constf("cap", cap),
+            )
+        if cfg.logit_scale != 1.0:
+            logits = g.mul(logits, g.constf("logit_scale", cfg.logit_scale))
+        g.add("Identity", [logits], out_names=["logits"])
+
+        inputs = [
+            ValueInfoProto("input_ids", DT.INT64, ["batch", "seq"]),
+            ValueInfoProto("attention_mask", DT.INT64, ["batch", "total_seq"]),
+            ValueInfoProto("position_ids", DT.INT64, ["batch", "seq"]),
+        ]
+        if self.with_past:
+            for i in range(len(p["layers"])):
+                inputs += [
+                    ValueInfoProto(
+                        f"past_key_values.{i}.key",
+                        self.act,
+                        ["batch", Hkv, "past_seq", hd],
+                    ),
+                    ValueInfoProto(
+                        f"past_key_values.{i}.value",
+                        self.act,
+                        ["batch", Hkv, "past_seq", hd],
+                    ),
+                ]
+        return GraphProto(
+            name="decoder_with_past" if self.with_past else "decoder",
+            nodes=g.nodes,
+            inputs=inputs,
+            outputs=outputs + present,
+            initializers=g.inits,
+        )
+
+
+def build_decoder_graph(
+    params, cfg, with_past: bool, act_dtype: int = DT.FLOAT
+) -> GraphProto:
+    return _DecoderBuilder(params, cfg, with_past, act_dtype).build()
+
+
+def export_onnx_decoder(
+    params,
+    cfg,
+    out_dir: str,
+    act_dtype: int = DT.FLOAT,
+    merge: bool = True,
+) -> Dict[str, str]:
+    """Write decoder_model.onnx / decoder_with_past_model.onnx /
+    decoder_model_merged.onnx (reference artifact names). Returns the
+    path map."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths: Dict[str, str] = {}
+    g1 = build_decoder_graph(params, cfg, with_past=False, act_dtype=act_dtype)
+    g2 = build_decoder_graph(params, cfg, with_past=True, act_dtype=act_dtype)
+    for name, graph in (
+        ("decoder_model.onnx", g1),
+        ("decoder_with_past_model.onnx", g2),
+    ):
+        path = os.path.join(out_dir, name)
+        with open(path, "wb") as f:
+            f.write(ModelProto(graph).encode())
+        paths[name] = path
+    if merge:
+        # merge mutates its inputs; rebuild fresh graphs for the merge
+        m = merge_decoders(
+            build_decoder_graph(params, cfg, False, act_dtype),
+            build_decoder_graph(params, cfg, True, act_dtype),
+            graph_name="decoder_model_merged",
+        )
+        path = os.path.join(out_dir, "decoder_model_merged.onnx")
+        with open(path, "wb") as f:
+            f.write(m)
+        paths["decoder_model_merged.onnx"] = path
+    return paths

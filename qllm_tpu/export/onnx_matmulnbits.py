@@ -42,6 +42,36 @@ __all__ = [
 ]
 
 
+def _ort_tensors_float_zp(qt: QuantizedTensor) -> dict:
+    """ORT MatMulNBits tensors with FLOAT zero_points (the layout
+    onnxruntime's dequantize_blockwise_4bits takes when zero_point.dtype
+    == scale.dtype, quant_linear_onnxruntime.py:58-60) — needed for
+    HQQ-style fractional zeros that cannot integer-pack."""
+    from ..quant.qtensor import unpack_rows
+
+    K, N = qt.in_features, qt.out_features
+    g = qt.effective_group_size
+    G = K // g
+    q = np.asarray(unpack_rows(qt.qweight, qt.bits, K))  # [K, N]
+    if qt.perm is not None:
+        perm = np.asarray(qt.perm)
+        q_orig = np.empty_like(q)
+        q_orig[perm] = q
+        q = q_orig
+    scales = np.asarray(qt.scales, np.float32)  # [G, N]
+    zeros = np.asarray(qt.zeros, np.float32)
+    if qt.zeros_prefolded:
+        zeros = zeros / scales
+    qT = q.T.astype(np.uint8)
+    qw = (qT[:, 0::2] | (qT[:, 1::2] << 4)).reshape(N, G, g // 2)
+    return {
+        "qweight": qw,
+        "qzeros": zeros.T.reshape(-1),  # n-major flat, float
+        "scales": scales.T.reshape(-1),
+        "g_idx": None,
+    }
+
+
 def matmulnbits_node(
     qt: QuantizedTensor,
     name: str,
@@ -57,7 +87,12 @@ def matmulnbits_node(
 
     if qt.bits != 4:
         raise ValueError("MatMulNBits export is 4-bit (ORT layout) only")
-    t = export_layout(qt, "ORT")
+    try:
+        t = export_layout(qt, "ORT")
+        float_zp = False
+    except ValueError:
+        t = _ort_tensors_float_zp(qt)
+        float_zp = True
     K, N = qt.in_features, qt.out_features
     g = qt.effective_group_size
     inits = [
@@ -68,7 +103,14 @@ def matmulnbits_node(
                 np.float16 if act_dtype == DT.FLOAT16 else np.float32
             ),
         ),
-        TensorProto(f"{name}.qzeros", np.asarray(t["qzeros"], np.uint8)),
+        TensorProto(
+            f"{name}.qzeros",
+            np.asarray(t["qzeros"]).astype(
+                (np.float16 if act_dtype == DT.FLOAT16 else np.float32)
+                if float_zp
+                else np.uint8
+            ),
+        ),
     ]
     inputs = [
         input_name,

@@ -70,7 +70,9 @@ def _varint(n: int) -> bytes:
     out = bytearray()
     n = int(n)
     if n < 0:
-        raise ValueError("negative varint unsupported")
+        # protobuf int64: negative values use 64-bit two's complement
+        # (10-byte varint) — needed for axis=-1 style attributes
+        n &= (1 << 64) - 1
     while True:
         b = n & 0x7F
         n >>= 7
@@ -126,6 +128,7 @@ class AttributeProto:
     s: Optional[str] = None
     ints: Optional[List[int]] = None
     g: Optional["GraphProto"] = None  # subgraph (If branches)
+    t: Optional["TensorProto"] = None  # tensor (ConstantOfShape value)
 
     def encode(self) -> bytes:
         out = _f_str(1, self.name)
@@ -141,6 +144,8 @@ class AttributeProto:
             out += _f_varint(20, 7)  # INTS
         elif self.g is not None:
             out += _f_bytes(6, self.g.encode()) + _f_varint(20, 5)  # GRAPH
+        elif self.t is not None:
+            out += _f_bytes(5, self.t.encode()) + _f_varint(20, 4)  # TENSOR
         else:
             raise ValueError(f"empty attribute {self.name}")
         return out
@@ -273,21 +278,27 @@ def _fields(buf: bytes):
         yield fnum, wire, val
 
 
+def _signed(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _parse_attr(buf: bytes) -> Dict:
     a: Dict = {"ints": []}
     for fnum, _, val in _fields(buf):
         if fnum == 1:
             a["name"] = val.decode()
         elif fnum == 3:
-            a["i"] = val
+            a["i"] = _signed(val)
         elif fnum == 2:
             a["f"] = val
         elif fnum == 4:
             a["s"] = val.decode()
+        elif fnum == 5:
+            a["t"] = _parse_tensor(val)
         elif fnum == 6:
             a["g"] = _parse_graph(val)
         elif fnum == 8:
-            a["ints"].append(val)
+            a["ints"].append(_signed(val))
         elif fnum == 20:
             a["type"] = val
     return a

@@ -218,3 +218,36 @@ def test_chat_loop_sampled_scripted():
     assert run(3) == run(3)
     outs = {run(s) for s in range(6)}
     assert len(outs) > 1  # really stochastic across seeds
+
+
+def test_cli_export_onnx_merged_decoder(float_ckpt, tmp_path):
+    """--export_onnx emits the reference's headline artifact set
+    (decoder_model/decoder_with_past/decoder_model_merged .onnx,
+    utils/onnx/exporter.py) plus the StableHLO pair, verified."""
+    from qllm_tpu.run import main
+
+    out = str(tmp_path / "onnx_out")
+    main(
+        [
+            "--model",
+            float_ckpt,
+            "--quant_method",
+            "hqq",
+            "--wbits",
+            "4",
+            "--groupsize",
+            "32",
+            "--dataset",
+            "synthetic",
+            "--export_onnx",
+            out,
+        ]
+    )
+    for n in (
+        "decoder_model.onnx",
+        "decoder_with_past_model.onnx",
+        "decoder_model_merged.onnx",
+        "prefill.stablehlo",
+        "decode.stablehlo",
+    ):
+        assert os.path.exists(os.path.join(out, n)), n
