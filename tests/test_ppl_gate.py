@@ -88,10 +88,36 @@ def test_real_wikitext2_ppl():
     ppl_fp = perplexity_from_ids(
         params, cfg, tokens, n_ctx=512, max_chunks=max_chunks
     )
-    q = HQQQuantizer(HQQConfig(wbits=4, groupsize=128))
-    qparams = q.quantize(params, cfg, None, progress=False)
+
+    # the BASELINE.md contract as written: OUR GPTQ within a flat 0.05
+    # of the REFERENCE GPTQ at equal bits/groupsize, same calibration
+    from qllm_tpu.quant.config import GPTQConfig
+    from qllm_tpu.quant.gptq import GPTQQuantizer
+
+    flat = tokens.reshape(-1)
+    n_calib = min(16, len(flat) // 512)
+    calib = flat[: n_calib * 512].reshape(n_calib, 512).astype(np.int32)
+    q = GPTQQuantizer(GPTQConfig(wbits=4, groupsize=128))
+    qparams = q.quantize(params, cfg, jnp.asarray(calib), progress=False)
     ppl_q = perplexity_from_ids(
         qparams, cfg, tokens, n_ctx=512, max_chunks=max_chunks
     )
-    print(f"wikitext2 ppl: fp={ppl_fp:.4f} hqq_w4g128={ppl_q:.4f}")
-    assert ppl_q - ppl_fp <= 0.05 + 0.0051 * ppl_fp  # BASELINE contract
+
+    from ref_gptq_loader import reference_available, reference_quantize_params
+
+    if reference_available():
+        refparams = reference_quantize_params(
+            params, cfg, calib, bits=4, groupsize=128
+        )
+        ppl_ref = perplexity_from_ids(
+            refparams, cfg, tokens, n_ctx=512, max_chunks=max_chunks
+        )
+        print(
+            f"wikitext2 ppl: fp={ppl_fp:.4f} ours_gptq_w4g128={ppl_q:.4f} "
+            f"reference_gptq_w4g128={ppl_ref:.4f}"
+        )
+        assert ppl_q - ppl_ref <= 0.05  # flat BASELINE contract
+    else:
+        print(f"wikitext2 ppl: fp={ppl_fp:.4f} ours_gptq_w4g128={ppl_q:.4f}")
+    # sanity: quantization at W4 g128 must stay near the float model
+    assert ppl_q - ppl_fp <= 0.05 + 0.0051 * ppl_fp
