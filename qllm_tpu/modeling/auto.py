@@ -543,6 +543,14 @@ class AutoQuantizedModelForCausalLM:
                         f"model.layers.{i}.shared_experts.{name}",
                         w,
                     )
+        # multimodal passthrough (llava/llava-next): the non-language
+        # tensors captured at load (vision tower, projector,
+        # image_newline, ...) must round-trip — the reference saves the
+        # whole HF module so its quantized llava checkpoints keep them
+        extras = params.get("extra_tensors")
+        if extras:
+            for k, v in extras.items():
+                tensors[k] = np.asarray(v)
         _st_save(tensors, path)
         qconf = BaseQuantizeConfig(
             bits=max(bits_seen) if bits_seen else 16,
@@ -554,8 +562,15 @@ class AutoQuantizedModelForCausalLM:
             layer_configs=layer_configs,
         )
         qconf.save_pretrained(path)
+        # passthrough archs keep the wrapper's own nested config (vision
+        # config, image grid, ...) — the normalized language-tower dict
+        # would lose it and the checkpoint could not be reloaded as the
+        # original multimodal architecture
+        hf_cfg = params.get("hf_config")
         with open(os.path.join(path, "config.json"), "w") as f:
-            json.dump(hf_config_dict(cfg), f, indent=2)
+            json.dump(
+                hf_cfg if hf_cfg else hf_config_dict(cfg), f, indent=2
+            )
 
     # ------------------------------------------------------------------ misc
 
