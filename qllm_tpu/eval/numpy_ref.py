@@ -99,13 +99,13 @@ def _act(name: str, x: np.ndarray) -> np.ndarray:
 
 
 def _rope(q, k, positions, cfg):
+    from ..models.llama import rope_inv_freq_mscale
+
     hd = q.shape[-1]
     rd = cfg.rotary_dim or hd
-    inv = 1.0 / (
-        cfg.rope_theta ** (np.arange(0, rd, 2, dtype=np.float32) / rd)
-    )
+    inv, msc = rope_inv_freq_mscale(cfg)
     ang = positions[..., None].astype(np.float32) * inv  # [B, T, rd/2]
-    cos, sin = np.cos(ang), np.sin(ang)
+    cos, sin = np.cos(ang) * msc, np.sin(ang) * msc
 
     def rot(x):
         xr, xp = x[..., :rd], x[..., rd:]

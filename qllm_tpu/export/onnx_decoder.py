@@ -271,18 +271,22 @@ class _DecoderBuilder:
 
     def rope_tables(self, position_ids: str):
         """cos/sin [B,T,1,rd/2] in act dtype (angles in f32)."""
+        from ..models.llama import rope_inv_freq_mscale
+
         cfg, g = self.cfg, self.g
-        rd = cfg.rot_dim
-        inv = 1.0 / (
-            cfg.rope_theta
-            ** (np.arange(0, rd, 2, dtype=np.float32) / rd)
-        )
+        inv, msc = rope_inv_freq_mscale(cfg)
         posf = g.add("Cast", [position_ids], to=DT.FLOAT)
         ang = g.mul(
-            g.unsqueeze(posf, [2]), g.init("inv_freq", inv[None, None])
+            g.unsqueeze(posf, [2]),
+            g.init("inv_freq", inv.astype(np.float32)[None, None]),
         )  # [B,T,rd/2]
-        cos = g.add("Cast", [g.add("Cos", [ang])], to=self.act)
-        sin = g.add("Cast", [g.add("Sin", [ang])], to=self.act)
+        cosf = g.add("Cos", [ang])
+        sinf = g.add("Sin", [ang])
+        if msc != 1.0:
+            mc = g.init("rope_mscale", np.asarray(msc, np.float32))
+            cosf, sinf = g.mul(cosf, mc), g.mul(sinf, mc)
+        cos = g.add("Cast", [cosf], to=self.act)
+        sin = g.add("Cast", [sinf], to=self.act)
         return g.unsqueeze(cos, [2]), g.unsqueeze(sin, [2])
 
     def rope(self, x: str, cos: str, sin: str) -> str:

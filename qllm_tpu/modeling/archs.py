@@ -167,6 +167,8 @@ def _llama_like(d: dict, **over) -> ModelConfig:
         attention_bias=d.get("attention_bias", False),
         hidden_act=d.get("hidden_act", "silu"),
     )
+    rope_kw, _ = _parse_rope_scaling(d.get("rope_scaling"))
+    kw.update(rope_kw)
     kw.update(over)
     return ModelConfig(**kw)
 
@@ -590,22 +592,59 @@ def _cfg_llava(d):
     return dataclasses.replace(cfg, arch="llava")
 
 
+def _parse_rope_scaling(scaling, softmax_dim=0):
+    """HF rope_scaling dict -> (ModelConfig field kwargs, attn_scale).
+
+    yarn (DeepseekV2YarnRotaryEmbedding contract): frequency tables are
+    handled in models.llama.rope_inv_freq_mscale; the attention softmax
+    scale gains get_mscale(factor, mscale_all_dim)^2, folded into
+    attn_scale here (0 = keep the default hd**-0.5)."""
+    if not scaling:
+        return {}, 0.0
+    st = scaling.get("rope_type", scaling.get("type")) or "default"
+    if st == "default":
+        return {}, 0.0
+    if st not in ("linear", "yarn"):
+        raise NotImplementedError(f"rope_scaling type {st!r}")
+    kw = dict(
+        rope_scaling_type=st,
+        rope_scaling_factor=float(scaling.get("factor", 1.0)),
+    )
+    attn_scale = 0.0
+    if st == "yarn":
+        kw.update(
+            rope_orig_max_position=int(
+                scaling.get("original_max_position_embeddings", 0)
+            ),
+            rope_beta_fast=float(scaling.get("beta_fast", 32.0)),
+            rope_beta_slow=float(scaling.get("beta_slow", 1.0)),
+            rope_mscale=float(scaling.get("mscale", 1.0)),
+            rope_mscale_all_dim=float(scaling.get("mscale_all_dim", 0.0)),
+        )
+        if softmax_dim and kw["rope_mscale_all_dim"]:
+            from ..models.llama import _yarn_get_mscale
+
+            m = _yarn_get_mscale(
+                kw["rope_scaling_factor"], kw["rope_mscale_all_dim"]
+            )
+            attn_scale = (softmax_dim**-0.5) * m * m
+    return kw, attn_scale
+
+
 def _cfg_deepseek_v2(d):
     """DeepSeek-V2 (MLA + deepseek MoE). Reference covers this family in
     its AWQ topology table (sequential_layes_awq_config.py
     get_deepseek_v2_layers); here it maps onto the MLA block in
     models.llama (_mla_attention) and the deepseek router
     (_router_weights)."""
-    scaling = d.get("rope_scaling")
-    if scaling and scaling.get("rope_type", scaling.get("type")) not in (
-        None,
-        "default",
-    ):
-        raise NotImplementedError(
-            f"deepseek-v2 rope_scaling {scaling!r} (yarn) not supported yet"
-        )
     qk_hd = d["qk_nope_head_dim"] + d["qk_rope_head_dim"]
+    rope_kw, attn_scale = _parse_rope_scaling(
+        d.get("rope_scaling"), softmax_dim=qk_hd
+    )
     return ModelConfig(
+        **rope_kw,
+        attn_scale=attn_scale,
+        norm_topk_prob=d.get("norm_topk_prob", False),
         **_norm_cfg(d),
         intermediate_size=d["intermediate_size"],
         # MLA expands to per-head k/v before the cache (HF eager

@@ -56,6 +56,17 @@ class ModelConfig:
     head_dim: Optional[int] = None
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
+    # rope scaling (HF rope_scaling dict): "" | "linear" | "yarn".
+    # yarn follows DeepseekV2YarnRotaryEmbedding (NTK-by-parts ramp
+    # between extrapolated and interpolated frequencies + attention
+    # magnitude mscale); flagship DeepSeek-V2/V2-Lite ship with it.
+    rope_scaling_type: str = ""
+    rope_scaling_factor: float = 1.0
+    rope_orig_max_position: int = 0  # original_max_position_embeddings
+    rope_beta_fast: float = 32.0
+    rope_beta_slow: float = 1.0
+    rope_mscale: float = 1.0
+    rope_mscale_all_dim: float = 0.0
     max_position_embeddings: int = 4096
     tie_word_embeddings: bool = False
     attention_bias: bool = False  # qwen2-style qkv bias
@@ -103,6 +114,7 @@ class ModelConfig:
     # softmax over ALL experts -> (optional group-limited) top-k ->
     # weights * routed_scaling_factor, plus always-on shared experts
     moe_router: str = "mixtral"  # mixtral | deepseek
+    norm_topk_prob: bool = False  # deepseek: renormalize top-k weights
     topk_method: str = "greedy"  # deepseek: greedy | group_limited_greedy
     n_group: int = 0
     topk_group: int = 0
@@ -356,22 +368,97 @@ def act_fn(name: str, x: jax.Array) -> jax.Array:
     raise NotImplementedError(f"hidden_act {name}")
 
 
+def _yarn_get_mscale(scale: float, mscale: float) -> float:
+    if scale <= 1.0 or mscale == 0.0:
+        return 1.0
+    import math
+
+    return 0.1 * mscale * math.log(scale) + 1.0
+
+
+def rope_inv_freq_mscale(cfg) -> Tuple[Any, float]:
+    """(inv_freq [rd/2] numpy f32, cos/sin amplitude mscale) for the
+    configured rope scaling. Pure numpy so eval/numpy_ref and the ONNX
+    exporter share the exact table the jit'd forward uses.
+
+    yarn follows HF DeepseekV2YarnRotaryEmbedding (NTK-by-parts: linear
+    ramp between interpolated and extrapolated inv_freq over the
+    correction range derived from beta_fast/beta_slow), amplitude
+    scaled by get_mscale(factor, mscale)/get_mscale(factor,
+    mscale_all_dim). linear follows LlamaLinearScalingRotaryEmbedding.
+    """
+    import math
+
+    import numpy as np
+
+    rd = cfg.rot_dim
+    base = cfg.rope_theta
+    inv_freq = 1.0 / (
+        base ** (np.arange(0, rd, 2, dtype=np.float32) / rd)
+    )
+    st = getattr(cfg, "rope_scaling_type", "")
+    if not st:
+        return inv_freq, 1.0
+    factor = cfg.rope_scaling_factor
+    if st == "linear":
+        return inv_freq / factor, 1.0
+    if st == "yarn":
+        orig_max = cfg.rope_orig_max_position or cfg.max_position_embeddings
+
+        def corr_dim(n_rot):
+            return (
+                rd
+                * math.log(orig_max / (n_rot * 2 * math.pi))
+                / (2 * math.log(base))
+            )
+
+        low = max(math.floor(corr_dim(cfg.rope_beta_fast)), 0)
+        high = min(math.ceil(corr_dim(cfg.rope_beta_slow)), rd - 1)
+        ramp = np.clip(
+            (np.arange(rd // 2, dtype=np.float32) - low)
+            / max(high - low, 0.001),
+            0.0,
+            1.0,
+        )
+        inv_freq_mask = 1.0 - ramp
+        inv_freq = (inv_freq / factor) * (
+            1.0 - inv_freq_mask
+        ) + inv_freq * inv_freq_mask
+        msc = _yarn_get_mscale(factor, cfg.rope_mscale) / _yarn_get_mscale(
+            factor, cfg.rope_mscale_all_dim
+        )
+        return inv_freq.astype(np.float32), float(msc)
+    raise NotImplementedError(f"rope_scaling type {st}")
+
+
 def _rope_cos_sin(
-    positions: jax.Array, rot_dim: int, theta: float, style: str = "neox"
+    positions: jax.Array,
+    rot_dim: int,
+    theta: float,
+    style: str = "neox",
+    cfg=None,
 ):
     """positions [B, T] -> cos/sin [B, T, rot_dim].
 
     neox: HF rotate-half layout (freqs duplicated by concat)
     gptj: interleaved layout (freqs duplicated by repeat_interleave)
+    Pass ``cfg`` to honor rope_scaling (yarn/linear).
     """
-    inv_freq = 1.0 / (
-        theta ** (jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim)
-    )
+    if cfg is not None and getattr(cfg, "rope_scaling_type", ""):
+        inv_np, msc = rope_inv_freq_mscale(cfg)
+        inv_freq = jnp.asarray(inv_np)
+    else:
+        inv_freq = 1.0 / (
+            theta ** (jnp.arange(0, rot_dim, 2, dtype=jnp.float32) / rot_dim)
+        )
+        msc = 1.0
     freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B,T,rd/2]
     if style == "gptj":
         emb = jnp.repeat(freqs, 2, axis=-1)
     else:
         emb = jnp.concatenate([freqs, freqs], axis=-1)
+    if msc != 1.0:
+        return jnp.cos(emb) * msc, jnp.sin(emb) * msc
     return jnp.cos(emb), jnp.sin(emb)
 
 
@@ -872,7 +959,12 @@ def _router_weights(
             )  # [B, T, G]
             scores = (gs * gmask[..., None]).reshape(scores.shape)
         top_w, top_ids = jax.lax.top_k(scores, k)
-        top_w = top_w * jnp.float32(cfg.routed_scaling_factor)
+        if cfg.norm_topk_prob and k > 1:
+            # HF DeepseekV2MoEGate: normalized weights are NOT also
+            # multiplied by routed_scaling_factor (else-branch only)
+            top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)
+        else:
+            top_w = top_w * jnp.float32(cfg.routed_scaling_factor)
     else:
         top_w, top_ids = jax.lax.top_k(router_logits, k)
         top_w = jax.nn.softmax(top_w, axis=-1)  # HF: softmax over the top-k
@@ -1162,7 +1254,7 @@ def forward(
     h = embed_tokens_forward(params, cfg, token_ids, positions)
     if cfg.pos_embedding == "rope":
         cos, sin = _rope_cos_sin(
-            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style, cfg=cfg
         )
     else:
         cos = sin = None

@@ -536,7 +536,7 @@ def forward_stacked(
     h = embed_tokens_forward(params, cfg, token_ids, positions)
     if cfg.pos_embedding == "rope":
         cos, sin = _rope_cos_sin(
-            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style, cfg=cfg
         )
     else:
         cos = sin = None

@@ -398,7 +398,7 @@ def tp_forward_stacked(
     h = _tp_embed(params, lcfg, token_ids, positions, axis)
     if cfg.pos_embedding == "rope":
         cos, sin = _rope_cos_sin(
-            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style, cfg=cfg
         )
     else:
         cos = sin = None

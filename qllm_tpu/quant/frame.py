@@ -158,7 +158,7 @@ def embed_inputs(
     h = embed_tokens_forward(params, cfg, token_ids, positions)
     if cfg.pos_embedding == "rope":
         cos, sin = _rope_cos_sin(
-            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style, cfg=cfg
         )
     else:
         cos = sin = None

@@ -83,7 +83,10 @@ def collect_block_hessians(
     if "q_proj" in partial_Hs:
         for name in ("k_proj", "v_proj"):
             out[name] = partial_Hs["q_proj"]
-    if "kv_a_proj_with_mqa" not in partial_Hs:  # MLA shared-x alias
+    if (
+        "kv_a_proj_with_mqa" in lp  # only for MLA blocks that carry it
+        and "kv_a_proj_with_mqa" not in partial_Hs
+    ):
         for cand in ("q_a_proj", "q_proj"):
             if cand in partial_Hs:
                 out["kv_a_proj_with_mqa"] = partial_Hs[cand]

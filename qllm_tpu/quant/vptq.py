@@ -327,6 +327,12 @@ class VPTQQuantizer:
                         for n in ("gate_proj", "up_proj", "down_proj")
                         if n in ep
                     ]
+            if "shared_experts" in lp_:  # deepseek always-on experts
+                names += [
+                    f"shared_experts.{n}"
+                    for n in ("gate_proj", "up_proj", "down_proj")
+                    if n in lp_["shared_experts"]
+                ]
             return {
                 n: jnp.asarray(
                     load_proxy_hessian(
@@ -429,6 +435,34 @@ class VPTQQuantizer:
                         }
                     nexp.append(nep)
                 nlp["experts"] = nexp
+            if "shared_experts" in lp:
+                # deepseek shared experts are always-on — quantize them
+                # like AWQ/GPTQ do (ADVICE r2: they silently stayed fp16)
+                if "experts" not in lp:
+                    Hs = block_hessians(nlp, i)
+                nse = dict(lp["shared_experts"])
+                for name in ("gate_proj", "up_proj", "down_proj"):
+                    if name not in nse:
+                        continue
+                    full = f"model.layers.{i}.shared_experts.{name}"
+                    lcfg = self._layer_cfg(full)
+                    vt = vptq_quantize_weight(
+                        nse[name].astype(jnp.float32),
+                        Hs[f"shared_experts.{name}"],
+                        lcfg,
+                        seed=i * 1000 + 999,
+                    )
+                    nse[name] = vt
+                    self.quant_config_by_layer[full] = {
+                        "vector_len": lcfg.vector_len,
+                        "num_centroids": int(vt.centroids.shape[0]),
+                        "num_res_centroids": 0
+                        if vt.res_centroids is None
+                        else int(vt.res_centroids.shape[0]),
+                        "npercent": lcfg.npercent,
+                        "bits_per_weight": vt.bits_per_weight,
+                    }
+                nlp["shared_experts"] = nse
             save_layer_cache(cache_dir, i, nlp)
             self._save_layer_qconf(cache_dir, i)
             if not proxy:

@@ -817,3 +817,122 @@ def test_deepseek_v2_cache_decode(tmp_path):
     np.testing.assert_allclose(
         np.asarray(step[:, -1]), np.asarray(full[:, -1]), atol=1e-4
     )
+
+
+def test_yarn_rope_matches_transformers_rope_utils():
+    """Our yarn inv_freq (models.llama.rope_inv_freq_mscale, the
+    DeepseekV2YarnRotaryEmbedding recipe) must match transformers'
+    _compute_yarn_parameters on an equivalent config — the independent
+    HF implementation of the same NTK-by-parts math."""
+    transformers = pytest.importorskip("transformers")
+    import torch  # noqa: F401
+    from transformers.modeling_rope_utils import _compute_yarn_parameters
+
+    from qllm_tpu.modeling.archs import _parse_rope_scaling
+    from qllm_tpu.models.llama import ModelConfig, rope_inv_freq_mscale
+
+    scaling = {
+        "type": "yarn",
+        "factor": 40.0,
+        "beta_fast": 32,
+        "beta_slow": 1,
+        "mscale": 0.707,
+        "mscale_all_dim": 0.707,
+        "original_max_position_embeddings": 4096,
+    }
+    hf_cfg = transformers.LlamaConfig(
+        hidden_size=512,
+        num_attention_heads=8,  # head_dim 64
+        max_position_embeddings=4096 * 40,
+        rope_theta=10000.0,
+        rope_scaling=dict(scaling),
+    )
+    inv_hf, attn_factor_hf = _compute_yarn_parameters(hf_cfg, "cpu")
+
+    kw, attn_scale = _parse_rope_scaling(dict(scaling), softmax_dim=64)
+    cfg = ModelConfig(
+        hidden_size=512,
+        num_attention_heads=8,
+        rope_theta=10000.0,
+        **kw,
+    )
+    inv_ours, msc = rope_inv_freq_mscale(cfg)
+    np.testing.assert_allclose(inv_ours, inv_hf.numpy(), rtol=1e-6)
+    # deepseek yarn semantics (mscale == mscale_all_dim): cos/sin ratio
+    # is 1 and the magnitude correction moves to the softmax scale as
+    # mscale(factor, mscale_all_dim)^2 (DeepseekV2Attention.__init__)
+    import math
+
+    m = 0.1 * 0.707 * math.log(40.0) + 1.0
+    assert msc == pytest.approx(1.0)
+    assert attn_scale == pytest.approx((64**-0.5) * m * m, rel=1e-6)
+
+    # llama-style yarn (no mscale keys): HF applies attention_factor to
+    # the cos/sin tables; our msc reproduces it and attn_scale stays 0
+    kw2, attn_scale2 = _parse_rope_scaling(
+        {"type": "yarn", "factor": 40.0,
+         "original_max_position_embeddings": 4096},
+        softmax_dim=64,
+    )
+    cfg2 = ModelConfig(
+        hidden_size=512, num_attention_heads=8, rope_theta=10000.0, **kw2
+    )
+    hf_cfg2 = transformers.LlamaConfig(
+        hidden_size=512,
+        num_attention_heads=8,
+        max_position_embeddings=4096 * 40,
+        rope_theta=10000.0,
+        rope_scaling={
+            "type": "yarn",
+            "factor": 40.0,
+            "original_max_position_embeddings": 4096,
+        },
+    )
+    _, attn_factor_hf2 = _compute_yarn_parameters(hf_cfg2, "cpu")
+    _, msc2 = rope_inv_freq_mscale(cfg2)
+    assert attn_scale2 == 0.0
+    assert msc2 == pytest.approx(attn_factor_hf2, rel=1e-6)
+
+
+def test_deepseek_v2_yarn_config_loads():
+    """Stock DeepSeek-V2 checkpoints ship yarn rope_scaling; the config
+    must now load (ADVICE r2: it raised NotImplementedError)."""
+    from qllm_tpu.modeling.archs import _cfg_deepseek_v2
+
+    d = {
+        "vocab_size": 512,
+        "hidden_size": 128,
+        "intermediate_size": 256,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 4,
+        "max_position_embeddings": 163840,
+        "qk_nope_head_dim": 16,
+        "qk_rope_head_dim": 8,
+        "v_head_dim": 16,
+        "kv_lora_rank": 64,
+        "q_lora_rank": None,
+        "n_routed_experts": 4,
+        "num_experts_per_tok": 2,
+        "norm_topk_prob": False,
+        "routed_scaling_factor": 1.0,
+        "n_shared_experts": 1,
+        "first_k_dense_replace": 1,
+        "moe_intermediate_size": 64,
+        "rope_scaling": {
+            "type": "yarn",
+            "factor": 40,
+            "beta_fast": 32,
+            "beta_slow": 1,
+            "mscale": 0.707,
+            "mscale_all_dim": 0.707,
+            "original_max_position_embeddings": 4096,
+        },
+    }
+    cfg = _cfg_deepseek_v2(d)
+    assert cfg.rope_scaling_type == "yarn"
+    assert cfg.rope_scaling_factor == 40.0
+    # softmax scale: qk_head_dim^-0.5 * mscale(factor, mscale_all_dim)^2
+    import math
+
+    m = 0.1 * 0.707 * math.log(40) + 1.0
+    assert cfg.attn_scale == pytest.approx((24**-0.5) * m * m, rel=1e-6)
