@@ -27,6 +27,7 @@ class FakeArgs:
     wbits: int = 4
     groupsize: int = 128
     eval: bool = False
+    allow_synthetic: bool = False
     save: str = ""
     save_safetensors: bool = True
     load: str = ""

@@ -198,18 +198,35 @@ class AutoModelQuantization:
             logger.info(self.tokenizer.decode(np.asarray(out)[0]))
         else:
             logger.info(f"generated ids: {np.asarray(out)[0].tolist()}")
-        try:
-            from .data import get_loaders
-            from .eval.perplexity import perplexity_from_ids
+        from .data import get_loaders
+        from .eval.perplexity import perplexity_from_ids
 
-            _, test = get_loaders(args.dataset, self.tokenizer, seqlen=2048)
-            if test is not None:
-                ppl = perplexity_from_ids(
-                    params, cfg, test, n_ctx=512, progress=True
-                )
-                logger.info(f"{args.dataset} perplexity: {ppl:.4f}")
+        allow_synth = getattr(args, "allow_synthetic", False) or (
+            args.dataset == "synthetic"
+        )
+        try:
+            _, test = get_loaders(
+                args.dataset,
+                self.tokenizer,
+                seqlen=2048,
+                allow_synthetic=allow_synth,
+            )
         except Exception as e:
+            # an explicit --eval on a real dataset must NOT silently
+            # degrade into "no number" or a synthetic number
+            if not allow_synth:
+                raise RuntimeError(
+                    f"--eval requested but dataset '{args.dataset}' is "
+                    f"unavailable ({e}); pass --allow_synthetic for a "
+                    "smoke-test run"
+                ) from e
             logger.info(f"ppl eval skipped: {e}")
+            return
+        if test is not None:
+            ppl = perplexity_from_ids(
+                params, cfg, test, n_ctx=512, progress=True
+            )
+            logger.info(f"{args.dataset} perplexity: {ppl:.4f}")
 
     # --------------------------------------------------------------- export
 

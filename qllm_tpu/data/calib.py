@@ -144,14 +144,25 @@ def get_loaders(
     nsamples: int = 128,
     seed: int = 0,
     seqlen: int = 2048,
+    allow_synthetic: bool = False,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """-> (train_tokens [nsamples, seqlen] int32, test_tokens flat or None).
 
-    Mirrors reference get_loaders (datautils.py:153-172) with the
-    synthetic fallback for offline smoke testing.
+    Mirrors reference get_loaders (datautils.py:153-172). A missing
+    tokenizer for a REAL dataset is a hard error unless
+    ``allow_synthetic`` (or name == "synthetic") — an accuracy run must
+    never silently measure random tokens.
     """
     if name == "synthetic" or tokenizer is None:
         if name != "synthetic":
+            if not allow_synthetic:
+                raise RuntimeError(
+                    f"dataset '{name}' requested but no tokenizer is "
+                    "available — refusing to silently substitute "
+                    "synthetic tokens in an accuracy context. Pass "
+                    "--allow_synthetic (or dataset=synthetic) for "
+                    "smoke-test runs."
+                )
             logger.warning(
                 f"dataset '{name}': no tokenizer given — falling back to "
                 "SYNTHETIC calibration tokens (smoke-test quality only)"
@@ -202,6 +213,7 @@ def get_sample_datas_for_quantization(
     name = getattr(args_or_name, "dataset", args_or_name)
     nsamples = getattr(args_or_name, "nsamples", nsamples)
     seed = getattr(args_or_name, "seed", seed)
+    allow_synthetic = getattr(args_or_name, "allow_synthetic", False)
     tok_id = getattr(tokenizer, "name_or_path", "none")
     key = hashlib.md5(
         f"{tok_id}-{name}-{nsamples}-{seqlen}-{seed}".encode()
@@ -210,7 +222,10 @@ def get_sample_datas_for_quantization(
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             return pickle.load(f)
-    data = get_loaders(name, tokenizer, nsamples, seed, seqlen)
+    data = get_loaders(
+        name, tokenizer, nsamples, seed, seqlen,
+        allow_synthetic=allow_synthetic,
+    )
     os.makedirs(_CACHE_DIR, exist_ok=True)
     with open(cache, "wb") as f:
         pickle.dump(data, f)

@@ -1091,16 +1091,86 @@ def get_spec(hf_arch: str) -> ArchSpec:
     return _BY_HF[hf_arch]
 
 
+def _looks_like_llama_cfg(d: dict) -> bool:
+    return all(
+        k in d
+        for k in (
+            "hidden_size",
+            "num_hidden_layers",
+            "num_attention_heads",
+            "intermediate_size",
+            "vocab_size",
+        )
+    )
+
+
 def spec_for_config(d: dict) -> ArchSpec:
-    """Concrete (specialized) spec for a raw HF config dict."""
+    """Concrete (specialized) spec for a raw HF config dict.
+
+    Unknown architecture strings whose config walks like a llama fall
+    back to the llama spec with a loud warning — the reference's
+    behavior for unlisted models (sequential_layes_gptq_config.py:
+    153-173 auto-detects a grouping by module-name prefixes instead of
+    hard-failing). Genuinely unmappable configs still raise."""
     if d.get("qllm_tpu_normalized"):
         # our own normalized dialect: sub-variant info lives in the
         # ModelConfig fields, not in HF-native keys
         return spec_from_model_config(model_config_from_hf_dict(d))
     archs = d.get("architectures") or ["LlamaForCausalLM"]
-    spec = get_spec(archs[0])
+    try:
+        spec = get_spec(archs[0])
+    except NotImplementedError:
+        if not _looks_like_llama_cfg(d):
+            raise
+        from ..utils.logger import get_logger
+
+        get_logger().warning(
+            f"architecture {archs[0]!r} is not in the registry but its "
+            "config walks like a llama — loading with the generic llama "
+            "mapping (best effort; verify outputs against the source "
+            "model)"
+        )
+        spec = dataclasses.replace(
+            _BY_KIND["llama"], hf_arch=archs[0].strip()
+        )
     if spec.specialize is not None:
         spec = spec.specialize(spec, d)
+    return spec
+
+
+def sniff_llama_layout(tensors, spec: ArchSpec) -> ArchSpec:
+    """Adjust a generic-fallback llama spec to the checkpoint's actual
+    key prefixes (the tensor-level half of the reference's prefix
+    auto-detection). Finds the layers prefix carrying llama-shaped
+    linears and the sibling embed/norm keys."""
+    prefixes = set()
+    for k in tensors:
+        if ".layers.0." in k:
+            prefixes.add(k.split(".layers.0.")[0] + ".layers")
+        elif k.startswith("layers.0."):
+            prefixes.add("layers")
+    for p in sorted(prefixes):
+        if f"{p}.0.{spec.linears['q_proj']}.weight" in tensors:
+            root = p[: -len(".layers")] if p != "layers" else ""
+            dot = root + "." if root else ""
+            embed = next(
+                (
+                    k[: -len(".weight")]
+                    for k in tensors
+                    if k.endswith("embed_tokens.weight")
+                ),
+                spec.embed[: -len(".weight")]
+                if spec.embed.endswith(".weight")
+                else spec.embed,
+            )
+            lm_head = "lm_head" if "lm_head.weight" in tensors else None
+            return dataclasses.replace(
+                spec,
+                layers_prefix=p,
+                embed=embed + ".weight",
+                final_norm=f"{dot}norm",
+                lm_head=lm_head,
+            )
     return spec
 
 

@@ -171,6 +171,11 @@ class AutoQuantizedModelForCausalLM:
         tensors = _st_load(path)
         if spec.passthrough:
             tensors = _remap_legacy_llava(tensors)
+        if spec.kind == "llama" and spec.embed not in tensors:
+            # generic-fallback arch with renamed prefixes: sniff them
+            from .archs import sniff_llama_layout
+
+            spec = sniff_llama_layout(tensors, spec)
         params = cls._float_params(tensors, cfg, spec, dtype)
         if spec.passthrough:
             # keep the wrapper's own config (nested vision config etc.)
@@ -191,6 +196,10 @@ class AutoQuantizedModelForCausalLM:
         tensors = _st_load(path)
         if spec.passthrough:
             tensors = _remap_legacy_llava(tensors)
+        if spec.kind == "llama" and spec.embed not in tensors:
+            from .archs import sniff_llama_layout
+
+            spec = sniff_llama_layout(tensors, spec)
         params = cls._float_params(
             tensors, cfg, spec, dtype, skip_quantized=True
         )

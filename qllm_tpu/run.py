@@ -57,6 +57,12 @@ def define_basic_args() -> argparse.ArgumentParser:
     p.add_argument("--wbits", type=int, default=16, choices=[2, 3, 4, 5, 6, 7, 8, 16])
     p.add_argument("--groupsize", type=int, default=-1)
     p.add_argument("--eval", action="store_true")
+    p.add_argument(
+        "--allow_synthetic",
+        action="store_true",
+        help="permit SYNTHETIC token fallback for calibration/eval "
+        "(smoke tests only; accuracy runs must use real data)",
+    )
     p.add_argument("--save", type=str, default="")
     p.add_argument("--save_safetensors", action="store_true", default=True)
     p.add_argument("--load", type=str, default="")

@@ -251,3 +251,50 @@ def test_cli_export_onnx_merged_decoder(float_ckpt, tmp_path):
         "decode.stablehlo",
     ):
         assert os.path.exists(os.path.join(out, n)), n
+
+
+def test_eval_refuses_silent_synthetic(float_ckpt, tmp_path):
+    """--eval (or calibration) on a real dataset with no usable
+    tokenizer must fail loudly, not quietly measure synthetic tokens
+    (VERDICT r2 weak #8)."""
+    from qllm_tpu.run import main
+
+    with pytest.raises(RuntimeError, match="synthetic"):
+        main(
+            [
+                "--model",
+                float_ckpt,
+                "--quant_method",
+                "hqq",
+                "--wbits",
+                "4",
+                "--groupsize",
+                "32",
+                "--dataset",
+                "wikitext2",
+                "--eval",
+            ]
+        )
+
+
+def test_eval_allow_synthetic_flag_permits_fallback(float_ckpt):
+    from qllm_tpu.run import main
+
+    main(
+        [
+            "--model",
+            float_ckpt,
+            "--quant_method",
+            "hqq",
+            "--wbits",
+            "4",
+            "--groupsize",
+            "32",
+            "--dataset",
+            "wikitext2",
+            "--eval",
+            "--allow_synthetic",
+            "--max_new_tokens",
+            "4",
+        ]
+    )

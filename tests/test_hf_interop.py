@@ -5,6 +5,8 @@ saves it the HF way, loads it with our loader, and checks logits parity
 — the real from_pretrained contract (reference modeling/base.py:189-223).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -131,3 +133,86 @@ def test_load_hf_sibling_archs(tmp_path, arch, extra):
         np.asarray(ours).argmax(-1), ref.argmax(-1)
     )
     np.testing.assert_allclose(np.asarray(ours), ref, atol=0.15, rtol=0.05)
+
+
+def test_unknown_arch_llama_shaped_fallback(tmp_path):
+    """Unknown architectures[0] whose config + tensors walk like a llama
+    load via the generic fallback with a warning (reference behavior:
+    sequential_layes_gptq_config.py:153-173 auto-detects unlisted
+    models by module-name prefix instead of hard-failing)."""
+    import json
+
+    import jax
+
+    from qllm_tpu.modeling.auto import AutoQuantizedModelForCausalLM as AutoQ
+    from qllm_tpu.modeling.auto import _st_save
+    from qllm_tpu.models import TINY_LLAMA_TEST_CONFIG as CFG
+    from qllm_tpu.models import forward, init_params
+    from qllm_tpu.models.generate import make_cache
+
+    params = init_params(CFG, jax.random.key(3))
+    lin = {
+        "q_proj": "self_attn.q_proj",
+        "k_proj": "self_attn.k_proj",
+        "v_proj": "self_attn.v_proj",
+        "o_proj": "self_attn.o_proj",
+        "gate_proj": "mlp.gate_proj",
+        "up_proj": "mlp.up_proj",
+        "down_proj": "mlp.down_proj",
+    }
+    # nonstandard root prefix AND unknown arch string
+    tensors = {
+        "frob.backbone.embed_tokens.weight": np.asarray(
+            params["embed_tokens"], np.float16
+        ),
+        "frob.backbone.norm.weight": np.asarray(params["norm"], np.float16),
+        "lm_head.weight": np.asarray(params["lm_head"], np.float16).T,
+    }
+    for i, lp in enumerate(params["layers"]):
+        base = f"frob.backbone.layers.{i}"
+        for ours, hf in lin.items():
+            tensors[f"{base}.{hf}.weight"] = np.asarray(
+                lp[ours], np.float16
+            ).T
+        tensors[f"{base}.input_layernorm.weight"] = np.asarray(
+            lp["input_layernorm"], np.float16
+        )
+        tensors[f"{base}.post_attention_layernorm.weight"] = np.asarray(
+            lp["post_attention_layernorm"], np.float16
+        )
+    path = str(tmp_path / "frob")
+    os.makedirs(path)
+    _st_save(tensors, path)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(
+            {
+                "architectures": ["FrobnicatorForCausalLM"],
+                "model_type": "frobnicator",
+                "vocab_size": CFG.vocab_size,
+                "hidden_size": CFG.hidden_size,
+                "intermediate_size": CFG.intermediate_size,
+                "num_hidden_layers": CFG.num_hidden_layers,
+                "num_attention_heads": CFG.num_attention_heads,
+                "num_key_value_heads": CFG.num_key_value_heads,
+                "rms_norm_eps": CFG.rms_norm_eps,
+            },
+            f,
+        )
+    loaded, cfg = AutoQ.from_pretrained(path, dtype=jnp.float32)
+    assert len(loaded["layers"]) == CFG.num_hidden_layers
+    tok = jnp.asarray(np.arange(8)[None], jnp.int32)
+    cache = make_cache(cfg, 1, 32, False)
+    got, _ = forward(loaded, cfg, tok, cache, pos=jnp.int32(0))
+    ref, _ = forward(params, cfg, tok, make_cache(cfg, 1, 32, False), pos=jnp.int32(0))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=0.05, rtol=0.05
+    )
+
+
+def test_unknown_arch_not_llama_shaped_still_raises(tmp_path):
+    from qllm_tpu.modeling.archs import spec_for_config
+
+    with pytest.raises(NotImplementedError):
+        spec_for_config(
+            {"architectures": ["TotallyNovelSSM"], "d_model": 64}
+        )
