@@ -178,13 +178,23 @@ def _cfg_llama(d):
 
 
 def _cfg_mistral(d):
-    # sliding-window attention: eval/serving contexts here are shorter
-    # than the 4096 window, where SWA == full causal (exact)
-    return _llama_like(d, arch="mistral")
+    # HF mistral: sliding_window null (v0.2+) disables SWA
+    return _llama_like(
+        d, arch="mistral", sliding_window=d.get("sliding_window") or 0
+    )
 
 
 def _cfg_qwen2(d):
-    return _llama_like(d, arch="qwen2", attention_bias=True)
+    # HF qwen2: SWA only when use_sliding_window, and only for layers
+    # >= max_window_layers (Qwen2Attention.__init__)
+    use_swa = bool(d.get("use_sliding_window"))
+    return _llama_like(
+        d,
+        arch="qwen2",
+        attention_bias=True,
+        sliding_window=(d.get("sliding_window") or 0) if use_swa else 0,
+        swa_min_layer=d.get("max_window_layers", 0) if use_swa else 0,
+    )
 
 
 def _cfg_mixtral(d):
@@ -394,12 +404,14 @@ def _cfg_gemma(d):
 def _cfg_gemma2(d):
     """Gemma-2 (HF modeling_gemma2): gemma norms/multiplier plus
     post-sublayer norms, attn/final logit soft-capping and the
-    query_pre_attn_scalar attention scale. Sliding-window layers are
-    exact here for contexts shorter than the window (4096), same
-    documented simplification as mistral (_cfg_mistral)."""
+    query_pre_attn_scalar attention scale. Even layer ids serve the
+    sliding window, odd ids full causal (HF Gemma2Attention:
+    sliding_window if not bool(layer_idx % 2))."""
     return _llama_like(
         d,
         arch="gemma2",
+        sliding_window=d.get("sliding_window") or 0,
+        swa_pattern="even",
         norm_type="rmsnorm_plus1",
         hidden_act=d.get("hidden_activation")
         or d.get("hidden_act")

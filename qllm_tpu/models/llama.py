@@ -93,6 +93,14 @@ class ModelConfig:
     # MoE (mixtral-family); 0 experts = dense MLP
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # sliding-window attention (mistral/qwen2/gemma2): 0 = full causal.
+    # swa_pattern "all" applies the window to every layer >= swa_min_layer
+    # (mistral; qwen2 via max_window_layers); "even" to even layer ids
+    # only (gemma2 alternates local/global, HF Gemma2Attention:
+    # sliding_window if not bool(layer_idx % 2)).
+    sliding_window: int = 0
+    swa_pattern: str = "all"  # all | even
+    swa_min_layer: int = 0
     # gemma2-family: norms on BOTH sides of attn/mlp + logit soft-capping
     post_norms: bool = False  # post_attn_norm/post_mlp_norm on sublayer outputs
     attn_logit_softcap: float = 0.0  # cap*tanh(logits/cap); 0 = off
@@ -523,11 +531,44 @@ def alibi_slopes(n_heads: int, style: str = "bloom") -> jax.Array:
     return jnp.asarray(sl, jnp.float32)
 
 
+def layer_uses_swa(cfg: ModelConfig, layer_idx) -> bool:
+    """Whether this layer serves sliding-window attention (HF
+    semantics: mistral = all layers; qwen2 = layers >= max_window_layers
+    when use_sliding_window; gemma2 = even layer ids).
+
+    Under a lax.scan the layer index is a tracer; the answer must then
+    be static, so SWA models conservatively take the masked XLA path
+    for every layer (the caller selects the per-layer mask with
+    ``swa_layer_pred``)."""
+    if cfg.sliding_window <= 0:
+        return False
+    if not isinstance(layer_idx, int):
+        return True  # traced index (scan): gate kernels off, use masks
+    if layer_idx < cfg.swa_min_layer:
+        return False
+    return cfg.swa_pattern != "even" or layer_idx % 2 == 0
+
+
+def swa_layer_pred(cfg: ModelConfig, layer_idx) -> jax.Array:
+    """Traced boolean form of layer_uses_swa for scan bodies."""
+    p = jnp.asarray(layer_idx) >= cfg.swa_min_layer
+    if cfg.swa_pattern == "even":
+        p = p & (jnp.asarray(layer_idx) % 2 == 0)
+    return p
+
+
 def build_mask(
-    cfg: ModelConfig, B: int, T: int, S: int, pos: Optional[jax.Array]
+    cfg: ModelConfig,
+    B: int,
+    T: int,
+    S: int,
+    pos: Optional[jax.Array],
+    window: int = 0,
 ) -> jax.Array:
     """Additive attention bias [B, 1 or H, T, S]: causal -inf mask plus
-    (for alibi archs) the per-head position bias.
+    (for alibi archs) the per-head position bias. ``window`` > 0 also
+    masks keys older than ``window``-1 positions behind the query (HF
+    sliding-window semantics: keep s where q_pos - s < window).
 
     ALiBi bias uses the key-position form slopes[h] * s — equivalent to
     the distance form up to a per-row constant, which softmax ignores.
@@ -539,7 +580,10 @@ def build_mask(
     else:  # per-slot offsets [B]
         q_pos = pos[:, None, None, None] + jnp.arange(T)[None, None, :, None]
         s_idx = jnp.arange(S)[None, None, None, :]
-        mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+        keep = s_idx <= q_pos
+        if window > 0:
+            keep = keep & (s_idx > q_pos - window)
+        mask = jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
         mask = jnp.broadcast_to(mask, (B, 1, T, S))
         if cfg.pos_embedding == "alibi":
             sl = alibi_slopes(cfg.num_attention_heads, cfg.alibi_style)
@@ -549,7 +593,10 @@ def build_mask(
             mask = mask + bias
         return mask
     s_idx = jnp.arange(S)[None, :]
-    mask = jnp.where(s_idx <= q_pos, 0.0, -jnp.inf).astype(jnp.float32)
+    keep = s_idx <= q_pos
+    if window > 0:
+        keep = keep & (s_idx > q_pos - window)
+    mask = jnp.where(keep, 0.0, -jnp.inf).astype(jnp.float32)
     mask = jnp.broadcast_to(mask.reshape(1, 1, T, S), (B, 1, T, S))
     if cfg.pos_embedding == "alibi":
         sl = alibi_slopes(cfg.num_attention_heads, cfg.alibi_style)
@@ -674,6 +721,7 @@ def _block_attn_mlp(
             and cache.quantized
             and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
             and cfg.attn_logit_softcap == 0.0  # kernel lacks the tanh cap
+            and not layer_uses_swa(cfg, layer_idx)  # kernels attend [0, len)
             and _pallas_attn_enabled()
         )
         if can_kernel and cache.ring_k is not None:
@@ -772,7 +820,9 @@ def _block_attn_mlp(
                 )
             cache = cache.update(layer_idx, k, v, pos)
             k_all, v_all = cache.layer_kv(layer_idx, dtype=h.dtype)
-            if _flash_prefill_ok(cfg, T, hd):
+            if _flash_prefill_ok(cfg, T, hd) and not layer_uses_swa(
+                cfg, layer_idx
+            ):
                 from ..ops.pallas_attention import prefill_attention_flash
 
                 attn = prefill_attention_flash(
@@ -782,7 +832,9 @@ def _block_attn_mlp(
                 attn = _attention(
                     q, k_all, v_all, mask, cfg.n_rep, cfg.attn_logit_softcap
                 )
-    elif _flash_prefill_ok(cfg, T, hd):
+    elif _flash_prefill_ok(cfg, T, hd) and not layer_uses_swa(
+        cfg, layer_idx
+    ):
         from ..ops.pallas_attention import prefill_attention_flash
 
         attn = prefill_attention_flash(
@@ -1240,6 +1292,11 @@ def forward(
     if cache is None:
         positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
         mask = build_mask(cfg, B, T, T, None)
+        mask_swa = (
+            build_mask(cfg, B, T, T, None, window=cfg.sliding_window)
+            if cfg.sliding_window > 0
+            else mask
+        )
     else:
         if pos is None:
             pos = jnp.int32(0)
@@ -1250,6 +1307,11 @@ def forward(
         else:
             positions = pos[:, None] + jnp.arange(T)[None, :]
         mask = build_mask(cfg, B, T, S, pos)
+        mask_swa = (
+            build_mask(cfg, B, T, S, pos, window=cfg.sliding_window)
+            if cfg.sliding_window > 0
+            else mask
+        )
 
     h = embed_tokens_forward(params, cfg, token_ids, positions)
     if cfg.pos_embedding == "rope":
@@ -1259,7 +1321,8 @@ def forward(
     else:
         cos = sin = None
     for i, lp in enumerate(params["layers"]):
-        h, cache = _layer_forward(lp, cfg, h, cos, sin, mask, cache, i, pos)
+        m = mask_swa if layer_uses_swa(cfg, i) else mask
+        h, cache = _layer_forward(lp, cfg, h, cos, sin, m, cache, i, pos)
 
     return final_logits(params, cfg, h), cache
 

@@ -533,6 +533,11 @@ def forward_stacked(
     else:
         positions = pos[:, None] + jnp.arange(T)[None, :]
     mask = build_mask(cfg, B, T, S, pos)
+    mask_swa = (
+        build_mask(cfg, B, T, S, pos, window=cfg.sliding_window)
+        if cfg.sliding_window > 0
+        else None
+    )
     h = embed_tokens_forward(params, cfg, token_ids, positions)
     if cfg.pos_embedding == "rope":
         cos, sin = _rope_cos_sin(
@@ -545,8 +550,14 @@ def forward_stacked(
 
     def body(carry, l):
         h, cache = carry
+        if mask_swa is None:
+            m = mask
+        else:
+            from .llama import swa_layer_pred
+
+            m = jnp.where(swa_layer_pred(cfg, l), mask_swa, mask)
         h, cache = _block_attn_mlp(
-            StackedLayerView(slp, l, cfg), cfg, h, cos, sin, mask, cache, l, pos
+            StackedLayerView(slp, l, cfg), cfg, h, cos, sin, m, cache, l, pos
         )
         return (h, cache), None
 

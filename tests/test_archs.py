@@ -936,3 +936,123 @@ def test_deepseek_v2_yarn_config_loads():
 
     m = 0.1 * 0.707 * math.log(40) + 1.0
     assert cfg.attn_scale == pytest.approx((24**-0.5) * m * m, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window attention (VERDICT r2 missing #3): parity at sequence
+# lengths LONGER than the window, prefill + cached decode
+# ---------------------------------------------------------------------------
+
+SWA_CASES = [
+    (
+        "MistralConfig",
+        "MistralForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=128,
+            num_key_value_heads=2,
+            sliding_window=8,  # << test seq len 20
+            max_position_embeddings=128,
+        ),
+        "mistral",
+    ),
+    (
+        "Gemma2Config",
+        "Gemma2ForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=128,
+            num_key_value_heads=2,
+            head_dim=16,
+            query_pre_attn_scalar=16,
+            attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0,
+            sliding_window=8,  # even layers sliding, odd global
+            max_position_embeddings=128,
+        ),
+        "gemma2",
+    ),
+    (
+        "Qwen2Config",
+        "Qwen2ForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=128,
+            num_key_value_heads=2,
+            use_sliding_window=True,
+            sliding_window=8,
+            max_window_layers=1,  # layer 0 global, layer 1 sliding
+            max_position_embeddings=128,
+        ),
+        "qwen2",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "cfg_name,model_name,kwargs,kind",
+    SWA_CASES,
+    ids=[c[3] + "-swa" for c in SWA_CASES],
+)
+def test_sliding_window_logits_parity_beyond_window(
+    tmp_path, cfg_name, model_name, kwargs, kind
+):
+    path = str(tmp_path / kind)
+    hf_model = _build_and_save(cfg_name, model_name, kwargs, path)
+
+    params, mcfg = AutoQ.from_pretrained(path, dtype=jnp.float32)
+    assert mcfg.sliding_window == 8
+    if kind == "gemma2":
+        assert mcfg.swa_pattern == "even"
+    if kind == "qwen2":
+        assert mcfg.swa_min_layer == 1
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 120, (1, 20)).astype(np.int64)  # 20 >> window 8
+    with torch.no_grad():
+        ref = hf_model(torch.from_numpy(ids)).logits.float().numpy()
+    ours, _ = forward(params, mcfg, jnp.asarray(ids.astype(np.int32)))
+    ours = np.asarray(ours)
+    np.testing.assert_array_equal(ours.argmax(-1), ref.argmax(-1))
+    np.testing.assert_allclose(ours, ref, atol=0.15, rtol=0.05)
+
+
+def test_sliding_window_cached_decode_beyond_window(tmp_path):
+    """Long-context decode: prefill 16 tokens (2x the window), decode 6
+    more through the KV cache; every step must match the HF eager
+    full-forward logits."""
+    from qllm_tpu.models.generate import make_cache
+
+    cfg_name, model_name, kwargs, kind = SWA_CASES[0]
+    path = str(tmp_path / "mistral_decode")
+    hf_model = _build_and_save(cfg_name, model_name, kwargs, path)
+    params, mcfg = AutoQ.from_pretrained(path, dtype=jnp.float32)
+
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, 120, (1, 16)).astype(np.int64)
+    cache = make_cache(mcfg, 1, 64, quantized_kv=False)
+    logits, cache = forward(
+        params, mcfg, jnp.asarray(ids.astype(np.int32)), cache,
+        pos=jnp.int32(0),
+    )
+    seq = ids
+    for step in range(6):
+        with torch.no_grad():
+            ref = hf_model(torch.from_numpy(seq)).logits.float().numpy()
+        ours_last = np.asarray(logits)[:, -1]
+        np.testing.assert_allclose(
+            ours_last, ref[:, -1], atol=0.15, rtol=0.05
+        )
+        nxt = int(ref[0, -1].argmax())
+        assert int(ours_last[0].argmax()) == nxt
+        seq = np.concatenate([seq, [[nxt]]], axis=1)
+        logits, cache = forward(
+            params,
+            mcfg,
+            jnp.asarray([[nxt]], jnp.int32),
+            cache,
+            pos=jnp.int32(seq.shape[1] - 1),
+        )

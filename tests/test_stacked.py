@@ -182,3 +182,39 @@ def test_stacked_gemma2_features_match_unrolled():
     np.testing.assert_allclose(
         np.asarray(d1), np.asarray(d2), atol=2e-2, rtol=2e-2
     )
+
+
+def test_stacked_sliding_window_matches_unrolled():
+    """Alternating sliding/global layers (gemma2 pattern) through the
+    lax.scan path: prefill BEYOND the window + decode must match the
+    per-layer forward (which is HF-parity-tested in test_archs)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, arch="gemma2", sliding_window=4, swa_pattern="even"
+    )
+    params = init_params(cfg, jax.random.key(5))
+    layers = []
+    for lp in params["layers"]:
+        nlp = dict(lp)
+        for n in ("q_proj", "k_proj", "v_proj", "o_proj",
+                  "gate_proj", "up_proj", "down_proj"):
+            nlp[n] = quantize_tensor(lp[n], 4, 32)
+        layers.append(nlp)
+    qp = {**params, "layers": layers}
+    sp = stack_layer_params(qp)
+    rng = np.random.default_rng(7)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 12)), jnp.int32)
+    c1 = make_cache(cfg, 2, 32, quantized_kv=True)
+    c2 = make_cache(cfg, 2, 32, quantized_kv=True)
+    l1, c1 = prefill(qp, cfg, tokens, c1)
+    l2, c2 = prefill(sp, cfg, tokens, c2)
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l2), atol=2e-2, rtol=2e-2
+    )
+    tok = jnp.argmax(l1, axis=-1).astype(jnp.int32)[:, None]
+    d1, _ = decode_step(qp, cfg, tok, c1, jnp.int32(12))
+    d2, _ = decode_step(sp, cfg, tok, c2, jnp.int32(12))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), atol=2e-2, rtol=2e-2
+    )
