@@ -32,16 +32,18 @@ def _stream_kernel(layer_ref, qw_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # touch every word: one add per block row-chunk; reduce to [8, bn]
+    # touch every word: one add per block row-chunk; reduce to [8, bn].
+    # Chunks must be multiples of 8 rows for the (8, -1, bn) reshape —
+    # r is always a multiple of 8 (K % 64 == 0), so the tail chunk is
+    # too (fixes K=11008: r=1376, old step 172 was not 8-aligned).
     qw = pltpu.bitcast(qw_ref[0], jnp.int32)
     r = qw.shape[0]
     acc = acc_ref[:]
-    step = max(8, r // 8)
+    step = max(8, (r // 64) * 8)
     s = jnp.zeros((8, qw.shape[1]), jnp.int32)
     for i in range(0, r, step):
-        s = s + jnp.sum(
-            qw[i : i + step].reshape(8, -1, qw.shape[1]), axis=1
-        )
+        c = qw[i : min(i + step, r)]
+        s = s + jnp.sum(c.reshape(8, -1, qw.shape[1]), axis=1)
     acc_ref[:] = acc + s.astype(jnp.float32)
 
     @pl.when(k == nk - 1)

@@ -154,12 +154,15 @@ def main():
         bk_env = int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
         bn = _pick_block(N, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
         bk = _choose_bk(K, g, 8, bk_env)
-        dt_s, tr_s = stream_time(qw_st, bk, bn)
-        log(
-            f"[{K}x{N} g{g}] stream bk={bk} bn={bn}: {dt_s*1e6:.1f} us wall"
-            f" = {wbytes/dt_s/1e9:.0f} GB/s; traced: "
-            + ", ".join(f"{k}={v:.1f}us" for k, v in tr_s.items())
-        )
+        try:
+            dt_s, tr_s = stream_time(qw_st, bk, bn)
+            log(
+                f"[{K}x{N} g{g}] stream bk={bk} bn={bn}: {dt_s*1e6:.1f} us "
+                f"wall = {wbytes/dt_s/1e9:.0f} GB/s; traced: "
+                + ", ".join(f"{k}={v:.1f}us" for k, v in tr_s.items())
+            )
+        except Exception as e:
+            log(f"[{K}x{N} g{g}] stream bk={bk} bn={bn}: FAILED ({e})")
 
         dt, tr = kernel_time(lambda xx: qmatmul_pallas_stacked(xx, qt_st, layer), x)
         log(
