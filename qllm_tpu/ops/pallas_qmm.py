@@ -752,12 +752,13 @@ def planar_full_ok(K: int, g: int) -> bool:
 
 def _qmm_kernel_planar_full(
     layer_ref,  # scalar prefetch [1]
-    x_ref,  # [bm, K] f32/bf16 — the whole activation row
+    x_ref,  # [bm, K] f32/bf16 — the whole activation row (int8 when a8)
     *refs,  # ([nw_ref [1, K] when norm]), qw_ref, s_ref, z_ref, out_ref
     K: int,
     g: int,
     norm: bool = False,
     eps: float = 1e-6,
+    a8: bool = False,
 ):
     """Full-K planar kernel with fused correction: one k step (the k
     pipeline moves to the j/N grid axis, whose blocks are bigger and
@@ -774,15 +775,29 @@ def _qmm_kernel_planar_full(
         nw_ref, qw_ref, s_ref, z_ref, out_ref = refs
     else:
         qw_ref, s_ref, z_ref, out_ref = refs
+    if a8 and norm:
+        raise ValueError("a8 kernel does not fuse the norm (prenormalize)")
+    # Compute dtype experiment (QLLM_TPU_QMM_BF16_DOT=1): int4 values
+    # 0..15 are exact in bf16 and bf16xbf16+f32-acc is the MXU's native
+    # mode — but MEASURED SLOWER on v5e (gateup 4096x22016 full-K:
+    # 85.1 us bf16 vs 70.0 us f32 traced; 2026-08-19 microbench_qmm).
+    # The kernel is HBM-bound, the dot is not the bottleneck, and
+    # Mosaic's int8->bf16 relayout costs more VPU time than int8->f32.
+    # Kept as an env-gated experiment, default OFF.
+    cdt = (
+        jnp.bfloat16
+        if os.environ.get("QLLM_TPU_QMM_BF16_DOT", "0") == "1"
+        else jnp.float32
+    )
+    if a8:
+        cdt = jnp.int8  # int8 x int8 -> int32 MXU dots, no dequant cast
     Gh = (K // 2) // g
     qw = pltpu.bitcast(qw_ref[0], jnp.int32)
-    v_lo = pltpu.bitcast(qw & jnp.int32(0x0F0F0F0F), jnp.int8).astype(
-        jnp.float32
-    )
+    v_lo = pltpu.bitcast(qw & jnp.int32(0x0F0F0F0F), jnp.int8).astype(cdt)
     v_hi = pltpu.bitcast(
         jax.lax.shift_right_logical(qw, jnp.int32(4)) & jnp.int32(0x0F0F0F0F),
         jnp.int8,
-    ).astype(jnp.float32)
+    ).astype(cdt)
     sc = s_ref[0].astype(jnp.float32)  # [G, bn]
     zs = z_ref[0].astype(jnp.float32)
     xn = nw = None
@@ -804,17 +819,32 @@ def _qmm_kernel_planar_full(
         for gi in range(Gh):
             sl = slice(off + gi * g, off + (gi + 1) * g)
             if norm:
-                xg = xn[:, sl] * nw[base + gi : base + gi + 1, :]
+                xg = (xn[:, sl] * nw[base + gi : base + gi + 1, :]).astype(
+                    cdt
+                )
             else:
                 # x may arrive bf16 (halves the per-grid-step x re-read —
                 # the x block is fetched once per N-block, 25% of
                 # down_proj's traffic at K=11008 f32); cast is free
                 # relative to that
-                xg = x_ref[:, sl].astype(jnp.float32)
-            d = jnp.dot(
-                xg, v[gi * g : (gi + 1) * g], preferred_element_type=jnp.float32
+                xg = x_ref[:, sl].astype(cdt)
+            if a8:
+                # s8 x s8 -> s32: integer-rate MXU; exact (|acc| <=
+                # 127*15*K << 2^31), scaled to f32 once per group
+                d = jnp.dot(
+                    xg,
+                    v[gi * g : (gi + 1) * g],
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                d = jnp.dot(
+                    xg,
+                    v[gi * g : (gi + 1) * g],
+                    preferred_element_type=jnp.float32,
+                )
+            xsum = jnp.sum(
+                xg.astype(jnp.float32), axis=1, keepdims=True
             )
-            xsum = jnp.sum(xg, axis=1, keepdims=True)
             acc = (
                 acc
                 + d * sc[base + gi : base + gi + 1, :]
@@ -974,6 +1004,17 @@ def _qmm_2d_stacked(
                 raise ValueError(
                     f"planar tensor with no admissible k-block (K={K}, g={g})"
                 )
+            # W4A8 (QLLM_TPU_W4A8=1): per-token symmetric int8 activations
+            # feed integer-rate MXU dots — the compute-bound large-batch
+            # serving regime (reference role: the int8 activations of
+            # csrc/ort_cuda GEMMs). The token scale factors out of the
+            # whole contraction and is applied to the kernel output; the
+            # in-kernel zs correction runs on x8 sums, so y = sx * (
+            # sum_g (x8_g·v_g)·s_g - sum(x8_g)·zs_g) ≈ x·dequant(W).
+            a8 = os.environ.get("QLLM_TPU_W4A8") == "1"
+            if a8 and norm_w is not None:
+                x = _rms_norm_rows(x, norm_w[layer], norm_eps)
+                norm_w = None
             G_all = K // g
             grid = (M // bm, N // bn)
             kernel = functools.partial(
@@ -982,6 +1023,7 @@ def _qmm_2d_stacked(
                 g=g,
                 norm=norm_w is not None,
                 eps=norm_eps,
+                a8=a8,
             )
             in_specs = [
                 pl.BlockSpec(
@@ -1031,6 +1073,15 @@ def _qmm_2d_stacked(
                 if os.environ.get("QLLM_TPU_X_BF16", "1") != "0"
                 else jnp.float32
             )
+            sx = None
+            if a8:
+                xf = x.astype(jnp.float32)
+                sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1), 1e-8) / 127.0
+                x_in = jnp.clip(
+                    jnp.round(xf / sx[:, None]), -127, 127
+                ).astype(jnp.int8)
+            else:
+                x_in = x.astype(x_dt)
             out = pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
@@ -1041,12 +1092,14 @@ def _qmm_2d_stacked(
                 interpret=jax.default_backend() == "cpu",
             )(
                 jnp.asarray([layer], jnp.int32),
-                x.astype(x_dt),
+                x_in,
                 *norm_operands,
                 qweight,
                 scales,
                 zeros,
             )
+            if sx is not None:
+                out = out * sx[:, None]
             return out.astype(jnp.bfloat16)
         grid = (M // bm, N // bn, K // bkp)
         nk = K // bkp
@@ -1278,13 +1331,17 @@ def _qmm_2d_stacked(
     return (out - corr).astype(jnp.bfloat16)
 
 
-def _tuned_blocks(K: int, N: int, bits: int, g: int, M: int) -> dict:
+def _tuned_blocks(
+    K: int, N: int, bits: int, g: int, M: int, planar: bool = True
+) -> dict:
     """Autotuned (bn, bk) for this shape as _qmm_2d_stacked kwargs
     (ops.autotune: one-shot cached on-device sweep — the reference's
-    custom_autotune.py role done the TPU way)."""
+    custom_autotune.py role done the TPU way). Keys are per kernel
+    FAMILY: planar stacks (single-chip serving) vs the v3/v4 packed
+    layout (TP shards, which cannot planarize row-sharded K)."""
     from .autotune import lookup
 
-    bn, bk = lookup("stacked", K, N, bits, g, M)
+    bn, bk = lookup("stacked" if planar else "stacked_v3", K, N, bits, g, M)
     return {"bn_opt": bn, "bk_opt": bk}
 
 
@@ -1411,7 +1468,7 @@ def qmatmul_pallas_stacked(
         fuse_corr=fuse_corr,
         norm_w=norm_w,
         norm_eps=norm_eps,
-        **_tuned_blocks(K, N_buf, bits, g, M),
+        **_tuned_blocks(K, N_buf, bits, g, M, planar=qt_stacked.planar),
     )
     if Mp != M:
         y = y[:M]

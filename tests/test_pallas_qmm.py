@@ -418,3 +418,64 @@ def test_normed_x_view_matches_unfused_forward():
         np.testing.assert_allclose(
             y_marker, y_ref, atol=2e-2 * scale, rtol=2e-2
         )
+
+
+def test_w4a8_stacked_planar_full_matches_ref(monkeypatch):
+    """ServeConfig.w4a8 path: per-token int8 activations through the
+    full-K planar stacked kernel at the batch-32 (compute-bound) regime
+    — within int8-activation tolerance of the W4A16 path and the XLA
+    reference (reference role: the int8-activation GEMMs of
+    csrc/ort_cuda)."""
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    import qllm_tpu.ops.pallas_qmm as pq
+    from qllm_tpu.models.stacked import stack_layer_params
+    from qllm_tpu.ops.pallas_qmm import (
+        planar_bk,
+        planar_full_ok,
+        qmatmul_pallas_stacked,
+    )
+
+    K, N, g, L, M = 1280, 384, 64, 2, 32
+    # this geometry has no blocked planar k-block -> full-K kernel
+    assert planar_bk(K, g) is None and planar_full_ok(K, g)
+    rng = np.random.default_rng(21)
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
+            bits=4,
+            group_size=g,
+        )
+        for _ in range(L)
+    ]
+    params = {
+        "embed_tokens": jnp.zeros((8, 8)),
+        "norm": jnp.ones((8,)),
+        "layers": [{"q_proj": qt} for qt in qts],
+    }
+    sp = stack_layer_params(params)
+    stacked = sp["layers"]["q_proj"]
+    assert stacked.planar
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    y16 = [
+        np.asarray(qmatmul_pallas_stacked(x, stacked, jnp.int32(i)))
+        for i in range(L)
+    ]
+    monkeypatch.setenv("QLLM_TPU_W4A8", "1")
+    # the env flag is read at trace time: drop traces cached without it
+    pq._qmm_2d_stacked.clear_cache()
+    try:
+        for layer in range(L):
+            y8 = np.asarray(
+                qmatmul_pallas_stacked(x, stacked, jnp.int32(layer))
+            )
+            y_ref = np.asarray(qmatmul_ref(x, qts[layer]))
+            scale = np.abs(y_ref).max()
+            # int8 activations add ~1% relative noise on top of W4
+            np.testing.assert_allclose(
+                y8, y_ref, atol=0.03 * scale, rtol=0.05
+            )
+            np.testing.assert_allclose(
+                y8, y16[layer], atol=0.03 * scale, rtol=0.05
+            )
+    finally:
+        pq._qmm_2d_stacked.clear_cache()
