@@ -177,6 +177,10 @@ def loop_in_chat_completion(params, cfg, tokenizer, args=None) -> None:
         max_new_tokens=getattr(args, "max_new_tokens", 256) if args else 256,
         quantized_kv=getattr(args, "kv_quant", True) if args else True,
     )
+    if args is not None and getattr(args, "w4a8", False):
+        import os
+
+        os.environ["QLLM_TPU_W4A8"] = "1"  # read at kernel trace time
     temp = float(getattr(args, "temperature", 0.0) or 0.0) if args else 0.0
     if temp > 0:
         from ..models.sampling import SamplingParams

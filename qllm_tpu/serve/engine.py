@@ -69,6 +69,12 @@ class ServeConfig:
     speculative: bool = False
     spec_gamma: int = 4
     spec_ngram: int = 2
+    # W4A8: per-token int8 activations into the full-K planar kernel
+    # (integer-rate MXU dots) — for large-batch compute-bound serving.
+    # Sets QLLM_TPU_W4A8 process-wide at engine construction (the flag
+    # is read at kernel trace time), so don't mix w4a8 and non-w4a8
+    # engines in one process. ~1% extra relative error vs W4A16.
+    w4a8: bool = False
 
 
 @dataclasses.dataclass
@@ -241,6 +247,10 @@ class ContinuousBatchingEngine:
         self.params = params
         self.cfg = cfg
         self.scfg = serve_cfg
+        if serve_cfg.w4a8:
+            import os
+
+            os.environ["QLLM_TPU_W4A8"] = "1"
         B = serve_cfg.max_batch
         self.cache = make_cache(
             cfg, B, serve_cfg.max_seq, serve_cfg.quantized_kv

@@ -247,3 +247,75 @@ def test_prefix_caching_with_small_chunks_and_long_suffix():
         params, CFG, jnp.asarray(prompt[None]), 6, max_seq=64
     )
     assert r.output == np.asarray(ref)[0, len(prompt):].tolist()
+
+
+def test_engine_w4a8_serves_within_int8_tolerance(monkeypatch):
+    """ServeConfig(w4a8=True): the engine serves through the int8-
+    activation kernel; a single stacked forward's logits stay within
+    int8-activation tolerance of the W4A16 path, and the engine
+    completes requests end to end."""
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    # monkeypatch-register the flag so teardown removes what the engine
+    # sets process-wide
+    monkeypatch.setenv("QLLM_TPU_W4A8", "0")
+    import qllm_tpu.ops.pallas_qmm as pq
+    from qllm_tpu.models.generate import make_cache
+    from qllm_tpu.models.llama import ModelConfig, forward
+    from qllm_tpu.models.stacked import stack_layer_params
+    from qllm_tpu.utils.testing import random_quantized_params
+
+    cfg = ModelConfig(
+        vocab_size=256,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    params = random_quantized_params(
+        cfg, jax.random.key(3), bits=4, group_size=64
+    )
+    params = stack_layer_params(params, scale_store_dtype=jnp.bfloat16)
+
+    # numerics: one decode forward, W4A16 vs W4A8
+    cache = make_cache(cfg, 1, 16, quantized_kv=True)
+    tok = jnp.ones((1, 1), jnp.int32)
+    monkeypatch.delenv("QLLM_TPU_W4A8")
+    l16, _ = forward(params, cfg, tok, cache, pos=jnp.int32(0))
+    monkeypatch.setenv("QLLM_TPU_W4A8", "1")
+    pq._qmm_2d_stacked.clear_cache()
+    try:
+        l8, _ = forward(params, cfg, tok, cache, pos=jnp.int32(0))
+        l16n = np.asarray(l16, np.float32)
+        l8n = np.asarray(l8, np.float32)
+        rel = np.linalg.norm(l8n - l16n) / max(np.linalg.norm(l16n), 1e-9)
+        # per-matmul int8 noise is ~1-3% (pinned in test_pallas_qmm);
+        # RANDOM-weight logits amplify it through the residual stream —
+        # this model-level bound only guards against gross breakage
+        assert rel < 0.15, f"w4a8 logits rel err {rel}"
+
+        # end-to-end: the engine flag routes through the same env knob
+        engine = ContinuousBatchingEngine(
+            params,
+            cfg,
+            ServeConfig(
+                max_batch=2, max_seq=32, prefill_buckets=(8,), w4a8=True
+            ),
+        )
+        import os
+
+        assert os.environ.get("QLLM_TPU_W4A8") == "1"
+        rng = np.random.default_rng(7)
+        reqs = [
+            engine.submit(
+                rng.integers(1, cfg.vocab_size, size=5).astype(np.int32),
+                max_new_tokens=4,
+            )
+            for _ in range(2)
+        ]
+        done = engine.run()
+        assert len(done) == 2
+        assert all(len(r.output) == 4 for r in reqs)
+    finally:
+        pq._qmm_2d_stacked.clear_cache()
