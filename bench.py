@@ -38,16 +38,51 @@ HBM_BW = {
     "v6e": 1640e9,
 }
 
+# per-chip peak bf16 FLOPs/s by TPU generation (for prefill MFU)
+PEAK_FLOPS = {
+    "v5 lite": 197e12,  # v5e
+    "v5e": 197e12,
+    "v4": 275e12,
+    "v5": 459e12,  # v5p
+    "v5p": 459e12,
+    "v6 lite": 918e12,  # v6e (Trillium)
+    "v6e": 918e12,
+}
 
-def chip_bw() -> float:
+
+def _chip_lookup(table, default):
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:
-        return 819e9
-    for key, bw in HBM_BW.items():
+        return default
+    for key, val in table.items():
         if key in kind:
-            return bw
-    return 819e9
+            return val
+    return default
+
+
+def chip_bw() -> float:
+    return _chip_lookup(HBM_BW, 819e9)
+
+
+def chip_peak_flops() -> float:
+    return _chip_lookup(PEAK_FLOPS, 197e12)
+
+
+def model_flops_per_token(cfg) -> int:
+    """Dense matmul FLOPs per decoded token (2 * weight elements of all
+    linears + lm_head); attention scores/values added separately since
+    they scale with context."""
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    nh, kvh, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+    per_layer = (
+        h * nh * hd  # q
+        + 2 * h * kvh * hd  # k, v
+        + nh * hd * h  # o
+        + 3 * h * i  # gate, up, down
+    )
+    n = cfg.num_hidden_layers * per_layer + h * cfg.vocab_size  # + lm_head
+    return 2 * n
 
 
 MODEL_SHAPES = {
@@ -264,6 +299,128 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"[bench] batch8 sweep failed: {e}")
 
+    # prefill throughput + MFU at 512/2048 ctx (flash prefill kernel
+    # path) — recorded in detail so the driver regression-checks the
+    # prefill half of the serving story (VERDICT r2 item 5)
+    prefill_detail = {}
+    if batch == 1 and os.environ.get("QLLM_BENCH_PREFILL", "1") != "0":
+        from qllm_tpu.models.generate import prefill
+
+        peak = chip_peak_flops()
+        rng = np.random.default_rng(0)
+        for T in (512, 2048):
+            if T > cfg.max_position_embeddings:
+                continue
+            try:
+                cache_p = make_cache(cfg, 1, T, quantized_kv=True)
+                toks_p = jnp.asarray(
+                    rng.integers(1, cfg.vocab_size, (1, T)), jnp.int32
+                )
+
+                def run_p():
+                    t0 = time.time()
+                    lg, _ = prefill(params, cfg, toks_p, cache_p)
+                    np.asarray(lg[0, :1])
+                    return time.time() - t0
+
+                t0 = time.time()
+                run_p()
+                log(f"[bench] prefill T={T} compile+first {time.time() - t0:.1f}s")
+                best_p = min(max(run_p() - rtt, 1e-9) for _ in range(3))
+                tok_s_p = T / best_p
+                # matmul flops (2N per token) + causal attention
+                # (QK^T + PV: 2 * T^2/2 * nh*hd * 2 per layer)
+                flops = model_flops_per_token(cfg) * T + (
+                    2
+                    * T
+                    * T
+                    * cfg.num_attention_heads
+                    * cfg.hd
+                    * cfg.num_hidden_layers
+                )
+                mfu = flops / best_p / peak
+                prefill_detail[f"prefill_{T}_tokens_per_s"] = round(tok_s_p, 1)
+                prefill_detail[f"prefill_{T}_mfu"] = round(mfu, 4)
+                log(
+                    f"[bench] prefill T={T}: {best_p * 1e3:.1f} ms = "
+                    f"{tok_s_p:.0f} tok/s, MFU {mfu:.3f}"
+                )
+                del cache_p
+            except Exception as e:  # pragma: no cover
+                log(f"[bench] prefill T={T} failed: {e}")
+
+    # speculative decoding: accepted tokens per verify forward on a
+    # repetitive prompt (the prompt-lookup drafter's favorable regime) —
+    # exact-greedy speedup factor for HBM-bound decode (VERDICT r2 item 5)
+    spec_detail = {}
+    if batch == 1 and os.environ.get("QLLM_BENCH_SPEC", "1") != "0":
+        try:
+            from qllm_tpu.models.speculative import speculative_generate
+
+            prompt_s = jnp.asarray([[7, 8, 9, 10] * 16], jnp.int32)  # [1,64]
+            n_new = 48
+            t0 = time.time()
+            out_s, fwds = speculative_generate(
+                params, cfg, prompt_s, n_new, max_seq=192, gamma=4
+            )
+            np.asarray(out_s[:, -1])
+            log(f"[bench] spec compile+first {time.time() - t0:.1f}s")
+            t0 = time.time()
+            out_s, fwds = speculative_generate(
+                params, cfg, prompt_s, n_new, max_seq=192, gamma=4
+            )
+            np.asarray(out_s[:, -1])
+            wall_s = max(time.time() - t0 - rtt, 1e-9)
+            spec_detail["spec_tokens_per_forward"] = round(n_new / fwds, 2)
+            spec_detail["spec_tokens_per_s"] = round(n_new / wall_s, 1)
+            log(
+                f"[bench] spec: {fwds} forwards for {n_new} tokens = "
+                f"{n_new / fwds:.2f} tok/fwd, {n_new / wall_s:.1f} tok/s wall"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] spec sweep failed: {e}")
+
+    # W4A8 at batch 32: the compute-bound regime the int8-activation
+    # kernel targets (ServeConfig.w4a8 / --w4a8; VERDICT r2 item 10).
+    # Runs LAST among decode sweeps: the env flag is read at kernel
+    # trace time, so enabling it clears the decode_loop jit cache.
+    w4a8_detail = {}
+    if batch == 1 and os.environ.get("QLLM_BENCH_W4A8", "1") != "0":
+        try:
+            b32 = 32
+            cache32 = make_cache(cfg, b32, max_seq, quantized_kv=True)
+            token32 = jnp.ones((b32, 1), jnp.int32)
+
+            def run32():
+                t0 = time.time()
+                toks, _ = decode_loop(params, cfg, token32, cache32, pos0, steps)
+                np.asarray(toks[:, -1])
+                return time.time() - t0
+
+            t0 = time.time()
+            run32()
+            log(f"[bench] batch32 w4a16 compile+first {time.time() - t0:.1f}s")
+            best16 = min(max(run32() - rtt, 1e-9) for _ in range(3))
+            w4a8_detail["batch32_tokens_per_s"] = round(steps * b32 / best16, 1)
+            os.environ["QLLM_TPU_W4A8"] = "1"
+            decode_loop.clear_cache()
+            t0 = time.time()
+            run32()
+            log(f"[bench] batch32 w4a8 compile+first {time.time() - t0:.1f}s")
+            best8a = min(max(run32() - rtt, 1e-9) for _ in range(3))
+            w4a8_detail["batch32_w4a8_tokens_per_s"] = round(
+                steps * b32 / best8a, 1
+            )
+            log(
+                f"[bench] batch32: w4a16 {steps * b32 / best16:.1f} vs "
+                f"w4a8 {steps * b32 / best8a:.1f} tok/s/chip"
+            )
+        except Exception as e:  # pragma: no cover
+            log(f"[bench] w4a8 sweep failed: {e}")
+        finally:
+            os.environ.pop("QLLM_TPU_W4A8", None)
+            decode_loop.clear_cache()
+
     # practical streaming ceiling: the paper HBM number is not reachable
     # for this access pattern — measure a read-only pass over the byte-
     # dominant shape's blocks live, so achieved/practical is reproducible
@@ -297,6 +454,9 @@ def main():
             "roofline_tokens_per_s": round(roofline, 1),
             "hbm_bw_GBps": chip_bw() / 1e9,
             "batch8_tokens_per_s": batch8_tok_s,
+            **prefill_detail,
+            **spec_detail,
+            **w4a8_detail,
             "quantized_lm_head": q_head,
             "practical_stream_GBps": stream_gbps,
             "practical_ceiling_tokens_per_s": (
