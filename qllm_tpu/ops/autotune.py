@@ -29,6 +29,7 @@ import numpy as np
 __all__ = [
     "lookup",
     "tune_stacked",
+    "tune_for_tp_params",
     "cache_path",
     "clear_cache",
     "padded_width_hint",
@@ -144,9 +145,11 @@ def lookup(
         return (0, 0)
     if jax.default_backend() == "cpu":
         return (0, 0)
-    if kind != "stacked":
+    if kind not in ("stacked", "stacked_v3"):
         return (0, 0)
-    best = tune_stacked(K, N, bits, g, M)
+    # "stacked" = planar family (single-chip serving layout);
+    # "stacked_v3" = packed v3/v4 family (TP shards can't planarize)
+    best = tune_stacked(K, N, bits, g, M, planar=kind == "stacked")
     _MEM[key] = best
     _save()
     return best
@@ -192,12 +195,67 @@ def tune_for_stacked_params(params, Ms=(8,)) -> None:
         K = leaf.in_features
         N = leaf.qweight.shape[-1]
         g = K if leaf.group_size == -1 else leaf.group_size
+        kind = "stacked" if getattr(leaf, "planar", False) else "stacked_v3"
         for M in Ms:
-            key = (K, N, leaf.bits, g, _m_regime(M))
+            key = (kind, K, N, leaf.bits, g, _m_regime(M))
             if key in seen:
                 continue
             seen.add(key)
-            lookup("stacked", K, N, leaf.bits, g, M)
+            lookup(kind, K, N, leaf.bits, g, M)
+
+
+def tune_for_tp_params(params, tp: int, Ms=(8,)) -> None:
+    """Eagerly tune the LOCAL shard shapes a tp-way shard_map serving
+    path will hand the kernels (VERDICT r2: tuned_defaults covered only
+    full-K single-chip shapes; under tp the kernels see K/tp or N/tp and
+    `lookup` fell back to heuristics on a real pod).
+
+    ``params`` is the prepare_tp_params output (globally-shaped [L]
+    stacks). Column-parallel tensors shard out-features (local N =
+    N_buf/tp); row-parallel shard in-features (local K = K/tp). Call
+    BEFORE jitting the decode loop, on ONE device — the kernels run on
+    local shapes identically single-chip."""
+    from ..quant.qtensor import QuantizedTensor
+
+    col = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+    row = ("o_proj", "down_proj")
+    seen = set()
+
+    def tune_shape(K, N, bits, g, kind_note):
+        for M in Ms:
+            key = (K, N, bits, g, _m_regime(M))
+            if key in seen:
+                continue
+            seen.add(key)
+            # TP stacks are NON-planar (row sharding splits the planar
+            # word) — tune the v3/v4 family the shards actually run
+            lookup("stacked_v3", K, N, bits, g, M)
+
+    layers = params.get("layers", {})
+    items = list(layers.items()) if hasattr(layers, "items") else []
+    for name, leaf in items:
+        if not isinstance(leaf, QuantizedTensor):
+            continue
+        g = (
+            leaf.in_features
+            if leaf.group_size == -1
+            else leaf.group_size
+        )
+        N_buf = leaf.qweight.shape[-1]
+        if name in col:
+            if N_buf % tp:
+                continue
+            tune_shape(leaf.in_features, N_buf // tp, leaf.bits, g, name)
+        elif name in row:
+            if leaf.in_features % tp:
+                continue
+            tune_shape(leaf.in_features // tp, N_buf, leaf.bits, g, name)
+    lm = params.get("lm_head")
+    if isinstance(lm, QuantizedTensor):
+        g = lm.in_features if lm.group_size == -1 else lm.group_size
+        N_buf = lm.qweight.shape[-1]
+        if N_buf % tp == 0:
+            tune_shape(lm.in_features, N_buf // tp, lm.bits, g, "lm_head")
 
 
 def _time_once(fn, fetch) -> float:
@@ -207,10 +265,20 @@ def _time_once(fn, fetch) -> float:
 
 
 def tune_stacked(
-    K: int, N: int, bits: int, g: int, M: int, L: int = 4, repeats: int = 5
+    K: int,
+    N: int,
+    bits: int,
+    g: int,
+    M: int,
+    L: int = 4,
+    repeats: int = 5,
+    planar: Optional[bool] = None,
 ) -> Tuple[int, int]:
     """Sweep (bn, bk) candidates on the real stacked kernel for a
-    synthetic [L]-stack of this shape; returns the winner (bn, bk)."""
+    synthetic [L]-stack of this shape; returns the winner (bn, bk).
+    ``planar``: force the kernel family (None = planar when the
+    geometry admits it — the single-chip serving layout; False = the
+    packed v3/v4 layout TP shards use)."""
     import jax
     import jax.numpy as jnp
 
@@ -231,13 +299,11 @@ def tune_stacked(
 
     from ..quant.qtensor import planarize_packed
 
-    planar = (
-        bits == 4
-        and (
+    if planar is None or planar:
+        planar = bits == 4 and (
             pq.planar_bk(K, g_eff) is not None
             or pq.planar_full_ok(K, g_eff)
         )
-    )
     zs = stacked.zeros * stacked.scales
     if planar:
         pqw = jnp.stack(

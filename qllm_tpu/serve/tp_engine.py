@@ -68,6 +68,17 @@ class TPEngine(ContinuousBatchingEngine):
         self.tp = mesh.shape[axis]
         if not prepared:
             params = prepare_tp_params(params, cfg, self.tp)
+        import os
+
+        if os.environ.get("QLLM_TPU_AUTOTUNE") == "1":
+            # tune the LOCAL shard shapes the shard_map body will hand
+            # the kernels (must run OUTSIDE any trace — lookups from
+            # inside a jit can only read the cache)
+            from ..ops.autotune import tune_for_tp_params
+
+            tune_for_tp_params(
+                params, self.tp, Ms=(serve_cfg.max_batch,)
+            )
         super().__init__(params, cfg, serve_cfg)
         self.params, self.cache = place_tp(self.params, self.cache, mesh)
         self._pspecs = stacked_tp_pspecs(self.params)

@@ -118,3 +118,50 @@ def test_stack_pads_to_tuned_width(monkeypatch, tmp_path):
     got = stacked["layers"]["o_proj"]
     assert got.qweight.shape[-1] == 1024  # tuned wider width applied
     assert got.out_features == N
+
+
+def test_tune_for_tp_params_tunes_local_shard_shapes(monkeypatch, tmp_path):
+    """Under tp the kernels see LOCAL shapes (col: N/tp, row: K/tp) —
+    the tuner must be invoked on those, not the global stack shapes
+    (VERDICT r2 weak #5)."""
+    _reset(monkeypatch, tmp_path)
+    import jax
+    import jax.numpy as jnp
+
+    from qllm_tpu.models.llama import ModelConfig
+    from qllm_tpu.parallel.tp_step import prepare_tp_params
+    from qllm_tpu.utils.testing import random_quantized_params
+
+    tp = 2
+    cfg = ModelConfig(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+    params = random_quantized_params(
+        cfg, jax.random.key(0), bits=4, group_size=64, quantize_lm_head=True
+    )
+    params = prepare_tp_params(params, cfg, tp)
+
+    calls = []
+    monkeypatch.setattr(
+        at, "lookup", lambda kind, K, N, bits, g, M: calls.append((K, N)) or (0, 0)
+    )
+    at.tune_for_tp_params(params, tp, Ms=(8,))
+
+    layers = params["layers"]
+    nhd = layers["q_proj"].qweight.shape[-1]  # q out width (possibly padded)
+    iw = layers["gate_proj"].qweight.shape[-1]  # padded intermediate
+    dk = layers["down_proj"].in_features
+    lmw = params["lm_head"].qweight.shape[-1]
+    # col-parallel: full K, N/tp
+    assert (cfg.hidden_size, nhd // tp) in calls  # q/k/v
+    assert (cfg.hidden_size, iw // tp) in calls  # gate/up
+    assert (params["lm_head"].in_features, lmw // tp) in calls  # lm_head
+    # row-parallel: K/tp, full N
+    assert (layers["o_proj"].in_features // tp, layers["o_proj"].qweight.shape[-1]) in calls
+    assert (dk // tp, layers["down_proj"].qweight.shape[-1]) in calls
