@@ -550,6 +550,20 @@ def _cfg_stablelm(d):
     )
 
 
+def _cfg_stablelm_epoch(d):
+    """Legacy stabilityai/stablelm-*-epoch trust-remote-code dialect
+    (reference table: sequential_layes_gptq_config.py
+    StableLMEpochForCausalLM): same llama-shaped weights, but the
+    config spells partial rotary as ``rope_pct`` and the eps as
+    ``norm_eps``."""
+    d = dict(d)
+    d.setdefault("partial_rotary_factor", d.get("rope_pct", 0.25))
+    d.setdefault("layer_norm_eps", d.get("norm_eps", 1e-5))
+    # the epoch models use RMSNorm-style no-bias LayerNorm with silu MLP
+    d.setdefault("use_qkv_bias", False)
+    return _cfg_stablelm(d)
+
+
 def _cfg_phi(d):
     hd = d["hidden_size"] // d["num_attention_heads"]
     return ModelConfig(
@@ -991,6 +1005,9 @@ _SPECS = [
         config_fn=_cfg_starcoder2,
     ),
     _llama_spec("stablelm", "StableLmForCausalLM", _cfg_stablelm),
+    _llama_spec(
+        "stablelm_epoch", "StableLMEpochForCausalLM", _cfg_stablelm_epoch
+    ),
     ArchSpec(
         kind="phi",
         hf_arch="PhiForCausalLM",
@@ -1129,6 +1146,13 @@ def spec_for_config(d: dict) -> ArchSpec:
         # ModelConfig fields, not in HF-native keys
         return spec_from_model_config(model_config_from_hf_dict(d))
     archs = d.get("architectures") or ["LlamaForCausalLM"]
+    if "num_key_value_heads_per_layer" in d:
+        # DeciLM-style variable GQA: kv-head count differs per layer,
+        # which the uniform stacked KV cache cannot represent
+        raise NotImplementedError(
+            f"{archs[0]}: per-layer variable GQA "
+            "(num_key_value_heads_per_layer) is not supported"
+        )
     try:
         spec = get_spec(archs[0])
     except NotImplementedError:

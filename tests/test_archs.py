@@ -1056,3 +1056,32 @@ def test_sliding_window_cached_decode_beyond_window(tmp_path):
             cache,
             pos=jnp.int32(seq.shape[1] - 1),
         )
+
+
+def test_stablelm_epoch_dialect_maps_to_stablelm_spec():
+    """Legacy StableLMEpochForCausalLM (trust-remote-code dialect:
+    rope_pct / norm_eps) loads through the stablelm spec with partial
+    rotary and eps translated (reference table:
+    sequential_layes_gptq_config.py StableLMEpochForCausalLM)."""
+    from qllm_tpu.modeling.archs import get_spec
+
+    spec = get_spec("StableLMEpochForCausalLM")
+    assert spec.kind == "stablelm_epoch"
+    cfg = spec.config_fn(
+        dict(
+            architectures=["StableLMEpochForCausalLM"],
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            max_position_embeddings=128,
+            rope_pct=0.25,
+            norm_eps=1e-5,
+            rope_theta=10000.0,
+        )
+    )
+    assert cfg.rotary_dim == int(16 * 0.25)  # hd=16, 25% rotary
+    assert abs(cfg.rms_norm_eps - 1e-5) < 1e-12
+    assert cfg.norm_type == "layernorm"
