@@ -581,6 +581,68 @@ def _qmm_kernel_v4_stacked(
         out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
+def _qmm_kernel_w4a8_v3_stacked(
+    layer_ref,  # scalar prefetch [1]
+    xq_ref,  # [npar, gpb, bm, seg] int8 (quantized activations)
+    qw_ref,  # [1, bk/pf, bn] uint32
+    scale_ref,  # [1, gpb, bn] f32 or bf16
+    out_ref,  # [bm, bn] f32
+    acc_ref,
+    *,
+    bits: int,
+    bk: int,
+    g: int,
+):
+    """W4A8 for the packed v3 layout (the one TP shards run — row
+    sharding splits the planar word, see _qmm_kernel_planar_full's a8
+    mode for the single-chip planar variant): int8 activations, int8
+    dequant fields, s8 x s8 -> s32 MXU dots, per-group scale to f32.
+    Zero-point correction and the per-token scale are applied OUTSIDE
+    (the v3 family's default — in-kernel outer products measurably slow
+    this layout)."""
+    del layer_ref
+    npar = 8 // bits
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpb = bk // g
+    seg = g // npar
+    word_mask = 0
+    for b in range(4):
+        word_mask |= ((1 << bits) - 1) << (8 * b)
+
+    qw = pltpu.bitcast(qw_ref[0], jnp.int32)
+    vs = []
+    for p in range(npar):
+        vp = (
+            jax.lax.shift_right_logical(qw, jnp.int32(bits * p))
+            & jnp.int32(word_mask)
+        )
+        vs.append(pltpu.bitcast(vp, jnp.int8))  # stays int8
+    sc = scale_ref[0].astype(jnp.float32)
+    acc = acc_ref[:]
+    for gi in range(gpb):
+        d32 = None
+        for p in range(npar):
+            d = jax.lax.dot_general(
+                xq_ref[p, gi],
+                vs[p][gi * seg : (gi + 1) * seg],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            d32 = d if d32 is None else d32 + d
+        acc = acc + d32.astype(jnp.float32) * sc[gi : gi + 1, :]
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
 def _choose_bk_odd(K: int, g: int, target: int):
     """k-block for the odd-bit (bit-plane) stacked kernel, or None.
 
@@ -1253,8 +1315,24 @@ def _qmm_2d_stacked(
 
     bk = _choose_bk(K, g, pf, bk_target)
     seg = g // npar
+    # W4A8 for the v3/v4 packed family (TP shards, non-planar stacks):
+    # per-token int8 activations; token scale + zero-point correction
+    # applied outside (the v3 default). See _qmm_kernel_w4a8_v3_stacked.
+    a8 = (
+        os.environ.get("QLLM_TPU_W4A8") == "1"
+        and bits in (2, 4)
+        and prefolded
+        and not fuse_corr
+    )
+    sx = None
+    if a8:
+        xf8 = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf8), axis=1), 1e-8) / 127.0
+        x = jnp.clip(jnp.round(xf8 / sx[:, None]), -127, 127).astype(
+            jnp.int8
+        )
     xq = (
-        x.astype(jnp.float32)
+        (x if a8 else x.astype(jnp.float32))
         .reshape(M, G, seg, npar)
         .transpose(3, 1, 0, 2)
     )
@@ -1289,6 +1367,10 @@ def _qmm_2d_stacked(
             pl.BlockSpec((1, bk // g, bn), w_spec, memory_space=pltpu.VMEM)
         )
         operands = [zeros]
+    elif a8:
+        kernel = functools.partial(
+            _qmm_kernel_w4a8_v3_stacked, bits=bits, bk=bk, g=g
+        )
     else:
         kernel = functools.partial(
             _qmm_kernel_v3_stacked, bits=bits, bk=bk, g=g, f32_dot=True
@@ -1328,7 +1410,10 @@ def _qmm_2d_stacked(
         else zeros[layer].astype(jnp.float32) * scales_f[layer]
     )
     corr = jnp.dot(xsum, zs, preferred_element_type=jnp.float32)
-    return (out - corr).astype(jnp.bfloat16)
+    y = out - corr
+    if sx is not None:  # a8: undo the per-token activation scale
+        y = y * sx[:, None]
+    return y.astype(jnp.bfloat16)
 
 
 def _tuned_blocks(

@@ -479,3 +479,55 @@ def test_w4a8_stacked_planar_full_matches_ref(monkeypatch):
             )
     finally:
         pq._qmm_2d_stacked.clear_cache()
+
+
+def test_w4a8_v3_stacked_matches_ref(monkeypatch):
+    """W4A8 on the packed v3 (non-planar) family — the layout TP shards
+    run (row sharding splits the planar word). External zero-point
+    correction on x8 sums + per-token scale outside."""
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    import qllm_tpu.ops.pallas_qmm as pq
+    from qllm_tpu.models.stacked import stack_layer_params
+    from qllm_tpu.ops.pallas_qmm import qmatmul_pallas_stacked
+
+    K, N, g, L, M = 1536, 384, 64, 2, 8
+    rng = np.random.default_rng(23)
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
+            bits=4,
+            group_size=g,
+        )
+        for _ in range(L)
+    ]
+    params = {
+        "embed_tokens": jnp.zeros((8, 8)),
+        "norm": jnp.ones((8,)),
+        "layers": [{"q_proj": qt} for qt in qts],
+    }
+    # planar=False + f32 scales: the prepare_tp_params stacking layout
+    sp = stack_layer_params(params, planar=False, lane_quantum=1)
+    stacked = sp["layers"]["q_proj"]
+    assert not stacked.planar
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    y16 = [
+        np.asarray(qmatmul_pallas_stacked(x, stacked, jnp.int32(i)))
+        for i in range(L)
+    ]
+    monkeypatch.setenv("QLLM_TPU_W4A8", "1")
+    pq._qmm_2d_stacked.clear_cache()
+    try:
+        for layer in range(L):
+            y8 = np.asarray(
+                qmatmul_pallas_stacked(x, stacked, jnp.int32(layer))
+            )
+            y_ref = np.asarray(qmatmul_ref(x, qts[layer]))
+            scale = np.abs(y_ref).max()
+            np.testing.assert_allclose(
+                y8, y_ref, atol=0.03 * scale, rtol=0.05
+            )
+            np.testing.assert_allclose(
+                y8, y16[layer], atol=0.03 * scale, rtol=0.05
+            )
+    finally:
+        pq._qmm_2d_stacked.clear_cache()

@@ -185,3 +185,53 @@ def test_pad_in_out_features_exact():
     np.testing.assert_allclose(
         d[:64], np.asarray(dequantize_tensor(qt)), rtol=1e-6
     )
+
+
+def test_tp_w4a8_decode_runs_and_close(monkeypatch):
+    """QLLM_TPU_W4A8=1 under the shard_map TP path: the v3 a8 kernel
+    serves local shards; greedy tokens stay valid and the first-step
+    logits stay within int8-activation tolerance of the W4A16 TP run."""
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    import qllm_tpu.ops.pallas_qmm as pq
+    from jax.sharding import PartitionSpec as P
+    from qllm_tpu.serve.tp_engine import _gather_full
+
+    params = _params()
+    mesh = make_mesh(dp=2, tp=4)
+    tp_params = prepare_tp_params(params, CFG, tp=4)
+    cache = make_cache(CFG, 2, 64, quantized_kv=True)
+    tp_params, cache = place_tp(tp_params, cache, mesh)
+
+    def logits_fn(params, token, cache, pos):
+        lg, _ = tp_forward_stacked(params, CFG, token, cache, pos, 4)
+        return _gather_full(lg, "tp", CFG.vocab_size)
+
+    import functools
+
+    shm = jax.jit(
+        jax.shard_map(
+            logits_fn,
+            mesh=mesh,
+            in_specs=(
+                __import__("qllm_tpu.parallel.tp_step", fromlist=["x"])
+                .stacked_tp_pspecs(tp_params),
+                P("dp", None),
+                __import__("qllm_tpu.parallel.tp_step", fromlist=["x"])
+                .tp_cache_pspecs(cache),
+                P(),
+            ),
+            out_specs=P("dp", None, None),
+            check_vma=False,
+        )
+    )
+    tok = jnp.ones((2, 1), jnp.int32)
+    l16 = np.asarray(shm(tp_params, tok, cache, jnp.int32(0)), np.float32)
+    monkeypatch.setenv("QLLM_TPU_W4A8", "1")
+    pq._qmm_2d_stacked.clear_cache()
+    shm.clear_cache()
+    try:
+        l8 = np.asarray(shm(tp_params, tok, cache, jnp.int32(0)), np.float32)
+        rel = np.linalg.norm(l8 - l16) / max(np.linalg.norm(l16), 1e-9)
+        assert rel < 0.15, f"tp w4a8 logits rel err {rel}"
+    finally:
+        pq._qmm_2d_stacked.clear_cache()

@@ -20,7 +20,7 @@ Only (b) is addressable by kernel work; (a) is a property of the
 layout. This tool exists to separate the two (VERDICT r2 item 3).
 
 Usage: python tools/ceiling_analysis.py [> report]
-Env: QLLM_CA_ITERS (default 384), QLLM_CA_M (default 1).
+Env: QLLM_CA_M (default 1). Iterations auto-sized per shape.
 """
 
 import dataclasses
@@ -42,9 +42,18 @@ def log(*a):
     print(*a, flush=True)
 
 
-ITERS = int(os.environ.get("QLLM_CA_ITERS", "384"))
 M = int(os.environ.get("QLLM_CA_M", "1"))
 L = 4
+
+
+def iters_for(nbytes: int) -> int:
+    """Size the long run to >= ~250 ms of device time at ~700 GB/s —
+    smaller totals drown in tunnel jitter (a 26 us kernel at 384 iters
+    is ~10 ms total, and the first cut of this tool printed physically
+    impossible numbers like 921 GB/s for down_proj because of it)."""
+    est = nbytes / 700e9
+    n = max(512, int(0.25 / est))
+    return min(n, 32768)
 
 # 7B serving shapes: (name, K, N_padded, g, serving bn from tuned_defaults)
 SHAPES = [
@@ -55,18 +64,20 @@ SHAPES = [
 ]
 
 
-def kernel_seconds(fn, x):
+def kernel_seconds(fn, x, iters):
     """Slope-timed per-call seconds for fn(x) (RTT-immune)."""
 
     def one(c, _):
         y = fn(c)
-        return c * (1 + 0 * y[0, 0]).astype(c.dtype), None
+        # additive 1e-30 dependency: a `0 * y` factor gets algebraically
+        # simplified away and the kernel DCE'd (see ops.stream_bench)
+        return c + (1e-30 * y[:, :1]).astype(c.dtype), None
 
     def loop(x0, n):
         xx, _ = jax.lax.scan(one, x0, None, length=n)
         return xx
 
-    lo_n, hi_n = ITERS // 8, ITERS
+    lo_n, hi_n = iters // 8, iters
     lo = jax.jit(functools.partial(loop, n=lo_n))
     hi = jax.jit(functools.partial(loop, n=hi_n))
     np.asarray(lo(x))
@@ -119,14 +130,16 @@ def main():
                 continue
             try:
                 sec = stream_pass_seconds(
-                    qw_raw, bk=K, bn=bn, pf=8, iters=ITERS
+                    qw_raw, bk=K, bn=bn, pf=8, iters=iters_for(wbytes)
                 )
                 stream[bn] = wbytes / sec / 1e9
                 log(f"[{name} {K}x{N}] stream bn={bn}: {stream[bn]:.0f} GB/s")
             except Exception as e:
                 log(f"[{name} {K}x{N}] stream bn={bn} failed: {e}")
         sec_k = kernel_seconds(
-            lambda xx: qmatmul_pallas_stacked(xx, st, layer), x
+            lambda xx: qmatmul_pallas_stacked(xx, st, layer),
+            x,
+            iters_for(wbytes + sbytes),
         )
         gbps_k = (wbytes + sbytes) / sec_k / 1e9
         log(
