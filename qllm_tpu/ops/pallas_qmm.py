@@ -1035,6 +1035,13 @@ def _qmm_2d_stacked(
         N, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512"))
     )
     bm = M
+    if M > 32 and planar:
+        # PREFILL through the stacked planar kernels (M = token count):
+        # block the row axis instead of falling back to XLA relayout —
+        # the unplanarize/repack chain profiled at 205 ms of a 437 ms
+        # T=2048 7B prefill. Weight re-reads cost (M/bm)x stack bytes,
+        # far below the relayout it replaces.
+        bm = _pick_block(M, 8, 256)
     bk_target = bk_opt or int(os.environ.get("QLLM_TPU_QMM_BK", "2048"))
 
     if norm_w is not None and not planar:
@@ -1057,6 +1064,10 @@ def _qmm_2d_stacked(
             and planar_full_ok(K, g)
             and full_bytes
             <= int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
+            # at prefill the blocked kernel wins when the geometry
+            # admits a k-block: the full-K variant materializes
+            # f32 [K/2, bn] dequant planes that crowd VMEM at large bm
+            and (M <= 32 or bkp is None)
         )
         if norm_w is not None and not (use_full or bkp is None):
             x = _rms_norm_rows(x, norm_w[layer], norm_eps)
@@ -1077,6 +1088,21 @@ def _qmm_2d_stacked(
             if a8 and norm_w is not None:
                 x = _rms_norm_rows(x, norm_w[layer], norm_eps)
                 norm_w = None
+            if M > 32:
+                # PREFILL sizing: the kernel materializes v_lo/v_hi as
+                # f32 [K/2, bn] (K*bn*4 bytes total) — at prefill block
+                # sizes that alone can blow the ~16 MB scoped VMEM
+                # (observed: down-proj K=11008 OOM by 380 KB). Shrink bn
+                # first, then size bm from what remains.
+                budget = 11 << 20
+                while bn > 128 and K * bn * 4 + (K // 8) * bn * 4 > (
+                    budget - 64 * K * 2
+                ):
+                    bn //= 2
+                rem = budget - K * bn * 4 - (K // 8) * bn * 4 - bn * 4096
+                cap = max(8, rem // (K * 2) // 8 * 8)
+                if bm > cap:
+                    bm = _pick_block(M, 8, cap)
             G_all = K // g
             grid = (M // bm, N // bn)
             kernel = functools.partial(
@@ -1480,7 +1506,10 @@ def qmatmul_pallas_stacked(
     ok = (
         bits in (2, 3, 4, 5, 6, 7)
         and qt_stacked.perm is None
-        and M <= 32
+        # decode (M<=32) for every family; planar 4-bit also serves
+        # PREFILL via bm-blocked grids (in-kernel unpack beats the XLA
+        # unplanarize fallback by ~45% of prefill wall at T=2048)
+        and (M <= 32 or (qt_stacked.planar and bits == 4))
         and (
             jax.default_backend() != "cpu"
             or bool(os.environ.get("QLLM_TPU_FORCE_STACKED_KERNEL"))
@@ -1512,6 +1541,45 @@ def qmatmul_pallas_stacked(
 
         if norm_w is not None:
             x = _rms_norm_rows(x, norm_w[layer], norm_eps)
+        if (
+            qt_stacked.planar
+            and bits == 4
+            and M > 32
+            and qt_stacked.perm is None
+            and os.environ.get("QLLM_TPU_PREFILL_DEQUANT", "0") == "1"
+        ):
+            # Direct planar dequant -> dense bf16 dot. MEASURED SLOWER
+            # than the generic fallback on v5e (T=2048: 474.7 vs 438.1
+            # ms; T=512: 271.6 vs 194.5 — same harness A/B 2026-08-19):
+            # XLA materializes the 8x-wide u32 unpack intermediates
+            # instead of fusing them into the dot operand. Kept as an
+            # env-gated experiment, default OFF; the shipped prefill
+            # path is the bm-blocked stacked planar kernel below.
+            G_all = K // g
+            q32 = qt_stacked.qweight[layer].astype(jnp.uint32)  # [K/8, Nb]
+            byte_shift = (jnp.arange(4, dtype=jnp.uint32) * 8)[None, :, None]
+            lo = (q32[:, None, :] >> byte_shift) & jnp.uint32(0xF)
+            hi = (q32[:, None, :] >> (byte_shift + 4)) & jnp.uint32(0xF)
+            vals = jnp.concatenate(
+                [lo.reshape(K // 2, N_buf), hi.reshape(K // 2, N_buf)],
+                axis=0,
+            ).astype(jnp.float32)
+            sc_l = qt_stacked.scales[layer].astype(jnp.float32)
+            zr_l = qt_stacked.zeros[layer].astype(jnp.float32)
+            if not qt_stacked.zeros_prefolded:
+                zr_l = zr_l * sc_l
+            w_l = (
+                vals.reshape(G_all, g, N_buf) * sc_l[:, None, :]
+                - zr_l[:, None, :]
+            ).reshape(K, N_buf).astype(jnp.bfloat16)
+            y = jnp.dot(
+                x.reshape(M, K).astype(jnp.bfloat16),
+                w_l,
+                preferred_element_type=jnp.float32,
+            )
+            if N_buf != N:
+                y = y[:, :N]
+            return y.reshape(*lead, N).astype(x.dtype)
         qt = jax.tree_util.tree_map(lambda a: a[layer], qt_stacked)
         import dataclasses as _dc
 

@@ -531,3 +531,43 @@ def test_w4a8_v3_stacked_matches_ref(monkeypatch):
             )
     finally:
         pq._qmm_2d_stacked.clear_cache()
+
+
+@pytest.mark.parametrize("K,N,g", [(768, 256, 128), (2048, 256, 128)])
+@pytest.mark.parametrize("M", [64, 256])
+def test_planar_stacked_prefill_matches_ref(monkeypatch, K, N, g, M):
+    """M>32 routes through the bm-blocked stacked planar kernels
+    (K=768: full-K variant with VMEM-fit sizing; K=2048: blocked) —
+    prefill no longer pays the XLA unplanarize fallback (measured
+    +37% at T=2048, 3.0x at T=512 on v5e)."""
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    import dataclasses
+
+    from qllm_tpu.quant.qtensor import planarize_packed
+    from qllm_tpu.ops.pallas_qmm import qmatmul_pallas_stacked
+
+    rng = np.random.default_rng(29)
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
+            bits=4,
+            group_size=g,
+        )
+        for _ in range(2)
+    ]
+    st = dataclasses.replace(
+        qts[0],
+        qweight=jnp.stack([planarize_packed(q.qweight, K) for q in qts]),
+        scales=jnp.stack([q.scales.astype(jnp.bfloat16) for q in qts]),
+        zeros=jnp.stack(
+            [(q.zeros * q.scales).astype(jnp.bfloat16) for q in qts]
+        ),
+        planar=True,
+        zeros_prefolded=True,
+    )
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    for layer in range(2):
+        y = np.asarray(qmatmul_pallas_stacked(x, st, jnp.int32(layer)))
+        y_ref = np.asarray(qmatmul_ref(x, qts[layer]))
+        scale = np.abs(y_ref).max()
+        np.testing.assert_allclose(y, y_ref, atol=4e-2 * scale, rtol=4e-2)
