@@ -617,7 +617,6 @@ def _flash_prefill_ok(cfg, T: int, hd: int) -> bool:
     return (
         T >= int(_os.environ.get("QLLM_TPU_PREFILL_FLASH_MIN_T", "256"))
         and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
-        and cfg.attn_logit_softcap == 0.0  # kernel lacks the tanh cap
         and hd % 128 == 0  # lane-aligned head width
         and _pallas_attn_enabled()
     )
@@ -720,10 +719,18 @@ def _block_attn_mlp(
             T == 1
             and cache.quantized
             and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
-            and cfg.attn_logit_softcap == 0.0  # kernel lacks the tanh cap
             and not layer_uses_swa(cfg, layer_idx)  # kernels attend [0, len)
             and _pallas_attn_enabled()
         )
+        if (
+            can_kernel
+            and cache.ring_k is not None
+            and cfg.attn_logit_softcap != 0.0
+        ):
+            raise NotImplementedError(
+                "ring-fused decode does not apply the logit softcap — "
+                "create the cache with ring=False for gemma2-style models"
+            )
         if can_kernel and cache.ring_k is not None:
             # ring-fused path: the attention kernel appends this token's
             # k/v to the bf16 ring itself — NO separate write launch.
@@ -790,6 +797,7 @@ def _block_attn_mlp(
                 cache.v_scale,
                 lengths,
                 layer=layer_idx,
+                softcap=cfg.attn_logit_softcap,
             )[:, None].astype(h.dtype)
         elif can_kernel:
             cache = cache.update(layer_idx, k, v, pos)
@@ -809,6 +817,7 @@ def _block_attn_mlp(
                 cache.v_scale,
                 lengths,
                 layer=layer_idx,
+                softcap=cfg.attn_logit_softcap,
             )[:, None].astype(h.dtype)
         else:
             if cache.ring_k is not None and T == 1:
@@ -826,7 +835,12 @@ def _block_attn_mlp(
                 from ..ops.pallas_attention import prefill_attention_flash
 
                 attn = prefill_attention_flash(
-                    q, k_all, v_all, 0 if pos is None else pos, cfg.n_rep
+                    q,
+                    k_all,
+                    v_all,
+                    0 if pos is None else pos,
+                    cfg.n_rep,
+                    softcap=cfg.attn_logit_softcap,
                 ).astype(h.dtype)
             else:
                 attn = _attention(
@@ -838,7 +852,12 @@ def _block_attn_mlp(
         from ..ops.pallas_attention import prefill_attention_flash
 
         attn = prefill_attention_flash(
-            q, k, v, 0 if pos is None else pos, cfg.n_rep
+            q,
+            k,
+            v,
+            0 if pos is None else pos,
+            cfg.n_rep,
+            softcap=cfg.attn_logit_softcap,
         ).astype(h.dtype)
     else:
         attn = _attention(q, k, v, mask, cfg.n_rep, cfg.attn_logit_softcap)

@@ -44,6 +44,8 @@ def _attn_kernel(
     ks_ref,  # [1, hb, 1, S] f32
     vs_ref,  # [1, hb, 1, S] f32
     o_ref,  # [1, hb, n_rep_p, d]
+    *,
+    softcap: float = 0.0,
 ):
     b = pl.program_id(0)
     hb = k_ref.shape[1]
@@ -59,6 +61,11 @@ def _attn_kernel(
             preferred_element_type=jnp.float32,
         )  # [n_rep_p, S]
         scores = scores * ks
+        if softcap:
+            # gemma2 attn_logit_softcapping: cap*tanh(logits/cap),
+            # applied to the TRUE logits (after the int8-K scale fold),
+            # BEFORE the length mask — HF eager semantics
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col < length, scores, -jnp.inf)
 
@@ -82,6 +89,8 @@ def _attn_kernel_stacked(
     ks_ref,  # [1, 1, hb, 1, S]
     vs_ref,
     o_ref,  # [1, hb, n_rep_p, d]
+    *,
+    softcap: float = 0.0,
 ):
     del layer_ref
 
@@ -94,7 +103,14 @@ def _attn_kernel_stacked(
             return self.ref[0][idx]
 
     _attn_kernel(
-        lengths_ref, q_ref, _V(k_ref), _V(v_ref), _V(ks_ref), _V(vs_ref), o_ref
+        lengths_ref,
+        q_ref,
+        _V(k_ref),
+        _V(v_ref),
+        _V(ks_ref),
+        _V(vs_ref),
+        o_ref,
+        softcap=softcap,
     )
 
 
@@ -388,9 +404,9 @@ def _decode_attention_stacked_chunked(
     return out[:, :, :n_rep, :].reshape(B, H, d)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("softcap",))
 def _decode_attention_stacked(
-    q, k_cache, v_cache, k_scale, v_scale, lengths, layer
+    q, k_cache, v_cache, k_scale, v_scale, lengths, layer, softcap=0.0
 ):
     B, H, d = q.shape
     L, _, Hkv, S, _ = k_cache.shape
@@ -447,7 +463,7 @@ def _decode_attention_stacked(
         ),
     )
     out = pl.pallas_call(
-        _attn_kernel_stacked,
+        functools.partial(_attn_kernel_stacked, softcap=softcap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
         interpret=jax.default_backend() == "cpu",
@@ -463,7 +479,7 @@ def _decode_attention_stacked(
     return out[:, :, :n_rep, :].reshape(B, H, d)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("softcap",))
 def decode_attention_pallas(
     q: jax.Array,  # [B, H, d] queries for ONE decode step
     k_cache: jax.Array,  # [B, H_kv, S, d] int8 — or [L, B, H_kv, S, d]
@@ -472,6 +488,7 @@ def decode_attention_pallas(
     v_scale: jax.Array,
     lengths: jax.Array,  # [B] int32: attend to cache[:length]
     layer: jax.Array = None,  # int32 scalar when caches carry the [L] axis
+    softcap: float = 0.0,  # gemma2 logit soft-capping
 ) -> jax.Array:
     if k_cache.ndim == 5:
         # layer-stacked caches: select the layer INSIDE the kernel's
@@ -484,12 +501,19 @@ def decode_attention_pallas(
             bs = next(
                 b for b in (2048, 1024, 512, 256, 128) if S % b == 0
             )
+            if softcap:
+                raise NotImplementedError(
+                    "softcap not wired into the chunked long-context "
+                    "decode kernel — lower QLLM_TPU_ATTN_ONESHOT_S only "
+                    "for softcap-free models"
+                )
             return _decode_attention_stacked_chunked(
                 q, k_cache, v_cache, k_scale, v_scale, lengths, layer,
                 bs=bs,
             )
         return _decode_attention_stacked(
-            q, k_cache, v_cache, k_scale, v_scale, lengths, layer
+            q, k_cache, v_cache, k_scale, v_scale, lengths, layer,
+            softcap=softcap,
         )
     B, H, d = q.shape
     _, Hkv, S, _ = k_cache.shape
@@ -537,7 +561,7 @@ def decode_attention_pallas(
         ),
     )
     out = pl.pallas_call(
-        _attn_kernel,
+        functools.partial(_attn_kernel, softcap=softcap),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -572,6 +596,7 @@ def _flash_prefill_kernel(
     bq: int,
     bs: int,
     n_rep: int,
+    softcap: float = 0.0,
 ):
     b = pl.program_id(0)
     it = pl.program_id(2)
@@ -603,12 +628,16 @@ def _flash_prefill_kernel(
     def qk():
         q = q_ref[0, :, 0].reshape(R, d)  # row r: query t = r // n_rep
         k = k_ref[0, 0]  # [bs, d]
-        return jax.lax.dot_general(
+        scores = jax.lax.dot_general(
             q,
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [R, bs]
+        if softcap:
+            # gemma2: cap*tanh(logits/cap) BEFORE the causal mask
+            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+        return scores
 
     # tile classification (VPU passes over [R, bs] dominate this kernel;
     # interior tiles — every key visible to every query — skip the two
@@ -637,13 +666,14 @@ def _flash_prefill_kernel(
         o_ref[0, :, 0] = (acc_ref[:] / den_ref[:]).reshape(bq, n_rep, d)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rep",))
+@functools.partial(jax.jit, static_argnames=("n_rep", "softcap"))
 def prefill_attention_flash(
     q: jax.Array,  # [B, T, H, d]
     k: jax.Array,  # [B, S, Hkv, d]
     v: jax.Array,  # [B, S, Hkv, d]
     pos,  # scalar or [B]: query t sits at absolute position pos + t
     n_rep: int,
+    softcap: float = 0.0,
 ) -> jax.Array:
     """Blockwise causal prefill attention, numerics matching
     models.llama._attention with build_mask's causal(+offset) mask:
@@ -695,7 +725,7 @@ def prefill_attention_flash(
     )
     out = pl.pallas_call(
         functools.partial(
-            _flash_prefill_kernel, bq=bq, bs=bs, n_rep=n_rep
+            _flash_prefill_kernel, bq=bq, bs=bs, n_rep=n_rep, softcap=softcap
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(

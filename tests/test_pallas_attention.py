@@ -335,3 +335,77 @@ def test_model_prefill_with_flash_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(lc), np.asarray(lc_ref), atol=5e-2, rtol=5e-2
     )
+
+
+def test_decode_attention_softcap_matches_reference():
+    """gemma2 logit soft-capping (cap*tanh(logits/cap) before the mask)
+    inside the decode kernel vs a numpy reference."""
+    rng = np.random.default_rng(5)
+    B, Hkv, S, d, n_rep, cap = 2, 2, 128, 128, 2, 30.0
+    H = Hkv * n_rep
+    q = rng.normal(size=(B, H, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (B, Hkv, S, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (B, Hkv, S, d)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (B, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (B, Hkv, S)).astype(np.float32)
+    lengths = np.array([100, 37], np.int32)
+
+    out = np.asarray(
+        decode_attention_pallas(
+            jnp.asarray(q),
+            jnp.asarray(k),
+            jnp.asarray(v),
+            jnp.asarray(ks),
+            jnp.asarray(vs),
+            jnp.asarray(lengths),
+            softcap=cap,
+        )
+    )
+    kf = k.astype(np.float32) * ks[..., None]
+    vf = v.astype(np.float32) * vs[..., None]
+    kk = np.repeat(kf, n_rep, axis=1)
+    vv = np.repeat(vf, n_rep, axis=1)
+    scores = np.einsum("bhd,bhsd->bhs", q, kk) / np.sqrt(d)
+    scores = cap * np.tanh(scores / cap)
+    mask = np.arange(S)[None, None, :] < lengths[:, None, None]
+    scores = np.where(mask, scores, -np.inf)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhs,bhsd->bhd", p, vv)
+    np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_flash_prefill_softcap_matches_reference():
+    from qllm_tpu.ops.pallas_attention import prefill_attention_flash
+
+    rng = np.random.default_rng(6)
+    B, T, S, Hkv, n_rep, d, cap = 1, 100, 100, 2, 2, 128, 30.0
+    H = Hkv * n_rep
+    q = rng.normal(size=(B, T, H, d)).astype(np.float32)
+    k = rng.normal(size=(B, S, Hkv, d)).astype(np.float32)
+    v = rng.normal(size=(B, S, Hkv, d)).astype(np.float32)
+    pos = [0]
+    out = np.asarray(
+        prefill_attention_flash(
+            jnp.asarray(q),
+            jnp.asarray(k),
+            jnp.asarray(v),
+            jnp.asarray(pos, jnp.int32),
+            n_rep,
+            softcap=cap,
+        )
+    )
+    kk = np.repeat(k, n_rep, axis=2)
+    vv = np.repeat(v, n_rep, axis=2)
+    logits = np.einsum("bthd,bshd->bhts", q, kk) / np.sqrt(d)
+    logits = cap * np.tanh(logits / cap)
+    t = np.arange(T)[:, None]
+    s = np.arange(S)[None, :]
+    ref = np.zeros((B, T, H, d), np.float32)
+    for b in range(B):
+        m = np.where(s <= pos[b] + t, 0.0, -np.inf)
+        lg = logits[b] + m
+        p = np.exp(lg - lg.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref[b] = np.einsum("hts,shd->thd", p, vv[b])
+    np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
