@@ -718,18 +718,21 @@ def _block_attn_mlp(
         can_kernel = (
             T == 1
             and cache.quantized
-            and cfg.pos_embedding != "alibi"  # kernel lacks the bias term
             and not layer_uses_swa(cfg, layer_idx)  # kernels attend [0, len)
             and _pallas_attn_enabled()
         )
-        if (
-            can_kernel
-            and cache.ring_k is not None
-            and cfg.attn_logit_softcap != 0.0
+        al_slopes = None
+        if cfg.pos_embedding == "alibi" and can_kernel:
+            al_slopes = alibi_slopes(
+                cfg.num_attention_heads, cfg.alibi_style
+            )
+        if can_kernel and cache.ring_k is not None and (
+            cfg.attn_logit_softcap != 0.0 or al_slopes is not None
         ):
             raise NotImplementedError(
-                "ring-fused decode does not apply the logit softcap — "
-                "create the cache with ring=False for gemma2-style models"
+                "ring-fused decode applies neither the logit softcap nor "
+                "the alibi bias — create the cache with ring=False for "
+                "gemma2/bloom/mpt-style models"
             )
         if can_kernel and cache.ring_k is not None:
             # ring-fused path: the attention kernel appends this token's
@@ -798,6 +801,7 @@ def _block_attn_mlp(
                 lengths,
                 layer=layer_idx,
                 softcap=cfg.attn_logit_softcap,
+                alibi_slopes=al_slopes,
             )[:, None].astype(h.dtype)
         elif can_kernel:
             cache = cache.update(layer_idx, k, v, pos)
@@ -818,6 +822,7 @@ def _block_attn_mlp(
                 lengths,
                 layer=layer_idx,
                 softcap=cfg.attn_logit_softcap,
+                alibi_slopes=al_slopes,
             )[:, None].astype(h.dtype)
         else:
             if cache.ring_k is not None and T == 1:

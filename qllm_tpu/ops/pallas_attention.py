@@ -43,10 +43,14 @@ def _attn_kernel(
     v_ref,  # [1, hb, S, d] int8
     ks_ref,  # [1, hb, 1, S] f32
     vs_ref,  # [1, hb, 1, S] f32
-    o_ref,  # [1, hb, n_rep_p, d]
-    *,
+    *refs,  # ([bias_ref [1, hb, n_rep_p, S] when alibi]), o_ref
     softcap: float = 0.0,
+    alibi: bool = False,
 ):
+    if alibi:
+        bias_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
     b = pl.program_id(0)
     hb = k_ref.shape[1]
     length = lengths_ref[b]
@@ -66,6 +70,10 @@ def _attn_kernel(
             # applied to the TRUE logits (after the int8-K scale fold),
             # BEFORE the length mask — HF eager semantics
             scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+        if alibi:
+            # bloom/mpt positional bias, key-position form slopes[h]*s
+            # (build_mask's row-constant-free equivalent)
+            scores = scores + bias_ref[0, h]
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         scores = jnp.where(col < length, scores, -jnp.inf)
 
@@ -88,9 +96,9 @@ def _attn_kernel_stacked(
     v_ref,
     ks_ref,  # [1, 1, hb, 1, S]
     vs_ref,
-    o_ref,  # [1, hb, n_rep_p, d]
-    *,
+    *refs,  # ([bias_ref [1, hb, n_rep_p, S] when alibi]), o_ref
     softcap: float = 0.0,
+    alibi: bool = False,
 ):
     del layer_ref
 
@@ -109,8 +117,9 @@ def _attn_kernel_stacked(
         _V(v_ref),
         _V(ks_ref),
         _V(vs_ref),
-        o_ref,
+        *refs,
         softcap=softcap,
+        alibi=alibi,
     )
 
 
@@ -406,7 +415,15 @@ def _decode_attention_stacked_chunked(
 
 @functools.partial(jax.jit, static_argnames=("softcap",))
 def _decode_attention_stacked(
-    q, k_cache, v_cache, k_scale, v_scale, lengths, layer, softcap=0.0
+    q,
+    k_cache,
+    v_cache,
+    k_scale,
+    v_scale,
+    lengths,
+    layer,
+    softcap=0.0,
+    alibi_slopes=None,  # [H] f32 -> in-kernel bias slopes[h]*s
 ):
     B, H, d = q.shape
     L, _, Hkv, S, _ = k_cache.shape
@@ -426,36 +443,48 @@ def _decode_attention_stacked(
             hb = cand
             break
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, hb, n_rep_p, d),
+            lambda b, h, *_: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, hb, S, d),
+            lambda b, h, lens, l: (l[0], b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, hb, S, d),
+            lambda b, h, lens, l: (l[0], b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, hb, 1, S),
+            lambda b, h, lens, l: (l[0], b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, hb, 1, S),
+            lambda b, h, lens, l: (l[0], b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = []
+    if alibi_slopes is not None:
+        bias = _alibi_bias_block(alibi_slopes, Hkv, n_rep, n_rep_p, S)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, hb, n_rep_p, S),
+                lambda b, h, *_: (0, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands = [bias]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv // hb),
-        in_specs=[
-            pl.BlockSpec(
-                (1, hb, n_rep_p, d),
-                lambda b, h, *_: (b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, hb, S, d),
-                lambda b, h, lens, l: (l[0], b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, hb, S, d),
-                lambda b, h, lens, l: (l[0], b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, hb, 1, S),
-                lambda b, h, lens, l: (l[0], b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, hb, 1, S),
-                lambda b, h, lens, l: (l[0], b, h, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, hb, n_rep_p, d),
             lambda b, h, *_: (b, h, 0, 0),
@@ -463,7 +492,11 @@ def _decode_attention_stacked(
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel_stacked, softcap=softcap),
+        functools.partial(
+            _attn_kernel_stacked,
+            softcap=softcap,
+            alibi=alibi_slopes is not None,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
         interpret=jax.default_backend() == "cpu",
@@ -475,8 +508,21 @@ def _decode_attention_stacked(
         v_cache,
         ks,
         vs,
+        *operands,
     )
     return out[:, :, :n_rep, :].reshape(B, H, d)
+
+
+def _alibi_bias_block(slopes, Hkv, n_rep, n_rep_p, S):
+    """[1, Hkv, n_rep_p, S] additive bias slopes[h]*s (key-position
+    form — equals the distance form up to a per-row constant softmax
+    ignores; matches models.llama.build_mask)."""
+    bias = slopes.astype(jnp.float32).reshape(Hkv, n_rep, 1) * jnp.arange(
+        S, dtype=jnp.float32
+    )
+    if n_rep_p != n_rep:
+        bias = jnp.pad(bias, ((0, 0), (0, n_rep_p - n_rep), (0, 0)))
+    return bias[None]
 
 
 @functools.partial(jax.jit, static_argnames=("softcap",))
@@ -489,6 +535,7 @@ def decode_attention_pallas(
     lengths: jax.Array,  # [B] int32: attend to cache[:length]
     layer: jax.Array = None,  # int32 scalar when caches carry the [L] axis
     softcap: float = 0.0,  # gemma2 logit soft-capping
+    alibi_slopes: jax.Array = None,  # [H] f32 (bloom/mpt position bias)
 ) -> jax.Array:
     if k_cache.ndim == 5:
         # layer-stacked caches: select the layer INSIDE the kernel's
@@ -501,11 +548,11 @@ def decode_attention_pallas(
             bs = next(
                 b for b in (2048, 1024, 512, 256, 128) if S % b == 0
             )
-            if softcap:
+            if softcap or alibi_slopes is not None:
                 raise NotImplementedError(
-                    "softcap not wired into the chunked long-context "
-                    "decode kernel — lower QLLM_TPU_ATTN_ONESHOT_S only "
-                    "for softcap-free models"
+                    "softcap/alibi not wired into the chunked long-"
+                    "context decode kernel — lower "
+                    "QLLM_TPU_ATTN_ONESHOT_S only for plain-causal models"
                 )
             return _decode_attention_stacked_chunked(
                 q, k_cache, v_cache, k_scale, v_scale, lengths, layer,
@@ -513,7 +560,7 @@ def decode_attention_pallas(
             )
         return _decode_attention_stacked(
             q, k_cache, v_cache, k_scale, v_scale, lengths, layer,
-            softcap=softcap,
+            softcap=softcap, alibi_slopes=alibi_slopes,
         )
     B, H, d = q.shape
     _, Hkv, S, _ = k_cache.shape
@@ -536,32 +583,46 @@ def decode_attention_pallas(
             hb = cand
             break
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, hb, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, hb, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, hb, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, hb, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, hb, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    operands = []
+    if alibi_slopes is not None:
+        bias = _alibi_bias_block(alibi_slopes, Hkv, n_rep, n_rep_p, S)
+        in_specs.append(
+            pl.BlockSpec(
+                (1, hb, n_rep_p, S),
+                lambda b, h, *_: (0, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands = [bias]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv // hb),
-        in_specs=[
-            pl.BlockSpec(
-                (1, hb, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, hb, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, hb, S, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, hb, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, hb, 1, S), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, hb, n_rep_p, d), lambda b, h, *_: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, softcap=softcap),
+        functools.partial(
+            _attn_kernel, softcap=softcap, alibi=alibi_slopes is not None
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, n_rep_p, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -570,7 +631,7 @@ def decode_attention_pallas(
             transcendentals=B * H * S,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(lengths.astype(jnp.int32), qg, k_cache, v_cache, ks, vs)
+    )(lengths.astype(jnp.int32), qg, k_cache, v_cache, ks, vs, *operands)
     return out[:, :, :n_rep, :].reshape(B, H, d)
 
 

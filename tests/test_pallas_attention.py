@@ -409,3 +409,84 @@ def test_flash_prefill_softcap_matches_reference():
         p /= p.sum(-1, keepdims=True)
         ref[b] = np.einsum("hts,shd->thd", p, vv[b])
     np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+
+@pytest.mark.parametrize("n_rep", [1, 2])
+def test_decode_attention_alibi_matches_reference(n_rep):
+    """bloom/mpt ALiBi bias (key-position form slopes[h]*s, matching
+    build_mask) inside the decode kernel vs a numpy reference."""
+    from qllm_tpu.models.llama import alibi_slopes
+
+    rng = np.random.default_rng(7)
+    B, Hkv, S, d = 2, 4, 128, 128
+    H = Hkv * n_rep
+    sl = np.asarray(alibi_slopes(H), np.float32)
+    q = rng.normal(size=(B, H, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (B, Hkv, S, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (B, Hkv, S, d)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (B, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (B, Hkv, S)).astype(np.float32)
+    lengths = np.array([100, 37], np.int32)
+
+    out = np.asarray(
+        decode_attention_pallas(
+            jnp.asarray(q),
+            jnp.asarray(k),
+            jnp.asarray(v),
+            jnp.asarray(ks),
+            jnp.asarray(vs),
+            jnp.asarray(lengths),
+            alibi_slopes=jnp.asarray(sl),
+        )
+    )
+    kf = k.astype(np.float32) * ks[..., None]
+    vf = v.astype(np.float32) * vs[..., None]
+    kk = np.repeat(kf, n_rep, axis=1)
+    vv = np.repeat(vf, n_rep, axis=1)
+    scores = np.einsum("bhd,bhsd->bhs", q, kk) / np.sqrt(d)
+    scores = scores + sl[None, :, None] * np.arange(S, dtype=np.float32)
+    mask = np.arange(S)[None, None, :] < lengths[:, None, None]
+    scores = np.where(mask, scores, -np.inf)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhs,bhsd->bhd", p, vv)
+    np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_model_alibi_decode_kernel_matches_xla(monkeypatch):
+    """A bloom-style model's decode step: Pallas kernel path vs the XLA
+    mask path produce the same logits."""
+    import dataclasses
+
+    from qllm_tpu.models.llama import (
+        TINY_LLAMA_TEST_CONFIG,
+        forward,
+        init_params,
+    )
+    from qllm_tpu.models.generate import make_cache
+
+    cfg = dataclasses.replace(
+        TINY_LLAMA_TEST_CONFIG,
+        pos_embedding="alibi",
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        head_dim=128,
+        hidden_size=512,
+        intermediate_size=256,
+    )
+    params = init_params(cfg, jax.random.key(2))
+    tok = jnp.asarray([[5]], jnp.int32)
+
+    def decode_logits():
+        cache = make_cache(cfg, 1, 16, quantized_kv=True)
+        lg, cache = forward(params, cfg, jnp.asarray([[3]]), cache, pos=jnp.int32(0))
+        lg, _ = forward(params, cfg, tok, cache, pos=jnp.int32(1))
+        return np.asarray(lg[0, -1], np.float32)
+
+    monkeypatch.setenv("QLLM_TPU_DISABLE_PALLAS", "1")
+    ref = decode_logits()
+    monkeypatch.delenv("QLLM_TPU_DISABLE_PALLAS")
+    monkeypatch.setenv("QLLM_TPU_FORCE_PALLAS_ATTN", "1")
+    out = decode_logits()
+    rel = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
+    assert rel < 2e-2, rel
