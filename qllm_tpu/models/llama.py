@@ -718,21 +718,41 @@ def _block_attn_mlp(
         can_kernel = (
             T == 1
             and cache.quantized
-            and not layer_uses_swa(cfg, layer_idx)  # kernels attend [0, len)
             and _pallas_attn_enabled()
+            # sliding-window masking lives only in the one-shot kernel;
+            # SWA models with caches beyond the one-shot limit keep the
+            # masked XLA path
+            and (
+                cfg.sliding_window <= 0
+                or cache.max_seq
+                <= int(_os.environ.get("QLLM_TPU_ATTN_ONESHOT_S", "8192"))
+            )
         )
         al_slopes = None
         if cfg.pos_embedding == "alibi" and can_kernel:
             al_slopes = alibi_slopes(
                 cfg.num_attention_heads, cfg.alibi_style
             )
+        win = None
+        if cfg.sliding_window > 0 and can_kernel:
+            # traced per-layer window: SWA layers mask, global layers
+            # pass max_seq+1 (a no-op) — one compiled scan body serves
+            # gemma2's alternating local/global pattern
+            win = jnp.where(
+                swa_layer_pred(cfg, layer_idx),
+                jnp.int32(cfg.sliding_window),
+                jnp.int32(cache.max_seq + 1),
+            )
         if can_kernel and cache.ring_k is not None and (
-            cfg.attn_logit_softcap != 0.0 or al_slopes is not None
+            cfg.attn_logit_softcap != 0.0
+            or al_slopes is not None
+            or win is not None
         ):
             raise NotImplementedError(
-                "ring-fused decode applies neither the logit softcap nor "
-                "the alibi bias — create the cache with ring=False for "
-                "gemma2/bloom/mpt-style models"
+                "ring-fused decode applies neither the logit softcap, "
+                "the alibi bias, nor sliding-window masking — create the "
+                "cache with ring=False for gemma2/bloom/mpt/mistral-"
+                "style models"
             )
         if can_kernel and cache.ring_k is not None:
             # ring-fused path: the attention kernel appends this token's
@@ -802,6 +822,7 @@ def _block_attn_mlp(
                 layer=layer_idx,
                 softcap=cfg.attn_logit_softcap,
                 alibi_slopes=al_slopes,
+                window=win,
             )[:, None].astype(h.dtype)
         elif can_kernel:
             cache = cache.update(layer_idx, k, v, pos)
@@ -823,6 +844,7 @@ def _block_attn_mlp(
                 layer=layer_idx,
                 softcap=cfg.attn_logit_softcap,
                 alibi_slopes=al_slopes,
+                window=win,
             )[:, None].astype(h.dtype)
         else:
             if cache.ring_k is not None and T == 1:

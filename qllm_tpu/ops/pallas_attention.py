@@ -38,6 +38,7 @@ __all__ = [
 
 def _attn_kernel(
     lengths_ref,  # scalar prefetch: [B] int32 valid lengths
+    win_ref,  # scalar prefetch: [1] int32 sliding window (S+1 = off)
     q_ref,  # [1, hb, n_rep_p, d] bf16 (pre-scaled by 1/sqrt(d))
     k_ref,  # [1, hb, S, d] int8
     v_ref,  # [1, hb, S, d] int8
@@ -54,6 +55,7 @@ def _attn_kernel(
     b = pl.program_id(0)
     hb = k_ref.shape[1]
     length = lengths_ref[b]
+    win = win_ref[0]
     for h in range(hb):  # static head-block loop (amortizes per-program cost)
         q = q_ref[0, h]  # [n_rep_p, d]
         k = k_ref[0, h].astype(jnp.bfloat16)  # [S, d]
@@ -75,7 +77,11 @@ def _attn_kernel(
             # (build_mask's row-constant-free equivalent)
             scores = scores + bias_ref[0, h]
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col < length, scores, -jnp.inf)
+        # sliding window (mistral/qwen2/gemma2 local layers): the query
+        # at pos length-1 sees keys s with length-1 - s < win, i.e.
+        # s >= length - win; global layers pass win = S+1 (no-op)
+        ok = (col < length) & (col >= length - win)
+        scores = jnp.where(ok, scores, -jnp.inf)
 
         m = jnp.max(scores, axis=1, keepdims=True)
         p = jnp.exp(scores - m)
@@ -91,6 +97,7 @@ def _attn_kernel(
 def _attn_kernel_stacked(
     lengths_ref,  # scalar prefetch: [B]
     layer_ref,  # scalar prefetch: [1] (consumed by index maps)
+    win_ref,  # scalar prefetch: [1] int32 sliding window (S+1 = off)
     q_ref,  # [1, hb, n_rep_p, d]
     k_ref,  # [1, 1, hb, S, d] int8 (layer-selected block)
     v_ref,
@@ -112,6 +119,7 @@ def _attn_kernel_stacked(
 
     _attn_kernel(
         lengths_ref,
+        win_ref,
         q_ref,
         _V(k_ref),
         _V(v_ref),
@@ -424,6 +432,7 @@ def _decode_attention_stacked(
     layer,
     softcap=0.0,
     alibi_slopes=None,  # [H] f32 -> in-kernel bias slopes[h]*s
+    window=None,  # traced int32: sliding window (None = full causal)
 ):
     B, H, d = q.shape
     L, _, Hkv, S, _ = k_cache.shape
@@ -451,22 +460,22 @@ def _decode_attention_stacked(
         ),
         pl.BlockSpec(
             (1, 1, hb, S, d),
-            lambda b, h, lens, l: (l[0], b, h, 0, 0),
+            lambda b, h, lens, l, w: (l[0], b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (1, 1, hb, S, d),
-            lambda b, h, lens, l: (l[0], b, h, 0, 0),
+            lambda b, h, lens, l, w: (l[0], b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (1, 1, hb, 1, S),
-            lambda b, h, lens, l: (l[0], b, h, 0, 0),
+            lambda b, h, lens, l, w: (l[0], b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (1, 1, hb, 1, S),
-            lambda b, h, lens, l: (l[0], b, h, 0, 0),
+            lambda b, h, lens, l, w: (l[0], b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -481,8 +490,11 @@ def _decode_attention_stacked(
             )
         )
         operands = [bias]
+    win_op = jnp.asarray(
+        [S + 1 if window is None else window], jnp.int32
+    ).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, Hkv // hb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -503,6 +515,7 @@ def _decode_attention_stacked(
     )(
         lengths.astype(jnp.int32),
         jnp.asarray([layer], jnp.int32),
+        win_op,
         qg,
         k_cache,
         v_cache,
@@ -536,6 +549,7 @@ def decode_attention_pallas(
     layer: jax.Array = None,  # int32 scalar when caches carry the [L] axis
     softcap: float = 0.0,  # gemma2 logit soft-capping
     alibi_slopes: jax.Array = None,  # [H] f32 (bloom/mpt position bias)
+    window: jax.Array = None,  # traced int32 sliding window (None = off)
 ) -> jax.Array:
     if k_cache.ndim == 5:
         # layer-stacked caches: select the layer INSIDE the kernel's
@@ -548,10 +562,10 @@ def decode_attention_pallas(
             bs = next(
                 b for b in (2048, 1024, 512, 256, 128) if S % b == 0
             )
-            if softcap or alibi_slopes is not None:
+            if softcap or alibi_slopes is not None or window is not None:
                 raise NotImplementedError(
-                    "softcap/alibi not wired into the chunked long-"
-                    "context decode kernel — lower "
+                    "softcap/alibi/sliding-window are not wired into the "
+                    "chunked long-context decode kernel — lower "
                     "QLLM_TPU_ATTN_ONESHOT_S only for plain-causal models"
                 )
             return _decode_attention_stacked_chunked(
@@ -560,7 +574,7 @@ def decode_attention_pallas(
             )
         return _decode_attention_stacked(
             q, k_cache, v_cache, k_scale, v_scale, lengths, layer,
-            softcap=softcap, alibi_slopes=alibi_slopes,
+            softcap=softcap, alibi_slopes=alibi_slopes, window=window,
         )
     B, H, d = q.shape
     _, Hkv, S, _ = k_cache.shape
@@ -611,8 +625,11 @@ def decode_attention_pallas(
             )
         )
         operands = [bias]
+    win_op = jnp.asarray(
+        [S + 1 if window is None else window], jnp.int32
+    ).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, Hkv // hb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -631,7 +648,16 @@ def decode_attention_pallas(
             transcendentals=B * H * S,
         ),
         interpret=jax.default_backend() == "cpu",
-    )(lengths.astype(jnp.int32), qg, k_cache, v_cache, ks, vs, *operands)
+    )(
+        lengths.astype(jnp.int32),
+        win_op,
+        qg,
+        k_cache,
+        v_cache,
+        ks,
+        vs,
+        *operands,
+    )
     return out[:, :, :n_rep, :].reshape(B, H, d)
 
 

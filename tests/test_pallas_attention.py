@@ -490,3 +490,87 @@ def test_model_alibi_decode_kernel_matches_xla(monkeypatch):
     out = decode_logits()
     rel = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
     assert rel < 2e-2, rel
+
+
+def test_decode_attention_window_matches_reference():
+    """Sliding-window masking in the decode kernel (keys s with
+    length-1-s < window) vs a numpy reference."""
+    rng = np.random.default_rng(8)
+    B, Hkv, S, d, n_rep, W = 2, 2, 128, 128, 2, 16
+    H = Hkv * n_rep
+    q = rng.normal(size=(B, H, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (B, Hkv, S, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (B, Hkv, S, d)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (B, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (B, Hkv, S)).astype(np.float32)
+    lengths = np.array([100, 37], np.int32)
+
+    out = np.asarray(
+        decode_attention_pallas(
+            jnp.asarray(q),
+            jnp.asarray(k),
+            jnp.asarray(v),
+            jnp.asarray(ks),
+            jnp.asarray(vs),
+            jnp.asarray(lengths),
+            window=jnp.int32(W),
+        )
+    )
+    kf = k.astype(np.float32) * ks[..., None]
+    vf = v.astype(np.float32) * vs[..., None]
+    kk = np.repeat(kf, n_rep, axis=1)
+    vv = np.repeat(vf, n_rep, axis=1)
+    scores = np.einsum("bhd,bhsd->bhs", q, kk) / np.sqrt(d)
+    s_idx = np.arange(S)[None, None, :]
+    ln = lengths[:, None, None]
+    mask = (s_idx < ln) & (s_idx >= ln - W)
+    scores = np.where(mask, scores, -np.inf)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref = np.einsum("bhs,bhsd->bhd", p, vv)
+    np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_model_swa_decode_kernel_matches_xla(monkeypatch):
+    """Mistral-style (all-layer SWA) and gemma2-style (alternating)
+    decode: the windowed kernel path matches the masked XLA path, at a
+    position BEYOND the window."""
+    import dataclasses
+
+    from qllm_tpu.models.llama import (
+        TINY_LLAMA_TEST_CONFIG,
+        forward,
+        init_params,
+    )
+    from qllm_tpu.models.generate import make_cache
+
+    for pattern in ("all", "even"):
+        cfg = dataclasses.replace(
+            TINY_LLAMA_TEST_CONFIG,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            head_dim=128,
+            hidden_size=512,
+            intermediate_size=256,
+            sliding_window=4,
+            swa_pattern=pattern,
+        )
+        params = init_params(cfg, jax.random.key(4))
+        prompt = jnp.asarray([[3, 5, 7, 9, 11, 2]], jnp.int32)  # T=6 > W=4
+
+        def decode_logits():
+            cache = make_cache(cfg, 1, 16, quantized_kv=True)
+            lg, cache = forward(params, cfg, prompt, cache, pos=jnp.int32(0))
+            lg, _ = forward(
+                params, cfg, jnp.asarray([[4]]), cache, pos=jnp.int32(6)
+            )
+            return np.asarray(lg[0, -1], np.float32)
+
+        monkeypatch.setenv("QLLM_TPU_DISABLE_PALLAS", "1")
+        ref = decode_logits()
+        monkeypatch.delenv("QLLM_TPU_DISABLE_PALLAS")
+        monkeypatch.setenv("QLLM_TPU_FORCE_PALLAS_ATTN", "1")
+        out = decode_logits()
+        monkeypatch.delenv("QLLM_TPU_FORCE_PALLAS_ATTN")
+        rel = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
+        assert rel < 2e-2, (pattern, rel)
