@@ -622,6 +622,20 @@ def _flash_prefill_ok(cfg, T: int, hd: int) -> bool:
     )
 
 
+def _prefill_window(cfg: ModelConfig, layer_idx, s_keys: int):
+    """Traced per-layer sliding window for the flash prefill kernel:
+    SWA layers mask at cfg.sliding_window, global layers pass
+    s_keys+1 (a no-op) — one compiled scan body serves gemma2's
+    alternating pattern. None when the model has no window."""
+    if cfg.sliding_window <= 0:
+        return None
+    return jnp.where(
+        swa_layer_pred(cfg, layer_idx),
+        jnp.int32(cfg.sliding_window),
+        jnp.int32(s_keys + 1),
+    )
+
+
 def _attention(
     q: jax.Array,  # [B, T, H, hd]
     k: jax.Array,  # [B, S, Hkv, hd]
@@ -856,9 +870,7 @@ def _block_attn_mlp(
                 )
             cache = cache.update(layer_idx, k, v, pos)
             k_all, v_all = cache.layer_kv(layer_idx, dtype=h.dtype)
-            if _flash_prefill_ok(cfg, T, hd) and not layer_uses_swa(
-                cfg, layer_idx
-            ):
+            if _flash_prefill_ok(cfg, T, hd):
                 from ..ops.pallas_attention import prefill_attention_flash
 
                 attn = prefill_attention_flash(
@@ -868,14 +880,13 @@ def _block_attn_mlp(
                     0 if pos is None else pos,
                     cfg.n_rep,
                     softcap=cfg.attn_logit_softcap,
+                    window=_prefill_window(cfg, layer_idx, k_all.shape[1]),
                 ).astype(h.dtype)
             else:
                 attn = _attention(
                     q, k_all, v_all, mask, cfg.n_rep, cfg.attn_logit_softcap
                 )
-    elif _flash_prefill_ok(cfg, T, hd) and not layer_uses_swa(
-        cfg, layer_idx
-    ):
+    elif _flash_prefill_ok(cfg, T, hd):
         from ..ops.pallas_attention import prefill_attention_flash
 
         attn = prefill_attention_flash(
@@ -885,6 +896,7 @@ def _block_attn_mlp(
             0 if pos is None else pos,
             cfg.n_rep,
             softcap=cfg.attn_logit_softcap,
+            window=_prefill_window(cfg, layer_idx, k.shape[1]),
         ).astype(h.dtype)
     else:
         attn = _attention(q, k, v, mask, cfg.n_rep, cfg.attn_logit_softcap)

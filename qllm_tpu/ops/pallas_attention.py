@@ -672,6 +672,7 @@ def decode_attention_pallas(
 def _flash_prefill_kernel(
     pos_ref,  # scalar prefetch: [B] query position offsets
     svalid_ref,  # scalar prefetch: [1] true key count (S before padding)
+    win_ref,  # scalar prefetch: [1] sliding window (S+1 = off)
     q_ref,  # [1, bq, 1, n_rep, d] bf16 (pre-scaled by 1/sqrt(d))
     k_ref,  # [1, 1, bs, d] bf16 (cache-native [B, Hkv, S, d] layout)
     v_ref,  # [1, 1, bs, d] bf16
@@ -693,6 +694,7 @@ def _flash_prefill_kernel(
     d = q_ref.shape[-1]
     pos = pos_ref[b]
     s_valid = svalid_ref[0]
+    win = win_ref[0]
 
     @pl.when(s == 0)
     def _():
@@ -728,11 +730,18 @@ def _flash_prefill_kernel(
 
     # tile classification (VPU passes over [R, bs] dominate this kernel;
     # interior tiles — every key visible to every query — skip the two
-    # iotas, compares, and where, ~40% of the masked path's elementwise)
+    # iotas, compares, and where). ``win`` adds sliding-window
+    # semantics: key s visible to query at absolute p iff p - s < win;
+    # window-off calls pass win = S+1, making the window terms no-ops.
     first_q = pos + it * bq  # earliest query position in the tile
+    max_q = first_q + (bq - 1)
     last_k = s * bs + bs - 1
-    visible = s * bs <= first_q + (bq - 1)
-    interior = (last_k <= first_q) & (last_k < s_valid)
+    visible = (s * bs <= max_q) & (last_k > first_q - win)
+    interior = (
+        (last_k <= first_q)
+        & (last_k < s_valid)
+        & (s * bs > max_q - win)
+    )
 
     @pl.when(visible & interior)
     def _():
@@ -745,7 +754,10 @@ def _flash_prefill_kernel(
             jnp.int32, scores.shape, 0
         ) // n_rep
         col = s * bs + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        valid = (col <= pos + row_t) & (col < s_valid)
+        row_pos = pos + row_t
+        valid = (
+            (col <= row_pos) & (col < s_valid) & (col > row_pos - win)
+        )
         update(jnp.where(valid, scores, _NEG))
 
     @pl.when(s == ns - 1)
@@ -761,6 +773,7 @@ def prefill_attention_flash(
     pos,  # scalar or [B]: query t sits at absolute position pos + t
     n_rep: int,
     softcap: float = 0.0,
+    window: jax.Array = None,  # traced int32 sliding window (None = off)
 ) -> jax.Array:
     """Blockwise causal prefill attention, numerics matching
     models.llama._attention with build_mask's causal(+offset) mask:
@@ -790,17 +803,17 @@ def prefill_attention_flash(
 
     qspec = pl.BlockSpec(
         (1, bq, 1, n_rep, d),
-        lambda b, h, it, s, pos, sv: (b, it, h, 0, 0),
+        lambda b, h, it, s, pos, sv, w: (b, it, h, 0, 0),
         memory_space=pltpu.VMEM,
     )
     kvspec = pl.BlockSpec(
         (1, 1, bs, d),
-        lambda b, h, it, s, pos, sv: (b, h, s, 0),
+        lambda b, h, it, s, pos, sv, w: (b, h, s, 0),
         memory_space=pltpu.VMEM,
     )
     R = bq * n_rep
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, Hkv, Tp // bq, Sp // bs),
         in_specs=[qspec, kvspec, kvspec],
         out_specs=qspec,
@@ -827,7 +840,16 @@ def prefill_attention_flash(
             ),
         ),
         interpret=jax.default_backend() == "cpu",
-    )(pos_b, jnp.asarray([S], jnp.int32), qg, kb, vb)
+    )(
+        pos_b,
+        jnp.asarray([S], jnp.int32),
+        jnp.asarray(
+            [S + 1 if window is None else window], jnp.int32
+        ).reshape(1),
+        qg,
+        kb,
+        vb,
+    )
     return out[:, :T].reshape(B, T, H, d)
 
 

@@ -574,3 +574,86 @@ def test_model_swa_decode_kernel_matches_xla(monkeypatch):
         monkeypatch.delenv("QLLM_TPU_FORCE_PALLAS_ATTN")
         rel = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
         assert rel < 2e-2, (pattern, rel)
+
+
+def test_flash_prefill_window_matches_reference():
+    """Sliding-window masking in the flash prefill kernel vs numpy."""
+    from qllm_tpu.ops.pallas_attention import prefill_attention_flash
+
+    rng = np.random.default_rng(9)
+    B, T, S, Hkv, n_rep, d, W = 2, 100, 160, 2, 2, 128, 24
+    H = Hkv * n_rep
+    q = rng.normal(size=(B, T, H, d)).astype(np.float32)
+    k = rng.normal(size=(B, S, Hkv, d)).astype(np.float32)
+    v = rng.normal(size=(B, S, Hkv, d)).astype(np.float32)
+    pos = [60, 37]  # cache-style offsets
+    out = np.asarray(
+        prefill_attention_flash(
+            jnp.asarray(q),
+            jnp.asarray(k),
+            jnp.asarray(v),
+            jnp.asarray(pos, jnp.int32),
+            n_rep,
+            window=jnp.int32(W),
+        )
+    )
+    kk = np.repeat(k, n_rep, axis=2)
+    vv = np.repeat(v, n_rep, axis=2)
+    logits = np.einsum("bthd,bshd->bhts", q, kk) / np.sqrt(d)
+    t = np.arange(T)[:, None]
+    s = np.arange(S)[None, :]
+    ref = np.zeros((B, T, H, d), np.float32)
+    for b in range(B):
+        rowpos = pos[b] + t
+        keep = (s <= rowpos) & (s > rowpos - W)
+        m = np.where(keep, 0.0, -np.inf)
+        lg = logits[b] + m
+        p = np.exp(lg - lg.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref[b] = np.einsum("hts,shd->thd", p, vv[b])
+    np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+
+def test_model_swa_prefill_flash_matches_xla(monkeypatch):
+    """SWA model prefill (T > window): flash kernel path vs the masked
+    XLA path, for both 'all' and 'even' patterns."""
+    import dataclasses
+
+    from qllm_tpu.models.llama import (
+        TINY_LLAMA_TEST_CONFIG,
+        forward,
+        init_params,
+    )
+    from qllm_tpu.models.generate import make_cache
+
+    monkeypatch.setenv("QLLM_TPU_PREFILL_FLASH_MIN_T", "8")
+    for pattern in ("all", "even"):
+        cfg = dataclasses.replace(
+            TINY_LLAMA_TEST_CONFIG,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            head_dim=128,
+            hidden_size=512,
+            intermediate_size=256,
+            sliding_window=4,
+            swa_pattern=pattern,
+        )
+        params = init_params(cfg, jax.random.key(6))
+        rng = np.random.default_rng(11)
+        prompt = jnp.asarray(
+            rng.integers(1, cfg.vocab_size, (1, 12)), jnp.int32
+        )
+
+        def prefill_logits():
+            cache = make_cache(cfg, 1, 16, quantized_kv=True)
+            lg, _ = forward(params, cfg, prompt, cache, pos=jnp.int32(0))
+            return np.asarray(lg[0, -1], np.float32)
+
+        monkeypatch.setenv("QLLM_TPU_DISABLE_PALLAS", "1")
+        ref = prefill_logits()
+        monkeypatch.delenv("QLLM_TPU_DISABLE_PALLAS")
+        monkeypatch.setenv("QLLM_TPU_FORCE_PALLAS_ATTN", "1")
+        out = prefill_logits()
+        monkeypatch.delenv("QLLM_TPU_FORCE_PALLAS_ATTN")
+        rel = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
+        assert rel < 2e-2, (pattern, rel)
