@@ -733,14 +733,6 @@ def _block_attn_mlp(
             T == 1
             and cache.quantized
             and _pallas_attn_enabled()
-            # sliding-window masking lives only in the one-shot kernel;
-            # SWA models with caches beyond the one-shot limit keep the
-            # masked XLA path
-            and (
-                cfg.sliding_window <= 0
-                or cache.max_seq
-                <= int(_os.environ.get("QLLM_TPU_ATTN_ONESHOT_S", "8192"))
-            )
         )
         al_slopes = None
         if cfg.pos_embedding == "alibi" and can_kernel:

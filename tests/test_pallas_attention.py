@@ -657,3 +657,31 @@ def test_model_swa_prefill_flash_matches_xla(monkeypatch):
         monkeypatch.delenv("QLLM_TPU_FORCE_PALLAS_ATTN")
         rel = np.linalg.norm(out - ref) / max(np.linalg.norm(ref), 1e-9)
         assert rel < 2e-2, (pattern, rel)
+
+
+def test_chunked_decode_window_matches_oneshot(monkeypatch):
+    """Long-context path: the chunked kernel's sliding window (with
+    whole-chunk skipping) matches the one-shot windowed kernel."""
+    rng = np.random.default_rng(12)
+    L, B, Hkv, S, d, n_rep, W = 2, 1, 2, 512, 128, 2, 100
+    H = Hkv * n_rep
+    q = rng.normal(size=(B, H, d)).astype(np.float32)
+    k = rng.integers(-127, 128, (L, B, Hkv, S, d)).astype(np.int8)
+    v = rng.integers(-127, 128, (L, B, Hkv, S, d)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (L, B, Hkv, S)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (L, B, Hkv, S)).astype(np.float32)
+    lengths = np.array([300], np.int32)
+    args = [jnp.asarray(a) for a in (q, k, v, ks, vs, lengths)]
+
+    one_shot = np.asarray(
+        decode_attention_pallas(
+            *args, layer=jnp.int32(1), window=jnp.int32(W)
+        )
+    )
+    monkeypatch.setenv("QLLM_TPU_ATTN_ONESHOT_S", "256")  # force chunked
+    chunked = np.asarray(
+        decode_attention_pallas(
+            *args, layer=jnp.int32(1), window=jnp.int32(W)
+        )
+    )
+    np.testing.assert_allclose(chunked, one_shot, atol=3e-3, rtol=3e-3)
