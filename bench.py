@@ -95,6 +95,18 @@ MODEL_SHAPES = {
         num_attention_heads=32,
         num_key_value_heads=32,
     ),
+    # mistral-7b-v0.1: GQA + sliding-window attention — exercises the
+    # windowed decode kernel (QLLM_BENCH_MODEL=mistral7b; not the
+    # headline metric)
+    "mistral7b": dict(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=32,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        sliding_window=4096,
+    ),
     # tinyllama-1.1b
     "1b": dict(
         vocab_size=32000,
@@ -237,7 +249,10 @@ def main():
     # ring-fused KV (default on): the per-token write rides inside the
     # attention kernel; full rings flush once per 8 steps in ONE
     # all-layers launch (saves the ~2.4 us/layer write launch)
-    ring_default = "1" if backend != "cpu" else "0"  # needs the kernel path
+    # SWA models: the ring-fused kernel has no window semantics
+    ring_default = (
+        "1" if backend != "cpu" and cfg.sliding_window <= 0 else "0"
+    )
     ring = os.environ.get("QLLM_BENCH_RING", ring_default) != "0"
     cache = make_cache(cfg, batch, max_seq, quantized_kv=True, ring=ring)
     token = jnp.ones((batch, 1), jnp.int32)
