@@ -753,9 +753,9 @@ def _qmm_kernel_planar_fused(
     xlo_ref,  # [bm, bk/2] f32
     xhi_ref,
     qw_ref,  # [1, bk/8, bn] uint32 planar
-    slo_ref,  # [1, gpbh, bn]
+    slo_ref,  # [1, 1, gpbh, bn] (4D: gpbh dim whole-block, any size)
     shi_ref,
-    zlo_ref,  # [1, gpbh, bn] (prefolded zs)
+    zlo_ref,  # [1, 1, gpbh, bn] (prefolded zs)
     zhi_ref,
     out_ref,
     acc_ref,
@@ -787,8 +787,8 @@ def _qmm_kernel_planar_fused(
         (xlo_ref, v_lo, slo_ref, zlo_ref),
         (xhi_ref, v_hi, shi_ref, zhi_ref),
     ):
-        sc = s_ref[0].astype(jnp.float32)
-        zs = z_ref[0].astype(jnp.float32)
+        sc = s_ref[0, 0].astype(jnp.float32)
+        zs = z_ref[0, 0].astype(jnp.float32)
         if big_dot:
             # dequant the whole half-block ONCE (VPU) and run a single
             # full-depth bf16 dot: per-group depth-g dots underfill the
@@ -971,13 +971,38 @@ def planar_bk(K: int, g: int, target: int = 2048):
     return best
 
 
+def planar_bk_relaxed(K: int, g: int, target: int = 2048):
+    """k-block for the planar kernel with the 16g scale-block quantum
+    RELAXED to whole groups only: bk | K, bk % 256 == 0 (x half-lane
+    alignment), bk % 2g == 0 (gpbh integer). Scale BlockSpecs shrink to
+    (1, gpbh, bn) with gpbh as small as 1 — Mosaic pads the sublane dim.
+
+    This exists for the PREFILL of geometries planar_bk rejects, e.g.
+    llama down_proj K=11008 = 2^8*43: no multiple-of-2048 divisor, but
+    bk=256 divides it exactly, so the bm-blocked MXU kernel can serve
+    prefill instead of the VMEM-capped full-K variant (which must
+    materialize f32 [K/2, bn] dequant planes and shrink its blocks).
+    Decode keeps the full-K kernel — at M<=32 it is HBM-bound and at its
+    measured pattern ceiling (reports/ceiling_r3.md)."""
+    if g <= 0 or K % (2 * g):
+        return None
+    import math
+
+    quantum = math.lcm(256, 2 * g)
+    best = None
+    for bk in range(quantum, min(K, target) + 1, quantum):
+        if K % bk == 0:
+            best = bk
+    return best
+
+
 def _qmm_kernel_planar(
     layer_ref,  # scalar prefetch [1]
     xlo_ref,  # [bm, bk/2] f32 (low-half lanes of x)
     xhi_ref,  # [bm, bk/2] f32
     qw_ref,  # [1, bk/8, bn] uint32 planar
-    slo_ref,  # [1, gpbh, bn] f32
-    shi_ref,  # [1, gpbh, bn] f32
+    slo_ref,  # [1, 1, gpbh, bn] f32 (4D: gpbh dim whole-block, any size)
+    shi_ref,  # [1, 1, gpbh, bn] f32
     out_ref,  # [bm, bn] f32
     acc_ref,
     *,
@@ -1013,7 +1038,7 @@ def _qmm_kernel_planar(
                 v[gi * g : (gi + 1) * g],
                 preferred_element_type=jnp.float32,
             )
-            acc = acc + d * s_ref[0, gi : gi + 1, :]
+            acc = acc + d * s_ref[0, 0, gi : gi + 1, :]
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -1105,9 +1130,26 @@ def _qmm_2d_stacked(
             <= int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
             # at prefill the blocked kernel wins when the geometry
             # admits a k-block: the full-K variant materializes
-            # f32 [K/2, bn] dequant planes that crowd VMEM at large bm
+            # f32 [K/2, bn] dequant planes that crowd VMEM at large bm.
+            # EXCEPTION: 16g-quantum-rejected geometries (llama down
+            # K=11008 = 2^8*43 — no 2048-multiple divisor) stay on the
+            # full-K variant even at prefill: A/B on v5e measured the
+            # VMEM-shrunk full-K at 149 TFLOP/s vs 140 for the relaxed
+            # bk=256 blocked kernel (tools/ab_prefill_relaxed_bk.py)
             and (M <= 32 or bkp is None)
         )
+        if (
+            not use_full
+            and bkp is None
+            and M > 32
+            and os.environ.get("QLLM_TPU_PREFILL_RELAXED_BK", "1") != "0"
+        ):
+            # full-K ineligible (unfused corr / f32 scales / VMEM cap) —
+            # the relaxed-quantum blocked kernel (whole-group scale
+            # blocks, gpbh may be < 8) serves prefill instead of raising
+            bkp = planar_bk_relaxed(K, g, bk_target) or planar_bk_relaxed(
+                K, g, K
+            )
         if norm_w is not None and not (use_full or bkp is None):
             x = _rms_norm_rows(x, norm_w[layer], norm_eps)
             norm_w = None
@@ -1236,29 +1278,41 @@ def _qmm_2d_stacked(
             if scales.dtype == jnp.float32 or fuse_corr
             else scales.astype(jnp.float32)
         )
+        # scale/zs stacks as 4D [L, G/gpbh, gpbh, N] (free reshape): the
+        # gpbh block dim spans the WHOLE array dim, which exempts it from
+        # Mosaic's 8-sublane block quantum — this is what lets the
+        # relaxed-quantum prefill path (gpbh as small as 1) compile
+        Ls, Nb = scales_f.shape[0], scales_f.shape[-1]
+        scales_r = scales_f.reshape(Ls, 2 * nk, gpbh, Nb)
         x_spec = lambda i, j, k, l: (i, k)  # noqa: E731
         x_spec_hi = lambda i, j, k, l: (i, nk + k)  # noqa: E731
-        s_spec = lambda i, j, k, l: (l[0], k, j)  # noqa: E731
-        s_spec_hi = lambda i, j, k, l: (l[0], nk + k, j)  # noqa: E731
+        w_spec = lambda i, j, k, l: (l[0], k, j)  # noqa: E731
+        s_spec = lambda i, j, k, l: (l[0], k, 0, j)  # noqa: E731
+        s_spec_hi = lambda i, j, k, l: (l[0], nk + k, 0, j)  # noqa: E731
         in_specs = [
             pl.BlockSpec((bm, bkp // 2), x_spec, memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, bkp // 2), x_spec_hi, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, bkp // 8, bn), s_spec, memory_space=pltpu.VMEM
+                (1, bkp // 8, bn), w_spec, memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, gpbh, bn), s_spec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, gpbh, bn), s_spec_hi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gpbh, bn), s_spec, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, gpbh, bn), s_spec_hi, memory_space=pltpu.VMEM
+            ),
         ]
         operands = []
         if fuse_corr:
             kernel = functools.partial(_qmm_kernel_planar_fused, bk=bkp, g=g)
             in_specs += [
-                pl.BlockSpec((1, gpbh, bn), s_spec, memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (1, gpbh, bn), s_spec_hi, memory_space=pltpu.VMEM
+                    (1, 1, gpbh, bn), s_spec, memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, 1, gpbh, bn), s_spec_hi, memory_space=pltpu.VMEM
                 ),
             ]
-            operands = [zeros, zeros]
+            zeros_r = zeros.reshape(Ls, 2 * nk, gpbh, Nb)
+            operands = [zeros_r, zeros_r]
         else:
             kernel = functools.partial(_qmm_kernel_planar, bk=bkp, g=g)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1289,8 +1343,8 @@ def _qmm_2d_stacked(
             xf32,
             xf32,
             qweight,
-            scales_f,
-            scales_f,
+            scales_r,
+            scales_r,
             *operands,
         )
         if fuse_corr:
@@ -1570,6 +1624,15 @@ def qmatmul_pallas_stacked(
             and planar_full_ok(K, g)
             and (K // 8) * bn_t * 4 <= full_max
         )
+        if not ok and M > 32:
+            # prefill can also take the relaxed-quantum blocked kernel
+            # (whole-group scale blocks) when the 16g quantum rejects
+            # the geometry and full-K is ineligible
+            ok = (
+                planar_bk_relaxed(K, g, K) is not None
+                and os.environ.get("QLLM_TPU_PREFILL_RELAXED_BK", "1")
+                != "0"
+            )
     elif ok:
         ok = (
             _choose_bk(K, g, 32 // bits, 2048) % g == 0

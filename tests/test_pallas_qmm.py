@@ -571,3 +571,62 @@ def test_planar_stacked_prefill_matches_ref(monkeypatch, K, N, g, M):
         y_ref = np.asarray(qmatmul_ref(x, qts[layer]))
         scale = np.abs(y_ref).max()
         np.testing.assert_allclose(y, y_ref, atol=4e-2 * scale, rtol=4e-2)
+
+
+@pytest.mark.parametrize("fuse", [True, False])
+def test_planar_prefill_relaxed_bk_matches_ref(monkeypatch, fuse):
+    """Relaxed-quantum blocked planar kernel (planar_bk_relaxed): serves
+    M>32 when the 16g quantum rejects the geometry AND full-K is
+    ineligible (here forced via QLLM_TPU_QMM_FULLK_MAX=0 / unfused
+    correction). K=2304 = 2^8*9 has no 2048-multiple divisor but
+    bk=768 divides it (gpbh=3 whole-group scale blocks — 4D reshape
+    exempts them from Mosaic's 8-sublane block quantum)."""
+    import dataclasses
+
+    from qllm_tpu.ops import pallas_qmm as pq
+    from qllm_tpu.ops.pallas_qmm import qmatmul_pallas_stacked
+    from qllm_tpu.quant.qtensor import planarize_packed
+
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    if fuse:
+        monkeypatch.setenv("QLLM_TPU_QMM_FULLK_MAX", "0")
+    K, N, g, M = 2304, 256, 128, 64
+    assert pq.planar_bk(K, g, K) is None
+    assert pq.planar_bk_relaxed(K, g, 2048) == 768
+    rng = np.random.default_rng(31)
+    qts = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(K, N)).astype(np.float32) * 0.05),
+            bits=4,
+            group_size=g,
+        )
+        for _ in range(2)
+    ]
+    st = dataclasses.replace(
+        qts[0],
+        qweight=jnp.stack([planarize_packed(q.qweight, K) for q in qts]),
+        scales=jnp.stack(
+            [
+                q.scales.astype(jnp.bfloat16 if fuse else jnp.float32)
+                for q in qts
+            ]
+        ),
+        zeros=(
+            jnp.stack(
+                [(q.zeros * q.scales).astype(jnp.bfloat16) for q in qts]
+            )
+            if fuse
+            else jnp.stack([q.zeros for q in qts])
+        ),
+        planar=True,
+        zeros_prefolded=fuse,
+    )
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+    try:
+        for layer in range(2):
+            y = np.asarray(qmatmul_pallas_stacked(x, st, jnp.int32(layer)))
+            y_ref = np.asarray(qmatmul_ref(x, qts[layer]))
+            scale = np.abs(y_ref).max()
+            np.testing.assert_allclose(y, y_ref, atol=4e-2 * scale, rtol=4e-2)
+    finally:
+        pq._qmm_2d_stacked.clear_cache()
