@@ -62,8 +62,10 @@ class ArchSpec:
     fused_qkv: Optional[str] = None  # per-layer path of the fused qkv linear
     fused_gate_up: Optional[str] = None  # phi3 gate_up_proj
     conv1d: bool = False  # gpt2/qwen1 Conv1D stores [in, out] (no transpose)
-    # MoE checkpoint dialect: mixtral (block_sparse_moe.experts.N.w1/w2/w3)
-    # or deepseek (mlp.experts.N.gate_proj/... + mlp.shared_experts.*)
+    # MoE checkpoint dialect: mixtral (block_sparse_moe.experts.N.w1/w2/w3),
+    # deepseek (mlp.experts.N.gate_proj/... + mlp.shared_experts.*), or
+    # qwen2_moe (deepseek naming but a SINGULAR mlp.shared_expert.* plus
+    # the sigmoid mlp.shared_expert_gate)
     moe_dialect: str = "mixtral"
     # tensor-key prefixes carried through load->quantize->save verbatim
     # (llava vision tower + projector: the reference quantizes only the
@@ -194,6 +196,58 @@ def _cfg_qwen2(d):
         attention_bias=True,
         sliding_window=(d.get("sliding_window") or 0) if use_swa else 0,
         swa_min_layer=d.get("max_window_layers", 0) if use_swa else 0,
+    )
+
+
+def _cfg_qwen3(d, **over):
+    # HF qwen3: llama-shaped + RMSNorm q/k-norm over head_dim (one
+    # weight shared across heads, Qwen3Attention q_norm/k_norm) and an
+    # explicit head_dim; SWA gating fields match qwen2
+    use_swa = bool(d.get("use_sliding_window"))
+    kw = dict(
+        arch="qwen3",
+        qk_norm="rms",
+        sliding_window=(d.get("sliding_window") or 0) if use_swa else 0,
+        swa_min_layer=d.get("max_window_layers", 0) if use_swa else 0,
+    )
+    kw.update(over)
+    return _llama_like(d, **kw)
+
+
+def _cfg_qwen3_moe(d):
+    # Qwen3MoeSparseMoeBlock routes like deepseek's gate: softmax over
+    # ALL experts -> top-k -> renormalize when norm_topk_prob (the
+    # "deepseek" router with routed_scaling_factor=1); layers listed in
+    # mlp_only_layers stay dense (detected per layer from the
+    # checkpoint: dense layers carry mlp.gate_proj, sparse ones
+    # mlp.gate + mlp.experts.N.*)
+    return _cfg_qwen3(
+        d,
+        arch="qwen3_moe",
+        num_local_experts=d.get("num_experts") or 0,
+        num_experts_per_tok=d.get("num_experts_per_tok") or 8,
+        moe_router="deepseek",
+        norm_topk_prob=d.get("norm_topk_prob", False),
+        moe_intermediate_size=d.get("moe_intermediate_size") or 0,
+    )
+
+
+def _cfg_qwen2_moe(d):
+    # qwen2 attention (qkv bias) + qwen3-moe-style router + an always-on
+    # shared expert whose output is sigmoid-gated by shared_expert_gate
+    # (Qwen2MoeSparseMoeBlock.forward)
+    use_swa = bool(d.get("use_sliding_window"))
+    return _llama_like(
+        d,
+        arch="qwen2_moe",
+        attention_bias=True,
+        sliding_window=(d.get("sliding_window") or 0) if use_swa else 0,
+        swa_min_layer=d.get("max_window_layers", 0) if use_swa else 0,
+        num_local_experts=d.get("num_experts") or 0,
+        num_experts_per_tok=d.get("num_experts_per_tok") or 4,
+        moe_router="deepseek",
+        norm_topk_prob=d.get("norm_topk_prob", False),
+        moe_intermediate_size=d.get("moe_intermediate_size") or 0,
     )
 
 
@@ -756,6 +810,35 @@ _SPECS = [
     _llama_spec("llama", "LlamaForCausalLM", _cfg_llama),
     _llama_spec("mistral", "MistralForCausalLM", _cfg_mistral),
     _llama_spec("qwen2", "Qwen2ForCausalLM", _cfg_qwen2),
+    _llama_spec(
+        "qwen3",
+        "Qwen3ForCausalLM",
+        _cfg_qwen3,
+        norms={
+            **_LLAMA_NORMS,
+            "q_norm": "self_attn.q_norm",
+            "k_norm": "self_attn.k_norm",
+        },
+    ),
+    _llama_spec(
+        "qwen3_moe",
+        "Qwen3MoeForCausalLM",
+        _cfg_qwen3_moe,
+        norms={
+            **_LLAMA_NORMS,
+            "q_norm": "self_attn.q_norm",
+            "k_norm": "self_attn.k_norm",
+        },
+        # mlp.* linears stay in the map for mlp_only_layers (dense);
+        # sparse layers load mlp.gate + mlp.experts.N.{gate,up,down}_proj
+        moe_dialect="deepseek",
+    ),
+    _llama_spec(
+        "qwen2_moe",
+        "Qwen2MoeForCausalLM",
+        _cfg_qwen2_moe,
+        moe_dialect="qwen2_moe",
+    ),
     _llama_spec(
         "mixtral",
         "MixtralForCausalLM",

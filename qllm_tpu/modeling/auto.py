@@ -48,11 +48,16 @@ _MOE_WMAP = {"gate_proj": "w1", "down_proj": "w2", "up_proj": "w3"}
 _SHARED_NAMES = ("gate_proj", "up_proj", "down_proj")
 
 
-def _moe_naming(spec: ArchSpec) -> Tuple[str, Dict[str, str]]:
-    """(per-layer MoE module prefix, canonical->checkpoint name map)."""
+def _moe_naming(spec: ArchSpec) -> Tuple[str, Dict[str, str], str]:
+    """(per-layer MoE module prefix, canonical->checkpoint name map,
+    shared-expert submodule name). Internally shared experts always live
+    under the canonical key "shared_experts"; only the checkpoint
+    spelling differs (qwen2-moe uses a singular mlp.shared_expert)."""
     if spec.moe_dialect == "deepseek":
-        return "mlp", {n: n for n in _SHARED_NAMES}
-    return "block_sparse_moe", _MOE_WMAP
+        return "mlp", {n: n for n in _SHARED_NAMES}, "shared_experts"
+    if spec.moe_dialect == "qwen2_moe":
+        return "mlp", {n: n for n in _SHARED_NAMES}, "shared_expert"
+    return "block_sparse_moe", _MOE_WMAP, "shared_experts"
 _QKV = ("q_proj", "k_proj", "v_proj")
 _VPTQ_SUFFIXES = (
     "indices",
@@ -307,7 +312,7 @@ class AutoQuantizedModelForCausalLM:
                     ("gate_proj", "up_proj"),
                     gate_up_split_indices(cfg),
                 )
-            moe_prefix, wmap = _moe_naming(spec)
+            moe_prefix, wmap, shared_rel = _moe_naming(spec)
             for e, ep in enumerate(lp.get("experts", [])):
                 for name, wtag in wmap.items():
                     w = import_group(
@@ -320,7 +325,7 @@ class AutoQuantizedModelForCausalLM:
             if se is not None:
                 for name in _SHARED_NAMES:
                     w = import_group(
-                        f"{lbase}.{moe_prefix}.shared_experts.{name}",
+                        f"{lbase}.{moe_prefix}.{shared_rel}.{name}",
                         f"model.layers.{i}.shared_experts.{name}",
                     )
                     if w is not None:
@@ -529,7 +534,7 @@ class AutoQuantizedModelForCausalLM:
                     gate_up_split_indices(cfg),
                     2 * cfg.intermediate_size,
                 )
-            moe_prefix, wmap = _moe_naming(spec)
+            moe_prefix, wmap, shared_rel = _moe_naming(spec)
             if "router" in lp:
                 put_dense(
                     f"{lbase}.{moe_prefix}.gate.weight",
@@ -548,10 +553,16 @@ class AutoQuantizedModelForCausalLM:
             for name, w in (lp.get("shared_experts") or {}).items():
                 if w is not None:
                     put_any(
-                        f"{lbase}.{moe_prefix}.shared_experts.{name}",
+                        f"{lbase}.{moe_prefix}.{shared_rel}.{name}",
                         f"model.layers.{i}.shared_experts.{name}",
                         w,
                     )
+            if lp.get("shared_expert_gate") is not None:
+                put_dense(
+                    f"{lbase}.{moe_prefix}.shared_expert_gate.weight",
+                    lp["shared_expert_gate"],
+                    transpose=True,
+                )
         # multimodal passthrough (llava/llava-next): the non-language
         # tensors captured at load (vision tower, projector,
         # image_newline, ...) must round-trip — the reference saves the
@@ -712,9 +723,9 @@ class AutoQuantizedModelForCausalLM:
                     ("gate_proj", "up_proj"),
                     gate_up_split_indices(cfg),
                 )
-            moe_prefix, wmap = _moe_naming(spec)
+            moe_prefix, wmap, shared_rel = _moe_naming(spec)
             router_key = f"{lbase}.{moe_prefix}.gate.weight"
-            if router_key in tensors:  # MoE layer (mixtral / deepseek)
+            if router_key in tensors:  # MoE layer (mixtral/deepseek/qwen-moe)
                 lp["router"] = get(router_key).T
                 experts = []
                 e = 0
@@ -736,7 +747,7 @@ class AutoQuantizedModelForCausalLM:
                     experts.append(ep)
                     e += 1
                 lp["experts"] = experts
-                sbase = f"{lbase}.{moe_prefix}.shared_experts"
+                sbase = f"{lbase}.{moe_prefix}.{shared_rel}"
                 if any(k.startswith(sbase + ".") for k in tensors):
                     se = {}
                     for name in _SHARED_NAMES:
@@ -749,5 +760,10 @@ class AutoQuantizedModelForCausalLM:
                         ):
                             se[name] = None
                     lp["shared_experts"] = se
+                gkey = f"{lbase}.{moe_prefix}.shared_expert_gate.weight"
+                if gkey in tensors:
+                    # qwen2-moe sigmoid gate on the shared expert,
+                    # a [1, D] linear kept unquantized (like the router)
+                    lp["shared_expert_gate"] = get(gkey).T
             params["layers"].append(lp)
         return params

@@ -108,7 +108,9 @@ class ModelConfig:
     attn_scale: float = 0.0  # overrides hd**-0.5 (gemma2 query_pre_attn_scalar**-0.5)
     # minicpm: residuals scaled by scale_depth/sqrt(num_layers)
     residual_multiplier: float = 1.0
-    qk_norm: str = ""  # "" | "cohere" (per-head mean-sub layernorm on q/k)
+    # "" | "cohere" (per-head mean-sub layernorm, weight [H, hd]) |
+    # "rms" (qwen3: RMSNorm over hd, one weight [hd] shared across heads)
+    qk_norm: str = ""
     # deepseek-v2 MLA (multi-head latent attention) — reference supports
     # this family via its AWQ topology table
     # (sequential_layes_awq_config.py get_deepseek_v2_layers)
@@ -341,15 +343,26 @@ def layer_norm(
     return y.astype(dt)
 
 
-def qk_head_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
-    """Cohere use_qk_norm: mean-subtracting layernorm (no bias) over the
-    head dim, with a PER-HEAD weight [H, hd] (HF CohereLayerNorm applied
-    to q/k reshaped [B, T, H, hd])."""
+def qk_head_norm(
+    x: jax.Array, weight: jax.Array, eps: float, kind: str = "cohere"
+) -> jax.Array:
+    """Per-head q/k normalization, two dialects:
+
+    cohere — mean-subtracting layernorm (no bias) over the head dim,
+    with a PER-HEAD weight [H, hd] (HF CohereLayerNorm applied to q/k
+    reshaped [B, T, H, hd]).
+    rms — RMSNorm over the head dim with ONE weight [hd] shared across
+    heads (HF Qwen3RMSNorm(head_dim) in Qwen3Attention: q_norm/k_norm
+    applied before rope)."""
     xf = x.astype(jnp.float32)
+    w = weight.astype(jnp.float32)
+    if kind == "rms":
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    return (y * weight.astype(jnp.float32)[None, None]).astype(x.dtype)
+    return (y * w[None, None]).astype(x.dtype)
 
 
 def apply_norm(cfg: ModelConfig, x, weight, bias=None) -> jax.Array:
@@ -715,9 +728,9 @@ def _block_attn_mlp(
     q = q.reshape(B, T, H, hd)
     k = k.reshape(B, T, Hkv, hd)
     v = v.reshape(B, T, Hkv, hd)
-    if cfg.qk_norm == "cohere":
-        q = qk_head_norm(q, pv.get("q_norm"), cfg.rms_norm_eps)
-        k = qk_head_norm(k, pv.get("k_norm"), cfg.rms_norm_eps)
+    if cfg.qk_norm:
+        q = qk_head_norm(q, pv.get("q_norm"), cfg.rms_norm_eps, cfg.qk_norm)
+        k = qk_head_norm(k, pv.get("k_norm"), cfg.rms_norm_eps, cfg.qk_norm)
     if cfg.pos_embedding == "rope":
         q, k = apply_rope(q, k, cos, sin, cfg.rope_style, cfg.rotary_dim)
     if cfg.attn_scale:
@@ -1002,9 +1015,18 @@ def _mlp_from_view(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
             # routed output (modeling_deepseek_v2.DeepseekV2MoE.forward)
             gate = apply_linear(se["gate_proj"], x)
             up = apply_linear(se["up_proj"], x)
-            out = out + apply_linear(
+            seo = apply_linear(
                 se["down_proj"], act_fn(cfg.hidden_act, gate) * up
             )
+            sg = pv.get("shared_expert_gate")
+            if sg is not None:
+                # qwen2-moe: the shared expert's output is gated by a
+                # sigmoid of a [D, 1] linear on the block input
+                # (Qwen2MoeSparseMoeBlock.forward shared_expert_gate)
+                seo = seo * jax.nn.sigmoid(
+                    jnp.dot(x.astype(jnp.float32), sg.astype(jnp.float32))
+                ).astype(seo.dtype)
+            out = out + seo
         return out
     if cfg.mlp_type == "gated":
         gate = pv.apply("gate_proj", x)
@@ -1122,9 +1144,9 @@ def layer_intermediates(
     q = pv.apply("q_proj", x1).reshape(B, T, H, hd)
     k = pv.apply("k_proj", x1).reshape(B, T, Hkv, hd)
     v = pv.apply("v_proj", x1).reshape(B, T, Hkv, hd)
-    if cfg.qk_norm == "cohere":
-        q = qk_head_norm(q, pv.get("q_norm"), cfg.rms_norm_eps)
-        k = qk_head_norm(k, pv.get("k_norm"), cfg.rms_norm_eps)
+    if cfg.qk_norm:
+        q = qk_head_norm(q, pv.get("q_norm"), cfg.rms_norm_eps, cfg.qk_norm)
+        k = qk_head_norm(k, pv.get("k_norm"), cfg.rms_norm_eps, cfg.qk_norm)
     if cfg.pos_embedding == "rope":
         q, k = apply_rope(q, k, cos, sin, cfg.rope_style, cfg.rotary_dim)
     if cfg.attn_scale:

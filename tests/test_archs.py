@@ -334,6 +334,64 @@ CASES = [
         ),
         "deepseek_v2",
     ),
+    (
+        # qwen3: RMS q/k-norm over head_dim (one shared weight) + an
+        # explicit head_dim decoupled from hidden/heads
+        "Qwen3Config",
+        "Qwen3ForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=128,
+            num_key_value_heads=2,
+            head_dim=32,
+            max_position_embeddings=128,
+        ),
+        "qwen3",
+    ),
+    (
+        # qwen3-moe: deepseek-style router (softmax-all -> top-k ->
+        # renorm) + a dense mlp_only layer mixed in with sparse layers
+        "Qwen3MoeConfig",
+        "Qwen3MoeForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=128,
+            num_key_value_heads=2,
+            head_dim=32,
+            max_position_embeddings=128,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            norm_topk_prob=True,
+            decoder_sparse_step=1,
+            mlp_only_layers=[1],
+        ),
+        "qwen3_moe",
+    ),
+    (
+        # qwen2-moe: qkv bias + sigmoid-gated singular shared_expert
+        # (mlp.shared_expert + mlp.shared_expert_gate) + mixed dense/
+        # sparse layers
+        "Qwen2MoeConfig",
+        "Qwen2MoeForCausalLM",
+        dict(
+            **TINY,
+            hidden_size=64,
+            intermediate_size=128,
+            num_key_value_heads=2,
+            max_position_embeddings=128,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            shared_expert_intermediate_size=64,
+            norm_topk_prob=False,
+            decoder_sparse_step=1,
+            mlp_only_layers=[1],
+        ),
+        "qwen2_moe",
+    ),
 ]
 
 
@@ -373,9 +431,11 @@ def test_arch_logits_parity(tmp_path, cfg_name, model_name, kwargs, kind):
 @pytest.mark.parametrize(
     "case_idx",
     # bloom (headwise fused), neox (fused+parallel), gpt2 (conv1d),
-    # gemma2 (post-norms+softcap), cohere (qk-norm)
-    [7, 2, 11, 17, 19],
-    ids=["bloom", "gpt_neox", "gpt2", "gemma2", "cohere_qknorm"],
+    # gemma2 (post-norms+softcap), cohere (qk-norm), qwen2-moe (MoE
+    # experts + singular shared_expert naming + sigmoid gate)
+    [7, 2, 11, 17, 19, len(CASES) - 1],
+    ids=["bloom", "gpt_neox", "gpt2", "gemma2", "cohere_qknorm",
+         "qwen2_moe"],
 )
 def test_arch_quantize_roundtrip(tmp_path, case_idx):
     """HQQ-quantize a fused-qkv arch, save (fused re-export), reload,
