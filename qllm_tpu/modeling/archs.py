@@ -195,7 +195,9 @@ def _cfg_qwen2(d):
         arch="qwen2",
         attention_bias=True,
         sliding_window=(d.get("sliding_window") or 0) if use_swa else 0,
-        swa_min_layer=d.get("max_window_layers", 0) if use_swa else 0,
+        # HF Qwen2Config defaults max_window_layers=28 (NOT 0) when the
+        # key is absent: layers >= max_window_layers are windowed
+        swa_min_layer=d.get("max_window_layers", 28) if use_swa else 0,
     )
 
 
@@ -208,7 +210,8 @@ def _cfg_qwen3(d, **over):
         arch="qwen3",
         qk_norm="rms",
         sliding_window=(d.get("sliding_window") or 0) if use_swa else 0,
-        swa_min_layer=d.get("max_window_layers", 0) if use_swa else 0,
+        # HF Qwen3Config defaults max_window_layers=28 when absent
+        swa_min_layer=d.get("max_window_layers", 28) if use_swa else 0,
     )
     kw.update(over)
     return _llama_like(d, **kw)

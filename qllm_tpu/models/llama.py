@@ -1083,7 +1083,11 @@ def _router_weights(
             )  # [B, T, G]
             scores = (gs * gmask[..., None]).reshape(scores.shape)
         top_w, top_ids = jax.lax.top_k(scores, k)
-        if cfg.norm_topk_prob and k > 1:
+        # HF DeepseekV2MoEGate renormalizes only when top_k > 1, but
+        # Qwen2Moe/Qwen3Moe renormalize unconditionally — with k=1 that
+        # sets the weight to 1.0 instead of the softmax probability.
+        renorm = cfg.norm_topk_prob and (k > 1 or cfg.arch != "deepseek_v2")
+        if renorm:
             # HF DeepseekV2MoEGate: normalized weights are NOT also
             # multiplied by routed_scaling_factor (else-branch only)
             top_w = top_w / (jnp.sum(top_w, axis=-1, keepdims=True) + 1e-20)

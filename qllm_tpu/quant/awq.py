@@ -459,6 +459,14 @@ class AWQQuantizer:
                         nlp["router"] = (
                             nlp["router"].astype(jnp.float32) * s[:, None]
                         ).astype(nlp["router"].dtype)
+                        # qwen2_moe's sigmoid shared_expert_gate also
+                        # reads the LN output directly — compensate it
+                        # the same way ([D, 1] transposed layout)
+                        if nlp.get("shared_expert_gate") is not None:
+                            nlp["shared_expert_gate"] = (
+                                nlp["shared_expert_gate"].astype(jnp.float32)
+                                * s[:, None]
+                            ).astype(nlp["shared_expert_gate"].dtype)
                 else:  # fc: divide prev's OUT channels
                     _setw(
                         nlp,

@@ -727,7 +727,14 @@ def test_normalized_config_roundtrip(tmp_path):
 # AWQ topology table (sequential_layes_awq_config.py get_deepseek_v2_layers)
 # ---------------------------------------------------------------------------
 
-_DSV2_MOE_IDX = len(CASES) - 1  # the q-lora + group-limited MoE case
+# Select the deepseek-v2 case by kind, never by position: round 3's
+# positional index (len(CASES)-1) silently started exercising qwen2_moe
+# when a case was appended, losing deepseek coverage entirely.
+_DSV2_MOE_IDX = next(
+    i
+    for i, c in enumerate(CASES)
+    if c[3] == "deepseek_v2" and c[2].get("q_lora_rank") is not None
+)
 
 
 def test_deepseek_v2_quantize_roundtrip(tmp_path):

@@ -119,5 +119,11 @@ def test_real_wikitext2_ppl():
         assert ppl_q - ppl_ref <= 0.05  # flat BASELINE contract
     else:
         print(f"wikitext2 ppl: fp={ppl_fp:.4f} ours_gptq_w4g128={ppl_q:.4f}")
-    # sanity: quantization at W4 g128 must stay near the float model
-    assert ppl_q - ppl_fp <= 0.05 + 0.0051 * ppl_fp
+    # BASELINE.md as written: wikitext-2 PPL delta <= 0.05 flat in the
+    # real-checkpoint regime (ppl_fp < 20). The relative slack survives
+    # ONLY for the synthetic-scale regime (random tiny models, ppl in
+    # the thousands) where a flat 0.05 is meaningless.
+    if ppl_fp < 20.0:
+        assert ppl_q - ppl_fp <= 0.05
+    else:
+        assert ppl_q - ppl_fp <= 0.05 + 0.0051 * ppl_fp
