@@ -107,6 +107,22 @@ MODEL_SHAPES = {
         num_key_value_heads=8,
         sliding_window=4096,
     ),
+    # mixtral-8x7b layer geometry, 8-layer slab (full 32-layer 8x7B is
+    # ~23 GB at W4 — beyond one 16 GB chip; the slab keeps every
+    # per-layer shape exact so the top-k roofline comparison is honest).
+    # Exercises the sparse [E]-stacked decode path (models.moe):
+    # QLLM_BENCH_MODEL=mixtral; not the headline metric
+    "mixtral": dict(
+        vocab_size=32000,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_hidden_layers=8,
+        num_attention_heads=32,
+        num_key_value_heads=8,
+        arch="mixtral",
+        num_local_experts=8,
+        num_experts_per_tok=2,
+    ),
     # tinyllama-1.1b
     "1b": dict(
         vocab_size=32000,
@@ -125,21 +141,48 @@ MODEL_SHAPES = {
         num_attention_heads=4,
         num_key_value_heads=2,
     ),
+    # CPU-runnable smoke shape for the MoE bench path
+    "tinymoe": dict(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        arch="mixtral",
+        num_local_experts=4,
+        num_experts_per_tok=2,
+    ),
 }
 
 
 def model_bytes_per_token(params, cfg, seq_pos, batch) -> int:
     """HBM bytes that must be touched to decode one token (per batch-1;
-    weight reads amortize across batch)."""
+    weight reads amortize across batch). MoE layers count only the
+    TOP-K experts' bytes — the sparse decode path reads exactly those
+    (models.moe); counting all E would credit a 4x-too-easy roofline."""
     from qllm_tpu.quant.qtensor import QuantizedTensor
+
+    def _nbytes(w):
+        if isinstance(w, QuantizedTensor):
+            return w.nbytes()
+        if hasattr(w, "nbytes"):
+            return int(w.nbytes)
+        return 0
 
     total = 0
     for lp in params["layers"]:
-        for w in lp.values():
-            if isinstance(w, QuantizedTensor):
-                total += w.nbytes()
-            elif hasattr(w, "nbytes"):
-                total += int(w.nbytes)
+        for name, w in lp.items():
+            if name == "experts":
+                k = min(cfg.num_experts_per_tok, len(w))
+                per_expert = sum(_nbytes(x) for x in w[0].values())
+                # each of batch tokens reads its own k experts (may
+                # overlap; roofline assumes the worst case, capped at E)
+                total += min(k * batch, len(w)) * per_expert // max(batch, 1)
+            elif name == "shared_experts":
+                total += sum(_nbytes(x) for x in w.values())
+            else:
+                total += _nbytes(w)
     # lm_head read fully; embed: one row per token
     lm = params["lm_head"]
     total += lm.nbytes() if isinstance(lm, QuantizedTensor) else int(lm.nbytes)
@@ -196,7 +239,13 @@ def main():
     params = random_quantized_params(
         cfg, jax.random.key(0), bits=4, group_size=128, quantize_lm_head=q_head
     )
-    jax.block_until_ready(params["layers"][-1]["down_proj"].qweight)
+    _last = params["layers"][-1]
+    _last_w = (
+        _last["experts"][-1]["down_proj"]
+        if "experts" in _last
+        else _last["down_proj"]
+    )
+    jax.block_until_ready(_last_w.qweight)
     log(f"[bench] params materialized in {time.time() - t0:.1f}s")
     # byte accounting BEFORE stacking (the stacked copies are padded;
     # the roofline counts logical checkpoint bytes) — and compute it NOW
@@ -208,12 +257,26 @@ def main():
     # bf16 scale storage (default on): halves scale/zs bytes; requires
     # the fused-correction kernels, which are the serving default.
     scales_bf16 = os.environ.get("QLLM_TPU_SCALES_BF16", "1") != "0"
-    params = stack_layer_params(
-        params,
-        scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
-        sync_per_leaf=backend != "cpu",  # bound stacking transients
-        consume=True,  # free original per-layer buffers progressively
-    )
+    is_moe = cfg.num_local_experts > 0
+    if is_moe:
+        # MoE: [E]-stack experts per layer (top-k-only decode reads);
+        # layers stay a python-loop list (mixed expert/dense bodies
+        # cannot [L]-scan)
+        from qllm_tpu.models.moe import stack_experts
+
+        params = stack_experts(
+            params,
+            scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
+            sync_per_leaf=backend != "cpu",
+            consume=True,
+        )
+    else:
+        params = stack_layer_params(
+            params,
+            scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
+            sync_per_leaf=backend != "cpu",  # bound stacking transients
+            consume=True,  # free original per-layer buffers progressively
+        )
     if q_head:
         # serve the head through the planar stacked kernel too (L=1
         # stack): ~740 vs ~650 GB/s, plus lane padding to a tuned width
@@ -228,7 +291,20 @@ def main():
                 ),
             )
 
-    if os.environ.get("QLLM_TPU_AUTOTUNE") == "1":
+    if is_moe:
+        # MoE run: decode-vs-topk-roofline is the story; the secondary
+        # sweeps (prefill MFU formula, spec, w4a8, batch sweeps) default
+        # off — each would recompile the 8-layer unrolled body over the
+        # tunnel, and their dense-model interpretations don't transfer
+        for knob in (
+            "QLLM_BENCH_BATCH_SWEEP",
+            "QLLM_BENCH_PREFILL",
+            "QLLM_BENCH_SPEC",
+            "QLLM_BENCH_W4A8",
+        ):
+            os.environ.setdefault(knob, "0")
+
+    if not is_moe and os.environ.get("QLLM_TPU_AUTOTUNE") == "1":
         from qllm_tpu.ops.autotune import tune_for_stacked_params
 
         t0 = time.time()
@@ -457,7 +533,11 @@ def main():
     roofline = chip_bw() / bpt * batch  # batch amortizes weight reads
     target = 0.8 * roofline
     result = {
-        "metric": f"decode_tokens_per_sec_per_chip_llama2_{model}_w4g128",
+        "metric": (
+            f"decode_tokens_per_sec_per_chip_llama2_{model}_w4g128"
+            if model in ("7b", "1b", "tiny")
+            else f"decode_tokens_per_sec_per_chip_{model}_w4g128"
+        ),
         "value": round(tokens_per_s, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_s / target, 4),
@@ -473,6 +553,7 @@ def main():
             **spec_detail,
             **w4a8_detail,
             "quantized_lm_head": q_head,
+            "moe_topk_roofline": is_moe or None,
             "practical_stream_GBps": stream_gbps,
             "practical_ceiling_tokens_per_s": (
                 round(stream_gbps * 1e9 / bpt * batch, 1) if stream_gbps else None

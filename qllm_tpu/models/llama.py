@@ -699,6 +699,19 @@ class LayerView:
     def apply(self, name, x):
         return apply_linear(self.lp[name], x, self.lp.get(f"{name}_bias"))
 
+    def apply_expert(self, name, e, x):
+        """x @ experts_stacked[name][e] — ``e`` may be traced (top-k
+        decode) or a python int (dense loop). TP views override this to
+        serve local expert shards."""
+        from .moe import expert_linear
+
+        return expert_linear(self.lp["experts_stacked"][name], e, x)
+
+    def combine_moe(self, out):
+        """Hook for TP views: psum the routed-experts partial sum (the
+        experts' down_proj is row-sharded there). Identity single-chip."""
+        return out
+
 
 def _block_attn_mlp(
     pv,
@@ -1007,8 +1020,8 @@ def _mla_attention(
 
 
 def _mlp_from_view(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
-    if pv.get("experts") is not None:
-        out = _moe_forward(pv.lp, cfg, _mat(x))
+    if pv.get("experts") is not None or pv.get("experts_stacked") is not None:
+        out = _moe_forward(pv, cfg, _mat(x))
         se = pv.get("shared_experts")
         if se is not None:
             # deepseek shared experts: always-on gated MLP added to the
@@ -1056,10 +1069,10 @@ def _layer_forward(
     )
 
 
-def _router_weights(
+def _router_topk(
     lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array
-) -> jax.Array:
-    """Dense [B, T, E] expert combination weights.
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k expert routing: ([B, T, k] weights, [B, T, k] expert ids).
 
     mixtral: top-k of the logits, softmax over the selected k
     (HF MixtralSparseMoeBlock). deepseek: softmax over ALL experts,
@@ -1069,7 +1082,7 @@ def _router_weights(
     router_logits = jnp.dot(
         x.astype(jnp.float32), lp["router"].astype(jnp.float32)
     )  # [B, T, E]
-    E = len(lp["experts"])
+    E = lp["router"].shape[-1]
     k = min(cfg.num_experts_per_tok, E)
     if cfg.moe_router == "deepseek":
         scores = jax.nn.softmax(router_logits, axis=-1)
@@ -1096,28 +1109,94 @@ def _router_weights(
     else:
         top_w, top_ids = jax.lax.top_k(router_logits, k)
         top_w = jax.nn.softmax(top_w, axis=-1)  # HF: softmax over the top-k
+    return top_w, top_ids
+
+
+def _router_weights(
+    lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array
+) -> jax.Array:
+    """Dense [B, T, E] expert combination weights (0 for unselected)."""
+    top_w, top_ids = _router_topk(lp, cfg, x)
+    E = lp["router"].shape[-1]
     return jnp.sum(
         jax.nn.one_hot(top_ids, E, dtype=jnp.float32) * top_w[..., None],
         axis=-2,
     )  # [B, T, E]
 
 
-def _moe_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Array:
+def _moe_forward(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     """Top-k sparse MoE, mixtral and deepseek routing (reference supports
     Mixtral/deepseek-v2 via its GPTQ/AWQ tables,
     sequential_layes_gptq_config.py:70-101, get_deepseek_v2_layers).
 
-    MoE note: experts run densely over all tokens and are combined with
-    the router's top-k weights — correct and XLA-friendly; token
-    gathering/megablocking is a later optimization."""
+    ``pv`` is a LayerView-like accessor; TP views override apply_expert
+    (local shard matmul) and combine_moe (psum of row-sharded partials).
+
+    Two paths, both exact:
+    - decode/small-batch (B*T*k < E) over [E]-stacked experts
+      (models.moe.stack_experts): read ONLY the top-k experts' weights,
+      selected by a traced index the Pallas kernel consumes via scalar
+      prefetch — the HF sparse block's token-gather done the TPU way.
+    - prefill / large batch / unstacked params: experts run densely and
+      are combined with the router's top-k weights (every expert is hit
+      by some token anyway, and the dense loop is XLA-friendly)."""
+    if isinstance(pv, dict):  # back-compat: accept a raw layer dict
+        pv = LayerView(pv)
+    lp = pv.lp
+    est = pv.get("experts_stacked")
+    B, T, D = x.shape
+    E = pv.get("router").shape[-1]
+    k = min(cfg.num_experts_per_tok, E)
+    if est is not None and B * T * k < E:
+        return _moe_sparse(pv, cfg, x, k)
     weights = _router_weights(lp, cfg, x)
     out = jnp.zeros_like(x, shape=x.shape).astype(jnp.float32)
-    for e, ep in enumerate(lp["experts"]):
+    if est is not None:
+        for e in range(E):
+            gate = pv.apply_expert("gate_proj", e, x)
+            up = pv.apply_expert("up_proj", e, x)
+            ye = pv.apply_expert(
+                "down_proj", e, act_fn(cfg.hidden_act, gate) * up
+            )
+            out = out + ye.astype(jnp.float32) * weights[..., e : e + 1]
+        return pv.combine_moe(out).astype(x.dtype)
+    for e, ep in enumerate(pv.get("experts")):
         gate = apply_linear(ep["gate_proj"], x)
         up = apply_linear(ep["up_proj"], x)
-        ye = apply_linear(ep["down_proj"], jax.nn.silu(gate) * up)
+        ye = apply_linear(
+            ep["down_proj"], act_fn(cfg.hidden_act, gate) * up
+        )
         out = out + ye.astype(jnp.float32) * weights[..., e : e + 1]
     return out.astype(x.dtype)
+
+
+def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
+    """Top-k-only expert evaluation over [E]-stacked weights: per token,
+    k indexed expert-MLP runs — the kernel reads k experts' bytes from
+    HBM instead of E (E/k-times less decode weight traffic; 4x on
+    Mixtral E=8 k=2). Token/slot loops are static python loops: the
+    caller guarantees B*T*k < E, so they are tiny."""
+    B, T, D = x.shape
+    S = B * T
+    top_w, top_ids = _router_topk(pv.lp, cfg, x)  # [B, T, k] each
+    xf = x.reshape(S, D)
+    wf = top_w.reshape(S, k)
+    idf = top_ids.reshape(S, k)
+    outs = []
+    for s in range(S):
+        xs = xf[s][None, :]  # [1, D]
+        acc = jnp.zeros((1, D), jnp.float32)
+        for j in range(k):
+            e = idf[s, j]
+            gate = pv.apply_expert("gate_proj", e, xs)
+            up = pv.apply_expert("up_proj", e, xs)
+            ye = pv.apply_expert(
+                "down_proj", e, act_fn(cfg.hidden_act, gate) * up
+            )
+            acc = acc + ye.astype(jnp.float32) * wf[s, j]
+        outs.append(acc)
+    out = jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
+    return pv.combine_moe(out).reshape(B, T, D).astype(x.dtype)
 
 
 def _mlp_forward(lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array) -> jax.Array:

@@ -48,10 +48,13 @@ from ..quant.qtensor import QuantizedTensor, pad_in_features, pad_out_features
 
 __all__ = [
     "prepare_tp_params",
+    "prepare_tp_moe_params",
     "stacked_tp_pspecs",
+    "moe_tp_pspecs",
     "tp_cache_pspecs",
     "make_tp_decode_loop",
     "tp_forward_stacked",
+    "tp_forward_moe",
 ]
 
 _COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
@@ -425,6 +428,321 @@ def tp_forward_stacked(
     return _tp_logits_local(params, lcfg, h), cache
 
 
+# ---------------------------------------------------------------------------
+# MoE tensor parallelism: per-layer list params + [E]-stacked expert shards
+# ---------------------------------------------------------------------------
+#
+# MoE models cannot take the [L]-stack (mixed dense/sparse layers, and
+# the expert axis adds a second stacking level), so TP serves them on
+# the per-layer python-loop path: every expert's gate/up is
+# column-sharded and its down row-sharded over tp (Megatron layout, the
+# same intermediate-dim split as the dense MLP), with the routed-expert
+# partial sum psum'd ONCE per MoE block (LayerView.combine_moe). The
+# router, shared experts, and shared_expert_gate stay replicated: the
+# router must be (identical top-k on every shard), and the shared
+# expert is small relative to E routed experts. Works for both the
+# sparse decode path and the dense prefill loop in models.llama.
+# Reference contrast: the reference's only multi-GPU MoE story is
+# accelerate layer placement (modeling/base.py:296-305).
+
+
+def prepare_tp_moe_params(
+    params: Dict[str, Any], cfg: ModelConfig, tp: int
+) -> Dict[str, Any]:
+    """Per-layer MoE params laid out for a tp-way mesh: expert gate/up
+    out-features padded to lcm(512, 128·tp, g·tp) (down in-features to
+    the same width), experts [E]-stacked per layer (planar OFF — row
+    sharding cannot consume the planar word), dense-MLP layers padded
+    like prepare_tp_params. Layers stay a python list."""
+    from ..models.moe import _experts_homogeneous, stack_experts
+
+    if tp < 1:
+        raise ValueError(f"tp must be >= 1, got {tp}")
+    if cfg.num_attention_heads % tp or cfg.num_key_value_heads % tp:
+        raise ValueError(
+            f"attention heads ({cfg.num_attention_heads}/"
+            f"{cfg.num_key_value_heads} kv) must divide tp={tp}"
+        )
+    layers = params["layers"]
+    if not isinstance(layers, list):
+        raise ValueError("prepare_tp_moe_params expects per-layer params")
+    if any("kv_a_proj_with_mqa" in lp for lp in layers):
+        raise NotImplementedError(
+            "MLA (deepseek-v2) attention is not yet TP-sharded; serve "
+            "deepseek-v2 single-chip or add the MLA head split first"
+        )
+
+    new_layers = []
+    for lp in layers:
+        nlp = dict(lp)
+        if "experts" in nlp:
+            if not _experts_homogeneous(nlp["experts"]):
+                raise ValueError(
+                    "TP MoE requires homogeneous experts (same bits/"
+                    "shapes across the expert axis)"
+                )
+            experts = []
+            for ep in nlp["experts"]:
+                nep = dict(ep)
+                for name in ("gate_proj", "up_proj"):
+                    w = nep.get(name)
+                    if isinstance(w, QuantizedTensor):
+                        q = _lane_quantum(w.effective_group_size, tp)
+                        i_pad = -(-w.out_features // q) * q
+                        nep[name] = pad_out_features(w, i_pad)
+                down = nep.get("down_proj")
+                if isinstance(down, QuantizedTensor):
+                    q = _lane_quantum(down.effective_group_size, tp)
+                    i_pad = -(-down.in_features // q) * q
+                    nep["down_proj"] = pad_in_features(down, i_pad)
+                    if nep["down_proj"].n_groups % tp:
+                        raise ValueError(
+                            f"expert down_proj groups "
+                            f"{nep['down_proj'].n_groups} % tp {tp} != 0"
+                        )
+                experts.append(nep)
+            nlp["experts"] = experts
+        else:
+            # dense-MLP layer (qwen-moe mlp_only_layers): same padding
+            # as the dense TP path
+            for name in ("gate_proj", "up_proj"):
+                w = nlp.get(name)
+                if isinstance(w, QuantizedTensor):
+                    q = _lane_quantum(w.effective_group_size, tp)
+                    i_pad = -(-w.out_features // q) * q
+                    nlp[name] = pad_out_features(w, i_pad)
+                    b = nlp.get(f"{name}_bias")
+                    if b is not None and b.shape[-1] != i_pad:
+                        nlp[f"{name}_bias"] = jnp.concatenate(
+                            [b, jnp.zeros((i_pad - b.shape[-1],), b.dtype)]
+                        )
+            down = nlp.get("down_proj")
+            if isinstance(down, QuantizedTensor):
+                q = _lane_quantum(down.effective_group_size, tp)
+                i_pad = -(-down.in_features // q) * q
+                nlp["down_proj"] = pad_in_features(down, i_pad)
+        for name in _ROW:
+            w = nlp.get(name)
+            if isinstance(w, QuantizedTensor) and w.n_groups % tp:
+                raise ValueError(
+                    f"{name}: groups {w.n_groups} % tp {tp} != 0"
+                )
+        new_layers.append(nlp)
+
+    out = dict(params)
+    out["layers"] = new_layers
+    # [E]-stack each layer's (now padded) experts; no extra lane padding
+    out = stack_experts(out, lane_quantum=1, planar=False)
+
+    lm = out.get("lm_head")
+    if lm is not None:
+        if isinstance(lm, QuantizedTensor):
+            vq = _lane_quantum(lm.effective_group_size, tp)
+            v_pad = -(-lm.out_features // vq) * vq
+            out["lm_head"] = pad_out_features(lm, v_pad)
+        else:
+            v_pad = -(-lm.shape[-1] // (128 * tp)) * (128 * tp)
+            if v_pad != lm.shape[-1]:
+                out["lm_head"] = jnp.pad(
+                    lm, ((0, 0), (0, v_pad - lm.shape[-1]))
+                )
+    emb = out["embed_tokens"]
+    v_rows = -(-emb.shape[0] // tp) * tp
+    if v_rows != emb.shape[0]:
+        out["embed_tokens"] = jnp.pad(
+            emb, ((0, v_rows - emb.shape[0]), (0, 0))
+        )
+    return out
+
+
+_EXPERT_COL = ("gate_proj", "up_proj")
+
+
+def moe_tp_pspecs(params: Dict[str, Any]):
+    """Leafwise PartitionSpec tree for prepare_tp_moe_params output
+    (per-layer list; experts_stacked leaves carry a leading [E] axis)."""
+    out = {}
+    for key, v in params.items():
+        if key == "embed_tokens":
+            out[key] = P("tp", None)
+        elif key == "lm_head":
+            out[key] = (
+                _qt_pspec(v, "col", stacked=False)
+                if isinstance(v, QuantizedTensor)
+                else P(None, "tp")
+            )
+        elif key == "layers":
+            lspecs = []
+            for lp in v:
+                lo = {}
+                for name, w in lp.items():
+                    if name == "experts_stacked":
+                        eo = {}
+                        for en, ew in w.items():
+                            kind = "col" if en in _EXPERT_COL else "row"
+                            if isinstance(ew, QuantizedTensor):
+                                # leading [E] axis is unsharded
+                                eo[en] = _qt_pspec(ew, kind, stacked=True)
+                            else:
+                                eo[en] = (
+                                    P(None, None, "tp")
+                                    if kind == "col"
+                                    else P(None, "tp", None)
+                                )
+                        lo[name] = eo
+                    elif name in _COL and isinstance(w, QuantizedTensor):
+                        lo[name] = _qt_pspec(w, "col", stacked=False)
+                    elif name in _ROW and isinstance(w, QuantizedTensor):
+                        lo[name] = _qt_pspec(w, "row", stacked=False)
+                    elif name in _COL and w is not None and w.ndim == 2:
+                        lo[name] = P(None, "tp")
+                    elif name in _ROW and w is not None and w.ndim == 2:
+                        lo[name] = P("tp", None)
+                    elif (
+                        name.endswith("_bias")
+                        and name[: -len("_bias")] in _COL
+                    ):
+                        lo[name] = P("tp")
+                    elif name == "down_proj_act_scale":
+                        lo[name] = P("tp")
+                    else:
+                        # router, shared experts, shared_expert_gate,
+                        # norms, row biases: replicated
+                        lo[name] = jax.tree_util.tree_map(
+                            lambda _: P(), w
+                        ) if isinstance(w, dict) else P()
+                lspecs.append(lo)
+            out[key] = lspecs
+        else:
+            out[key] = P()
+    return out
+
+
+class TPMoeLayerView:
+    """llama.LayerView over one MoE layer's LOCAL shards: localizes
+    quantized metadata, psums row-parallel partials (o_proj / dense
+    down_proj per call; routed experts once via combine_moe)."""
+
+    def __init__(self, lp: Dict[str, Any], axis: str):
+        self.lp = lp
+        self.axis = axis
+
+    def get(self, name):
+        v = self.lp.get(name)
+        if isinstance(v, QuantizedTensor) and name not in (
+            "router",
+        ):
+            return _localize_qt(v, stacked=False)
+        return v
+
+    def apply(self, name, x):
+        from ..ops.ref_matmul import qmatmul
+        from ..models.llama import apply_linear
+
+        w = self.lp[name]
+        b = self.lp.get(f"{name}_bias")
+        if isinstance(w, QuantizedTensor):
+            y = qmatmul(x, _localize_qt(w, stacked=False))
+        else:
+            y = jnp.dot(
+                x.astype(jnp.bfloat16),
+                w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        if name in _ROW:
+            # row-parallel: psum partials BEFORE the (replicated) bias
+            y = jax.lax.psum(y, self.axis)
+        if b is not None:
+            y = y + b
+        return y
+
+    def apply_expert(self, name, e, x):
+        from ..models.moe import expert_linear
+
+        w = self.lp["experts_stacked"][name]
+        if isinstance(w, QuantizedTensor):
+            w = _localize_qt(w)  # stacked [E] metadata -> local shard
+        return expert_linear(w, e, x)
+
+    def combine_moe(self, out):
+        # expert down_proj is row-sharded: one psum per MoE block
+        # combines every expert's partial product (weights/router are
+        # replicated, so scalar combination commutes with the psum)
+        return jax.lax.psum(out, self.axis)
+
+
+def tp_forward_moe(
+    params: Dict[str, Any],
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # LOCAL [B/dp, T]
+    cache: QuantizedKVCache,  # LOCAL shards
+    pos,
+    tp: int,
+    axis: str = "tp",
+) -> Tuple[jax.Array, QuantizedKVCache]:
+    """Per-layer (python loop) TP forward for MoE models inside
+    shard_map. Returns LOCAL logits [B/dp, T, V_pad/tp] + cache."""
+    lcfg = _local_cfg(cfg, tp)
+    B, T = token_ids.shape
+    pos = jnp.asarray(pos if pos is not None else 0)
+    S = cache.max_seq
+    if pos.ndim == 0:
+        positions = pos + jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    else:
+        positions = pos[:, None] + jnp.arange(T)[None, :]
+    mask = build_mask(lcfg, B, T, S, pos)
+    h = _tp_embed(params, lcfg, token_ids, positions, axis)
+    if cfg.pos_embedding == "rope":
+        cos, sin = _rope_cos_sin(
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style, cfg=cfg
+        )
+    else:
+        cos = sin = None
+    for l, lp in enumerate(params["layers"]):
+        h, cache = _block_attn_mlp(
+            TPMoeLayerView(lp, axis), lcfg, h, cos, sin, mask, cache, l, pos
+        )
+    return _tp_logits_local(params, lcfg, h), cache
+
+
+def make_tp_moe_decode_loop(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    params: Dict[str, Any],
+    cache: QuantizedKVCache,
+    steps: int,
+):
+    """jitted shard_map multi-token greedy decode over per-layer MoE
+    params (prepare_tp_moe_params output)."""
+    tp = mesh.shape["tp"]
+    pspecs = moe_tp_pspecs(params)
+    cspecs = tp_cache_pspecs(cache)
+    v_total = cfg.vocab_size
+
+    def step_body(params, token, cache, pos0):
+        def body(carry, _):
+            token, cache, pos = carry
+            logits, cache = tp_forward_moe(
+                params, cfg, token, cache, pos, tp
+            )
+            nxt = _tp_greedy(logits[:, -1], v_total, "tp")[:, None]
+            return (nxt, cache, pos + 1), nxt[:, 0]
+
+        (_, cache, _), toks = jax.lax.scan(
+            body, (token, cache, pos0), None, length=steps
+        )
+        return toks.T, cache
+
+    shmapped = jax.shard_map(
+        step_body,
+        mesh=mesh,
+        in_specs=(pspecs, P("dp", None), cspecs, P()),
+        out_specs=(P("dp", None), cspecs),
+        check_vma=False,
+    )
+    return jax.jit(shmapped)
+
+
 def make_tp_decode_loop(
     cfg: ModelConfig,
     mesh: Mesh,
@@ -468,8 +786,13 @@ def make_tp_decode_loop(
 
 
 def place_tp(params, cache, mesh: Mesh):
-    """device_put params/cache onto the mesh with the TP layout."""
-    pspecs = stacked_tp_pspecs(params)
+    """device_put params/cache onto the mesh with the TP layout
+    ([L]-stacked dense params, or per-layer-list MoE params)."""
+    pspecs = (
+        moe_tp_pspecs(params)
+        if isinstance(params.get("layers"), list)
+        else stacked_tp_pspecs(params)
+    )
     cspecs = tp_cache_pspecs(cache)
 
     def put(x, spec):

@@ -244,6 +244,13 @@ def _pick_first(last, key, t, k, p):
 
 class ContinuousBatchingEngine:
     def __init__(self, params, cfg: ModelConfig, serve_cfg: ServeConfig):
+        from ..models.moe import has_stackable_experts, stack_experts
+
+        if has_stackable_experts(params):
+            # MoE serving: [E]-stack expert weights once so decode reads
+            # only the top-k experts per token (models.moe). No-op copy
+            # cost for non-MoE params.
+            params = stack_experts(params)
         self.params = params
         self.cfg = cfg
         self.scfg = serve_cfg

@@ -73,7 +73,10 @@ def random_quantized_params(
         "up_proj": (D, I),
         "down_proj": (I, D),
     }
-    keys = jax.random.split(key, cfg.num_hidden_layers * len(LINEAR_NAMES) + 2)
+    E = cfg.num_local_experts
+    moe_names = [n for n in LINEAR_NAMES if n not in ("gate_proj", "up_proj", "down_proj")] if E else LINEAR_NAMES
+    n_per_layer = len(moe_names) + (3 * E if E else 0)
+    keys = jax.random.split(key, cfg.num_hidden_layers * n_per_layer + 3)
     ki = 0
     layers = []
     for _ in range(cfg.num_hidden_layers):
@@ -81,12 +84,29 @@ def random_quantized_params(
             "input_layernorm": jnp.ones((D,), dtype),
             "post_attention_layernorm": jnp.ones((D,), dtype),
         }
-        for name in LINEAR_NAMES:
+        for name in moe_names:
             Kf, Nf = shapes[name]
             lp[name] = random_quantized_tensor(
                 keys[ki], Kf, Nf, bits, group_size
             )
             ki += 1
+        if E:
+            # MoE layer: dense router + E quantized expert MLPs (the
+            # shapes HF MixtralSparseMoeBlock carries)
+            lp["router"] = (
+                jax.random.normal(keys[-3], (D, E), jnp.float32) * 0.02
+            )
+            experts = []
+            for _e in range(E):
+                ep = {}
+                for name in ("gate_proj", "up_proj", "down_proj"):
+                    Kf, Nf = shapes[name]
+                    ep[name] = random_quantized_tensor(
+                        keys[ki], Kf, Nf, bits, group_size
+                    )
+                    ki += 1
+                experts.append(ep)
+            lp["experts"] = experts
         layers.append(lp)
     params = {
         "embed_tokens": (

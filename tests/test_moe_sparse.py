@@ -1,0 +1,144 @@
+"""Top-k-only MoE decode over [E]-stacked experts (models.moe).
+
+Contract: the sparse indexed-expert path must be numerically equivalent
+to the dense all-experts path (which itself has HF parity via
+tests/test_archs.py), while reading only the selected experts' weights.
+Reference role: HF's MixtralSparseMoeBlock token-gather, the forward the
+reference quantizes through (sequential_layes_gptq_config.py:70-101).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qllm_tpu.models import TINY_LLAMA_TEST_CONFIG, forward, init_params
+from qllm_tpu.models.moe import has_stackable_experts, stack_experts
+from qllm_tpu.models.generate import make_cache
+from qllm_tpu.quant.config import HQQConfig
+from qllm_tpu.quant.hqq import HQQQuantizer
+
+MOE_CFG = dataclasses.replace(
+    TINY_LLAMA_TEST_CONFIG,
+    arch="mixtral",
+    num_local_experts=4,
+    num_experts_per_tok=2,
+)
+
+DS_CFG = dataclasses.replace(
+    TINY_LLAMA_TEST_CONFIG,
+    arch="deepseek_v2",
+    num_local_experts=8,
+    num_experts_per_tok=2,
+    moe_router="deepseek",
+    norm_topk_prob=True,
+    routed_scaling_factor=2.0,
+)
+
+
+def _quantized_moe_params(cfg, seed=0, bits=4, groupsize=16):
+    params = init_params(cfg, jax.random.key(seed))
+    q = HQQQuantizer(HQQConfig(wbits=bits, groupsize=groupsize))
+    return q.quantize(params, cfg, None, progress=False)
+
+
+@pytest.mark.parametrize("cfg", [MOE_CFG, DS_CFG], ids=["mixtral", "deepseek"])
+def test_sparse_matches_dense_float(cfg):
+    params = init_params(cfg, jax.random.key(0))
+    assert has_stackable_experts(params)
+    stacked = stack_experts(params)
+    # stacking must not mutate the original
+    assert "experts" in params["layers"][0]
+    assert "experts_stacked" in stacked["layers"][0]
+
+    ids = jnp.asarray([[5, 9, 2]], jnp.int32)
+    dense_logits, _ = forward(params, cfg, ids)
+    # T=3, k=2, E>=4: B*T*k >= E for mixtral -> dense; single token is
+    # the sparse regime. Compare a full prefill (dense) + 1-token decode
+    # (sparse) against the all-dense run.
+    cache = make_cache(cfg, 1, 16, quantized_kv=False)
+    _, cache = forward(stacked, cfg, ids[:, :2], cache, pos=jnp.int32(0))
+    step_logits, _ = forward(
+        stacked, cfg, ids[:, 2:3], cache, pos=jnp.int32(2)
+    )
+    cache2 = make_cache(cfg, 1, 16, quantized_kv=False)
+    _, cache2 = forward(params, cfg, ids[:, :2], cache2, pos=jnp.int32(0))
+    ref_step, _ = forward(params, cfg, ids[:, 2:3], cache2, pos=jnp.int32(2))
+    np.testing.assert_allclose(
+        np.asarray(step_logits), np.asarray(ref_step), atol=2e-3, rtol=2e-3
+    )
+    # and the stacked full-T (dense loop over stacked tensors) matches
+    full_stacked, _ = forward(stacked, cfg, ids)
+    np.testing.assert_allclose(
+        np.asarray(full_stacked), np.asarray(dense_logits), atol=2e-3, rtol=2e-3
+    )
+
+
+@pytest.mark.parametrize("cfg", [MOE_CFG, DS_CFG], ids=["mixtral", "deepseek"])
+def test_sparse_matches_dense_quantized(cfg):
+    qparams = _quantized_moe_params(cfg)
+    stacked = stack_experts(qparams)
+    ids = jnp.asarray([[3, 1]], jnp.int32)
+    cache_a = make_cache(cfg, 1, 16, quantized_kv=True)
+    cache_b = make_cache(cfg, 1, 16, quantized_kv=True)
+    _, cache_a = forward(qparams, cfg, ids, cache_a, pos=jnp.int32(0))
+    _, cache_b = forward(stacked, cfg, ids, cache_b, pos=jnp.int32(0))
+    tok = jnp.asarray([[7]], jnp.int32)
+    a, _ = forward(qparams, cfg, tok, cache_a, pos=jnp.int32(2))
+    b, _ = forward(stacked, cfg, tok, cache_b, pos=jnp.int32(2))
+    # identical math up to the stacked serving prep (zero pre-fold,
+    # f32 scale storage) — tolerances match the layer-stack parity tests
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3)
+
+
+def test_sparse_decode_loop_matches_dense_generate():
+    """Multi-step greedy decode through decode_loop: the sparse path
+    must reproduce the dense path's token stream exactly."""
+    from qllm_tpu.models import greedy_generate
+
+    qparams = _quantized_moe_params(MOE_CFG, seed=3)
+    stacked = stack_experts(qparams)
+    prompt = jnp.asarray([[1, 4, 2, 8]], jnp.int32)
+    a = greedy_generate(qparams, MOE_CFG, prompt, max_new_tokens=8)
+    b = greedy_generate(stacked, MOE_CFG, prompt, max_new_tokens=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_auto_stacks_moe():
+    """Engine must transparently stack MoE experts and still serve."""
+    from qllm_tpu.serve import ContinuousBatchingEngine, ServeConfig
+
+    qparams = _quantized_moe_params(MOE_CFG, seed=5)
+    eng = ContinuousBatchingEngine(
+        qparams, MOE_CFG, ServeConfig(max_batch=2, max_seq=32)
+    )
+    assert "experts_stacked" in eng.params["layers"][0]
+    assert "experts" not in eng.params["layers"][0]
+    # original params untouched (save paths keep the per-expert list)
+    assert "experts" in qparams["layers"][0]
+    eng.submit([1, 5, 3], max_new_tokens=4)
+    done = eng.run()
+    assert len(done) == 1 and len(done[0].output) == 4
+
+
+def test_heterogeneous_experts_keep_dense_path():
+    """Mixed-bit experts cannot stack; params must pass through and the
+    dense path must still serve them."""
+    qparams = _quantized_moe_params(MOE_CFG, seed=7)
+    fp = init_params(MOE_CFG, jax.random.key(7))
+    from qllm_tpu.quant.qtensor import quantize_tensor
+
+    # re-quantize one expert PER LAYER at different bits -> heterogeneous
+    for li, lp in enumerate(qparams["layers"]):
+        src = fp["layers"][li]["experts"][0]
+        lp["experts"][0] = {
+            n: quantize_tensor(src[n], bits=8, group_size=16)
+            for n in ("gate_proj", "up_proj", "down_proj")
+        }
+    assert not has_stackable_experts(qparams)
+    out = stack_experts(qparams)
+    assert all("experts" in lp for lp in out["layers"])
+    logits, _ = forward(out, MOE_CFG, jnp.asarray([[1, 2]], jnp.int32))
+    assert bool(jnp.all(jnp.isfinite(logits)))

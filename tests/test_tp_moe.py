@@ -1,0 +1,97 @@
+"""Tensor-parallel MoE serving: expert-sharded shard_map decode vs the
+single-device stacked-experts path (VERDICT r3 item 2: "Shard experts
+over TP in parallel/tp_step.py ... TP test covering an expert-sharded
+step"). Every expert's gate/up is column-sharded and its down
+row-sharded over tp; the routed partial sum is psum'd once per block.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qllm_tpu.models import init_params
+from qllm_tpu.models.decode_loop import decode_loop
+from qllm_tpu.models.generate import make_cache
+from qllm_tpu.models.llama import ModelConfig
+from qllm_tpu.models.moe import stack_experts
+from qllm_tpu.parallel import make_mesh
+from qllm_tpu.parallel.tp_step import (
+    make_tp_moe_decode_loop,
+    place_tp,
+    prepare_tp_moe_params,
+)
+from qllm_tpu.quant.config import HQQConfig
+from qllm_tpu.quant.hqq import HQQQuantizer
+
+MOE_CFG = ModelConfig(
+    vocab_size=512,
+    hidden_size=256,
+    intermediate_size=512,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=4,
+    head_dim=64,
+    max_position_embeddings=128,
+    arch="mixtral",
+    num_local_experts=4,
+    num_experts_per_tok=2,
+)
+
+
+def _qparams(seed=0, g=32):
+    params = init_params(MOE_CFG, jax.random.key(seed))
+    q = HQQQuantizer(HQQConfig(wbits=4, groupsize=g))
+    return q.quantize(params, MOE_CFG, None, progress=False)
+
+
+def _single_device_tokens(qparams, batch, steps):
+    sp = stack_experts(qparams, lane_quantum=1, planar=False)
+    cache = make_cache(MOE_CFG, batch, 64, quantized_kv=True)
+    token = jnp.ones((batch, 1), jnp.int32)
+    toks, _ = decode_loop(sp, MOE_CFG, token, cache, jnp.int32(0), steps)
+    return np.asarray(toks)
+
+
+def test_tp_moe_decode_matches_single_device():
+    steps, batch = 6, 2
+    qparams = _qparams()
+    ref = _single_device_tokens(qparams, batch, steps)
+
+    mesh = make_mesh(dp=2, tp=4)
+    tp_params = prepare_tp_moe_params(qparams, MOE_CFG, tp=4)
+    # experts are [E]-stacked and the per-expert list is consumed
+    assert "experts_stacked" in tp_params["layers"][0]
+    cache = make_cache(MOE_CFG, batch, 64, quantized_kv=True)
+    tp_params, cache = place_tp(tp_params, cache, mesh)
+    fn = make_tp_moe_decode_loop(MOE_CFG, mesh, tp_params, cache, steps)
+    token = jnp.ones((batch, 1), jnp.int32)
+    toks, _ = fn(tp_params, token, cache, jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+
+
+def test_tp_moe_expert_shards_are_local():
+    """The placed expert stacks must actually be sharded over tp: each
+    device holds 1/tp of every expert's gate/up out-features."""
+    qparams = _qparams(seed=1)
+    mesh = make_mesh(dp=1, tp=4, n_devices=4)
+    tp_params = prepare_tp_moe_params(qparams, MOE_CFG, tp=4)
+    cache = make_cache(MOE_CFG, 1, 64, quantized_kv=True)
+    tp_params, _ = place_tp(tp_params, cache, mesh)
+    gp = tp_params["layers"][0]["experts_stacked"]["gate_proj"]
+    shard = gp.qweight.addressable_shards[0]
+    assert shard.data.shape[-1] * 4 == gp.qweight.shape[-1]  # N/tp local
+    dn = tp_params["layers"][0]["experts_stacked"]["down_proj"]
+    shard_d = dn.qweight.addressable_shards[0]
+    assert shard_d.data.shape[-2] * 4 == dn.qweight.shape[-2]  # K/tp local
+
+
+def test_tp_moe_rejects_mla():
+    from qllm_tpu.quant.qtensor import quantize_tensor
+
+    qparams = _qparams(seed=2)
+    qparams["layers"][0]["kv_a_proj_with_mqa"] = jnp.zeros((8, 8))
+    with pytest.raises(NotImplementedError):
+        prepare_tp_moe_params(qparams, MOE_CFG, tp=4)
