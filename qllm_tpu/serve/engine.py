@@ -95,6 +95,19 @@ class Request:
     submitted_at: float = 0.0
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
+    # speculative-decoding telemetry: one "forward" = one verify
+    # dispatch for this request's slot; emitted counts the tokens that
+    # round produced (accepted draft prefix + the bonus token)
+    spec_forwards: int = 0
+    spec_emitted: int = 0
+
+    @property
+    def spec_tokens_per_forward(self) -> Optional[float]:
+        """Mean verified tokens per speculative forward (None when the
+        request never took a speculative step)."""
+        if not self.spec_forwards:
+            return None
+        return self.spec_emitted / self.spec_forwards
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -613,6 +626,8 @@ class ContinuousBatchingEngine:
         for s in act:
             req = self.slot_req[s]
             n = int(el_np[s])
+            req.spec_forwards += 1
+            req.spec_emitted += n
             hl = int(self.hist_len[s])
             self.history[s, hl : hl + n] = emit_np[s, :n]
             self.hist_len[s] = hl + n

@@ -111,6 +111,13 @@ def _engine_outputs(params, prompts, n, scfg_kwargs):
     )
     reqs = [engine.submit(p, max_new_tokens=n) for p in prompts]
     engine.run()
+    if scfg_kwargs.get("speculative"):
+        # acceptance telemetry: every spec-served request reports its
+        # verify-forward count and mean tokens/forward (>= 1: each
+        # verify emits at least the bonus token)
+        for r in reqs:
+            assert r.spec_forwards > 0
+            assert r.spec_tokens_per_forward >= 1.0
     return [r.output for r in reqs]
 
 
