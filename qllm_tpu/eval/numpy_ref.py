@@ -125,11 +125,109 @@ def _rope(q, k, positions, cfg):
     return rot(q), rot(k)
 
 
+def _alibi_bias(cfg, T: int) -> np.ndarray:
+    """[H, 1, T] additive score bias: slopes * key-index (the absolute
+    form; softmax shift-invariance makes it equal to the relative one —
+    same construction as models.llama.build_mask)."""
+    from ..models.llama import alibi_slopes
+
+    sl = np.asarray(
+        alibi_slopes(cfg.num_attention_heads, cfg.alibi_style), np.float32
+    )
+    return sl[:, None, None] * np.arange(T, dtype=np.float32)[None, None, :]
+
+
+def _np_moe(cfg, lp, x2: np.ndarray) -> np.ndarray:
+    """Sparse MoE block (mixtral + deepseek routing, shared experts,
+    qwen2-moe sigmoid shared gate) — mirrors models.llama._moe_forward
+    in pure numpy."""
+    rl = x2 @ np.asarray(lp["router"], np.float32)  # [B, T, E]
+    E = rl.shape[-1]
+    k = min(cfg.num_experts_per_tok, E)
+    if cfg.moe_router == "deepseek":
+        sc = np.exp(rl - rl.max(-1, keepdims=True))
+        sc = sc / sc.sum(-1, keepdims=True)
+        if cfg.topk_method == "group_limited_greedy":
+            G = cfg.n_group
+            gs = sc.reshape(*sc.shape[:-1], G, E // G)
+            gmax = gs.max(-1)  # [B, T, G]
+            gsel = np.argsort(-gmax, -1, kind="stable")[..., : cfg.topk_group]
+            gmask = np.zeros_like(gmax)
+            np.put_along_axis(gmask, gsel, 1.0, -1)
+            sc = (gs * gmask[..., None]).reshape(sc.shape)
+        idx = np.argsort(-sc, axis=-1, kind="stable")[..., :k]
+        vals = np.take_along_axis(sc, idx, -1)
+        renorm = cfg.norm_topk_prob and (k > 1 or cfg.arch != "deepseek_v2")
+        if renorm:
+            vals = vals / (vals.sum(-1, keepdims=True) + 1e-20)
+        else:
+            vals = vals * np.float32(cfg.routed_scaling_factor)
+    else:
+        idx = np.argsort(-rl, axis=-1, kind="stable")[..., :k]
+        vals = np.take_along_axis(rl, idx, -1)
+        vals = np.exp(vals - vals.max(-1, keepdims=True))
+        vals = vals / vals.sum(-1, keepdims=True)
+    weights = np.zeros_like(rl)
+    np.put_along_axis(weights, idx, vals, -1)
+
+    out = np.zeros_like(x2)
+    for e, ep in enumerate(lp["experts"]):
+        gate = _act(cfg.hidden_act, x2 @ _w(ep["gate_proj"]))
+        up = x2 @ _w(ep["up_proj"])
+        out = out + ((gate * up) @ _w(ep["down_proj"])) * weights[..., e:e + 1]
+    se = lp.get("shared_experts")
+    if se is not None:
+        gate = _act(cfg.hidden_act, x2 @ _w(se["gate_proj"]))
+        seo = (gate * (x2 @ _w(se["up_proj"]))) @ _w(se["down_proj"])
+        sg = lp.get("shared_expert_gate")
+        if sg is not None:
+            seo = seo / (1.0 + np.exp(-(x2 @ np.asarray(sg, np.float32))))
+        out = out + seo
+    return out
+
+
+def _np_mla(cfg, lp, x1: np.ndarray, positions, causal) -> np.ndarray:
+    """Multi-head latent attention (deepseek-v2) — mirrors
+    models.llama._mla_projections/_mla_attention."""
+    B, T, _ = x1.shape
+    H = cfg.num_attention_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    qk_hd = dn + dr
+    if cfg.q_lora_rank:
+        qa = x1 @ _w(lp["q_a_proj"])
+        qa = _norm(cfg, qa, lp["q_a_layernorm"], None)
+        q = qa @ _w(lp["q_b_proj"])
+    else:
+        q = x1 @ _w(lp["q_proj"])
+    q = q.reshape(B, T, H, qk_hd)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+    ckv = x1 @ _w(lp["kv_a_proj_with_mqa"])
+    c_kv, k_pe = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+    kv = (
+        _norm(cfg, c_kv, lp["kv_a_layernorm"], None) @ _w(lp["kv_b_proj"])
+    ).reshape(B, T, H, dn + dv)
+    k_nope, v = kv[..., :dn], kv[..., dn:]
+    q_pe, k_pe = _rope(q_pe, k_pe[:, :, None, :], positions, cfg)
+    q = np.concatenate([q_nope, q_pe], -1)
+    k = np.concatenate(
+        [k_nope, np.broadcast_to(k_pe, (B, T, H, dr))], -1
+    )
+    scores = (q.transpose(0, 2, 1, 3) @ k.transpose(0, 2, 3, 1)) / np.sqrt(
+        qk_hd
+    )
+    scores = np.where(causal[None, None], scores, -np.inf)
+    scores = scores - scores.max(-1, keepdims=True)
+    p = np.exp(scores)
+    p /= p.sum(-1, keepdims=True)
+    attn = (p @ v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    return attn.reshape(B, T, H * dv)
+
+
 def np_forward_logits(
     params: Dict[str, Any], cfg, token_ids: np.ndarray
 ) -> np.ndarray:
     """Causal full-sequence forward -> logits [B, T, V], f32 numpy."""
-    if cfg.pos_embedding != "rope":
+    if cfg.pos_embedding not in ("rope", "alibi"):
         raise NotImplementedError(f"pos_embedding {cfg.pos_embedding}")
     if getattr(cfg, "parallel_residual", False):
         raise NotImplementedError("parallel residual in numpy ref")
@@ -142,38 +240,50 @@ def np_forward_logits(
     h = emb[ids]
     if cfg.embedding_multiplier != 1.0:
         h = h * cfg.embedding_multiplier
+    if cfg.embed_layernorm:
+        h = _norm(
+            cfg,
+            h,
+            params["embed_layernorm"],
+            params.get("embed_layernorm_bias"),
+        )
     positions = np.broadcast_to(np.arange(T)[None], (B, T))
     causal = np.tril(np.ones((T, T), bool))
+    alibi = _alibi_bias(cfg, T) if cfg.pos_embedding == "alibi" else None
     for lp in params["layers"]:
-        if "experts" in lp:
-            raise NotImplementedError("MoE in numpy ref")
         x1 = _norm(
             cfg, h, lp["input_layernorm"], lp.get("input_layernorm_bias")
         )
-        q = x1 @ _w(lp["q_proj"])
-        k = x1 @ _w(lp["k_proj"])
-        v = x1 @ _w(lp["v_proj"])
-        for nm, arr in (("q_proj", q), ("k_proj", k), ("v_proj", v)):
-            b = lp.get(f"{nm}_bias")
-            if b is not None:
-                arr += np.asarray(b, np.float32)
-        q = q.reshape(B, T, H, hd)
-        k = k.reshape(B, T, Hkv, hd)
-        v = v.reshape(B, T, Hkv, hd)
-        q, k = _rope(q, k, positions, cfg)
-        if H != Hkv:
-            rep = H // Hkv
-            k = np.repeat(k, rep, axis=2)
-            v = np.repeat(v, rep, axis=2)
-        qT = q.transpose(0, 2, 1, 3)  # [B, H, T, hd]
-        kT = k.transpose(0, 2, 3, 1)  # [B, H, hd, T]
-        scores = (qT @ kT) / np.sqrt(hd)
-        scores = np.where(causal[None, None], scores, -np.inf)
-        scores = scores - scores.max(-1, keepdims=True)
-        p = np.exp(scores)
-        p /= p.sum(-1, keepdims=True)
-        attn = (p @ v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
-        attn = attn.reshape(B, T, H * hd)
+        if getattr(cfg, "attn_type", "mha") == "mla":
+            attn = _np_mla(cfg, lp, x1, positions, causal)
+        else:
+            q = x1 @ _w(lp["q_proj"])
+            k = x1 @ _w(lp["k_proj"])
+            v = x1 @ _w(lp["v_proj"])
+            for nm, arr in (("q_proj", q), ("k_proj", k), ("v_proj", v)):
+                b = lp.get(f"{nm}_bias")
+                if b is not None:
+                    arr += np.asarray(b, np.float32)
+            q = q.reshape(B, T, H, hd)
+            k = k.reshape(B, T, Hkv, hd)
+            v = v.reshape(B, T, Hkv, hd)
+            if cfg.pos_embedding == "rope":
+                q, k = _rope(q, k, positions, cfg)
+            if H != Hkv:
+                rep = H // Hkv
+                k = np.repeat(k, rep, axis=2)
+                v = np.repeat(v, rep, axis=2)
+            qT = q.transpose(0, 2, 1, 3)  # [B, H, T, hd]
+            kT = k.transpose(0, 2, 3, 1)  # [B, H, hd, T]
+            scores = (qT @ kT) / np.sqrt(hd)
+            if alibi is not None:
+                scores = scores + alibi[None]
+            scores = np.where(causal[None, None], scores, -np.inf)
+            scores = scores - scores.max(-1, keepdims=True)
+            p = np.exp(scores)
+            p /= p.sum(-1, keepdims=True)
+            attn = (p @ v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+            attn = attn.reshape(B, T, H * hd)
         o = attn @ _w(lp["o_proj"])
         if lp.get("o_proj_bias") is not None:
             o += np.asarray(lp["o_proj_bias"], np.float32)
@@ -184,6 +294,9 @@ def np_forward_logits(
             lp["post_attention_layernorm"],
             lp.get("post_attention_layernorm_bias"),
         )
+        if "experts" in lp:
+            h = h + _np_moe(cfg, lp, x2)
+            continue
         if "gate_proj" in lp:
             gate = x2 @ _w(lp["gate_proj"])
             if lp.get("gate_proj_bias") is not None:

@@ -28,9 +28,13 @@ decoder_with_past).
 
 Coverage: the llama shape family — rope neox/gptj (incl. partial
 rotary), rms/layer norm (+gemma "+1" variant), gated/plain MLP, GQA,
-biases, tied or quantized lm_head, gemma2 softcaps. Configs outside it
-(MoE, MLA, alibi, parallel-residual) raise NotImplementedError and the
-CLI falls back to per-block MatMulNBits subgraphs with a warning.
+biases, tied or quantized lm_head, gemma2 softcaps — PLUS sparse MoE
+(mixtral top-k router, deepseek softmax-all/group-limited routing,
+shared experts, qwen2-moe sigmoid shared gate), MLA (deepseek-v2
+latent attention incl. q-lora), and ALiBi (+ bloom embed layernorm).
+Configs outside it (parallel-residual, learned positions, qk-norm)
+raise NotImplementedError and the CLI falls back to per-block
+MatMulNBits subgraphs with a warning.
 """
 
 from __future__ import annotations
@@ -165,18 +169,14 @@ def _as_np(x, dtype=np.float32) -> np.ndarray:
 
 def _check_supported(cfg) -> None:
     bad = []
-    if cfg.pos_embedding != "rope":
+    if cfg.pos_embedding not in ("rope", "alibi"):
         bad.append(f"pos_embedding={cfg.pos_embedding}")
     if getattr(cfg, "parallel_residual", False):
         bad.append("parallel_residual")
-    if getattr(cfg, "num_local_experts", 0):
-        bad.append("MoE")
-    if getattr(cfg, "attn_type", "mha") != "mha":
+    if getattr(cfg, "attn_type", "mha") not in ("mha", "mla"):
         bad.append(f"attn_type={cfg.attn_type}")
     if getattr(cfg, "qk_norm", ""):
         bad.append(f"qk_norm={cfg.qk_norm}")
-    if getattr(cfg, "embed_layernorm", False):
-        bad.append("embed_layernorm")
     if bad:
         raise NotImplementedError(
             f"ONNX decoder export does not cover: {', '.join(bad)}"
@@ -289,16 +289,28 @@ class _DecoderBuilder:
         sin = g.add("Cast", [sinf], to=self.act)
         return g.unsqueeze(cos, [2]), g.unsqueeze(sin, [2])
 
-    def rope(self, x: str, cos: str, sin: str) -> str:
-        """Apply rotary to x [B,T,H,hd] (broadcast cos/sin over H)."""
+    def rope(
+        self,
+        x: str,
+        cos: str,
+        sin: str,
+        rd: Optional[int] = None,
+        hd: Optional[int] = None,
+        style: Optional[str] = None,
+    ) -> str:
+        """Apply rotary to x [B,T,H,hd] (broadcast cos/sin over H).
+        ``rd``/``hd``/``style`` override the config values — MLA rotates
+        a dr-wide tail slice with the gptj interleave."""
         cfg, g = self.cfg, self.g
-        hd, rd = cfg.hd, cfg.rot_dim
+        hd = hd if hd is not None else cfg.hd
+        rd = rd if rd is not None else cfg.rot_dim
+        style = style or cfg.rope_style
         if rd < hd:
             xr = g.slice(x, [0], [rd], [3])
             xp = g.slice(x, [rd], [_INT_MAX], [3])
         else:
             xr, xp = x, None
-        if cfg.rope_style == "gptj":
+        if style == "gptj":
             x1 = g.slice(xr, [0], [_INT_MAX], [3], steps=[2])
             x2 = g.slice(xr, [1], [_INT_MAX], [3], steps=[2])
             r1 = g.add("Sub", [g.mul(x1, cos), g.mul(x2, sin)])
@@ -320,6 +332,34 @@ class _DecoderBuilder:
         if xp is not None:
             out = g.add("Concat", [out, xp], axis=3)
         return out
+
+    def alibi_bias(self, attention_mask: str, Hkv: int, rep: int) -> str:
+        """[Hkv,rep,1,S] additive score bias: slopes * key-index (the
+        absolute form models.llama.build_mask uses; softmax shift-
+        invariance makes it equal to the relative one)."""
+        from ..models.llama import alibi_slopes
+
+        cfg, g = self.cfg, self.g
+        sl = np.asarray(
+            alibi_slopes(cfg.num_attention_heads, cfg.alibi_style),
+            _np_dt(self.act),
+        ).reshape(Hkv, rep, 1, 1)
+        sln = g.init("alibi_slopes", sl)
+        shp = g.add("Shape", [attention_mask])  # [2]
+        s_len = g.add(
+            "Squeeze", [g.add("Gather", [shp, g.consti("i1", [1])], axis=0),
+                        g.consti("ax0", [0])]
+        )
+        r = g.add(
+            "Range",
+            [
+                g.init("r_start", np.asarray(0, np.int64)),
+                s_len,
+                g.init("r_delta", np.asarray(1, np.int64)),
+            ],
+        )
+        rf = g.add("Cast", [r], to=self.act)  # [S]
+        return g.mul(sln, rf)  # [Hkv,rep,1,S]
 
     def build_mask(self, input_ids: str, attention_mask: str) -> str:
         """Additive mask broadcastable to [B,Hkv,rep,T,S]."""
@@ -349,12 +389,191 @@ class _DecoderBuilder:
         )
         return g.addn(pad5, g.unsqueeze(causal, [0, 1, 2]))
 
+    def qkv_mla(self, lp, pre: str, x1: str, cos: str, sin: str):
+        """Multi-head latent attention projections (deepseek-v2; mirrors
+        models.llama._mla_projections / eval.numpy_ref._np_mla).
+        Returns (q [B,T,H,qk_hd], k [B,T,H,qk_hd], v [B,T,H,dv])."""
+        cfg, g = self.cfg, self.g
+        H = cfg.num_attention_heads
+        dn, dr, dv = (
+            cfg.qk_nope_head_dim,
+            cfg.qk_rope_head_dim,
+            cfg.v_head_dim,
+        )
+        qk_hd = dn + dr
+        if cfg.q_lora_rank:
+            qa = self.linear(x1, lp["q_a_proj"], f"{pre}.self_attn.q_a_proj")
+            qa = self.norm(
+                qa, lp["q_a_layernorm"], None, f"{pre}.self_attn.q_a_layernorm"
+            )
+            q = self.linear(qa, lp["q_b_proj"], f"{pre}.self_attn.q_b_proj")
+        else:
+            q = self.linear(x1, lp["q_proj"], f"{pre}.self_attn.q_proj")
+        q = g.reshape(q, [0, 0, H, qk_hd])
+        q_nope = g.slice(q, [0], [dn], [3])
+        q_pe = g.slice(q, [dn], [_INT_MAX], [3])
+        ckv = self.linear(
+            x1,
+            lp["kv_a_proj_with_mqa"],
+            f"{pre}.self_attn.kv_a_proj_with_mqa",
+        )
+        c_kv = g.slice(ckv, [0], [cfg.kv_lora_rank], [2])
+        k_pe = g.slice(ckv, [cfg.kv_lora_rank], [_INT_MAX], [2])
+        kv = self.linear(
+            self.norm(
+                c_kv,
+                lp["kv_a_layernorm"],
+                None,
+                f"{pre}.self_attn.kv_a_layernorm",
+            ),
+            lp["kv_b_proj"],
+            f"{pre}.self_attn.kv_b_proj",
+        )
+        kv = g.reshape(kv, [0, 0, H, dn + dv])
+        k_nope = g.slice(kv, [0], [dn], [3])
+        v = g.slice(kv, [dn], [_INT_MAX], [3])
+        # rope on the dr-wide tails only, gptj interleave; the single
+        # k_pe head broadcasts across all H heads
+        q_pe = self.rope(q_pe, cos, sin, rd=dr, hd=dr, style="gptj")
+        k_pe4 = self.rope(
+            g.unsqueeze(k_pe, [2]), cos, sin, rd=dr, hd=dr, style="gptj"
+        )  # [B,T,1,dr]
+        shp = g.add("Shape", [k_nope])  # [B,T,H,dn]
+        tgt = g.add(
+            "Concat",
+            [g.slice(shp, [0], [3], [0]), g.consti("dr_dim", [dr])],
+            axis=0,
+        )
+        k_pe_b = g.add("Expand", [k_pe4, tgt])  # [B,T,H,dr]
+        q_full = g.add("Concat", [q_nope, q_pe], axis=3)
+        k_full = g.add("Concat", [k_nope, k_pe_b], axis=3)
+        return q_full, k_full, v
+
+    def moe_mlp(self, lp, pre: str, x2: str) -> str:
+        """Sparse MoE block: router top-k scattered to dense [B,T,E]
+        weights, every expert's MatMulNBits branch weighted-summed
+        (mirrors models.llama._moe_forward; the reference quantizes
+        through HF's MixtralSparseMoeBlock / DeepseekV2MoEGate —
+        sequential_layes_gptq_config.py:70-101)."""
+        cfg, g = self.cfg, self.g
+        np_dt = _np_dt(self.act)
+        router = _as_np(lp["router"], np_dt)  # [D, E]
+        E = router.shape[-1]
+        k = min(cfg.num_experts_per_tok, E)
+        rn = g.init(f"{pre}.mlp.gate.weight", router, fresh=False)
+        rl = g.add("MatMul", [x2, rn])  # [B,T,E]
+        kk = g.init("topk_k", np.asarray([k], np.int64))
+        if cfg.moe_router == "deepseek":
+            sc = g.add("Softmax", [rl], axis=-1)
+            if cfg.topk_method == "group_limited_greedy":
+                G = cfg.n_group
+                gs = g.reshape(sc, [0, 0, G, E // G])
+                gmax = g.add(
+                    "ReduceMax",
+                    [gs, g.init("ax3", np.asarray([3], np.int64))],
+                    keepdims=0,
+                )  # [B,T,G]
+                kg = g.init(
+                    "topk_group", np.asarray([cfg.topk_group], np.int64)
+                )
+                gvals, gidx = g.add(
+                    "TopK", [gmax, kg], n_out=2, axis=-1, largest=1,
+                    sorted=1,
+                )
+                gones = g.addn(
+                    g.mul(gvals, g.constf("zero", 0.0)),
+                    g.constf("one", 1.0),
+                )
+                gmask = g.add(
+                    "ScatterElements",
+                    [g.mul(gmax, g.constf("zero", 0.0)), gidx, gones],
+                    axis=-1,
+                )
+                sc = g.reshape(
+                    g.mul(gs, g.unsqueeze(gmask, [3])), [0, 0, E]
+                )
+            vals, idx = g.add(
+                "TopK", [sc, kk], n_out=2, axis=-1, largest=1, sorted=1
+            )
+            renorm = cfg.norm_topk_prob and (
+                k > 1 or cfg.arch != "deepseek_v2"
+            )
+            if renorm:
+                denom = g.addn(
+                    g.add(
+                        "ReduceSum",
+                        [vals, g.init("axm1", np.asarray([-1], np.int64))],
+                        keepdims=1,
+                    ),
+                    g.constf("eps", 1e-20),
+                )
+                vals = g.add("Div", [vals, denom])
+            elif cfg.routed_scaling_factor != 1.0:
+                vals = g.mul(
+                    vals, g.constf("rsf", cfg.routed_scaling_factor)
+                )
+            base = sc
+        else:  # mixtral: top-k of logits, softmax over the selected k
+            vals, idx = g.add(
+                "TopK", [rl, kk], n_out=2, axis=-1, largest=1, sorted=1
+            )
+            vals = g.add("Softmax", [vals], axis=-1)
+            base = rl
+        wdense = g.add(
+            "ScatterElements",
+            [g.mul(base, g.constf("zero", 0.0)), idx, vals],
+            axis=-1,
+        )  # [B,T,E], zero for unselected
+        out = None
+        for e, ep in enumerate(lp["experts"]):
+            ebase = f"{pre}.mlp.experts.{e}"
+            gate = self.act_fn(
+                self.linear(x2, ep["gate_proj"], f"{ebase}.gate_proj")
+            )
+            up = self.linear(x2, ep["up_proj"], f"{ebase}.up_proj")
+            ye = self.linear(
+                g.mul(gate, up), ep["down_proj"], f"{ebase}.down_proj"
+            )
+            term = g.mul(ye, g.slice(wdense, [e], [e + 1], [2]))
+            out = term if out is None else g.addn(out, term)
+        se = lp.get("shared_experts")
+        if se is not None:
+            sbase = f"{pre}.mlp.shared_experts"
+            gate = self.act_fn(
+                self.linear(x2, se["gate_proj"], f"{sbase}.gate_proj")
+            )
+            seo = self.linear(
+                g.mul(gate, self.linear(x2, se["up_proj"], f"{sbase}.up_proj")),
+                se["down_proj"],
+                f"{sbase}.down_proj",
+            )
+            sg = lp.get("shared_expert_gate")
+            if sg is not None:  # qwen2-moe sigmoid shared gate
+                sgn = g.init(
+                    f"{pre}.mlp.shared_expert_gate.weight",
+                    _as_np(sg, np_dt),
+                    fresh=False,
+                )
+                seo = g.mul(
+                    seo, g.add("Sigmoid", [g.add("MatMul", [x2, sgn])])
+                )
+            out = g.addn(out, seo)
+        return out
+
     # ---- the graph ---------------------------------------------------
 
     def build(self) -> GraphProto:
         cfg, g, p = self.cfg, self.g, self.p
         H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
-        rep = H // Hkv
+        mla = getattr(cfg, "attn_type", "mha") == "mla"
+        if mla:
+            # latent attention: H kv heads, k is (nope|rope)-wide, v is
+            # v_head_dim-wide; cfg.hd == qk_nope+qk_rope for deepseek
+            Hkv, rep = H, 1
+            hd_k, hd_v = hd, cfg.v_head_dim
+        else:
+            rep = H // Hkv
+            hd_k = hd_v = hd
         np_dt = _np_dt(self.act)
 
         emb = _as_np(p["embed_tokens"], np_dt)
@@ -362,9 +581,23 @@ class _DecoderBuilder:
         h = g.add("Gather", [emb_name, "input_ids"], axis=0)
         if cfg.embedding_multiplier != 1.0:
             h = g.mul(h, g.constf("emb_mult", cfg.embedding_multiplier))
+        if getattr(cfg, "embed_layernorm", False):
+            h = self.norm(
+                h,
+                p["embed_layernorm"],
+                p.get("embed_layernorm_bias"),
+                "model.embed_layernorm",
+            )
 
-        cos, sin = self.rope_tables("position_ids")
+        if cfg.pos_embedding == "rope":
+            cos, sin = self.rope_tables("position_ids")
+        else:
+            cos = sin = None
         mask = self.build_mask("input_ids", "attention_mask")
+        if cfg.pos_embedding == "alibi":
+            mask = g.addn(
+                mask, self.alibi_bias("attention_mask", Hkv, rep)
+            )
         scale = (
             cfg.attn_scale if getattr(cfg, "attn_scale", 0.0) else hd**-0.5
         )
@@ -385,15 +618,19 @@ class _DecoderBuilder:
                 lp.get("input_layernorm_bias"),
                 f"{pre}.input_layernorm",
             )
-            q = self.linear(x1, lp["q_proj"], f"{pre}.self_attn.q_proj", lp.get("q_proj_bias"))
-            k = self.linear(x1, lp["k_proj"], f"{pre}.self_attn.k_proj", lp.get("k_proj_bias"))
-            v = self.linear(x1, lp["v_proj"], f"{pre}.self_attn.v_proj", lp.get("v_proj_bias"))
-            q = g.reshape(q, [0, 0, H, hd])
-            k = g.reshape(k, [0, 0, Hkv, hd])
-            v = g.reshape(v, [0, 0, Hkv, hd])
-            q = self.rope(q, cos, sin)
-            k = self.rope(k, cos, sin)
-            kT = g.add("Transpose", [k], perm=[0, 2, 1, 3])  # [B,Hkv,T,hd]
+            if mla:
+                q, k, v = self.qkv_mla(lp, pre, x1, cos, sin)
+            else:
+                q = self.linear(x1, lp["q_proj"], f"{pre}.self_attn.q_proj", lp.get("q_proj_bias"))
+                k = self.linear(x1, lp["k_proj"], f"{pre}.self_attn.k_proj", lp.get("k_proj_bias"))
+                v = self.linear(x1, lp["v_proj"], f"{pre}.self_attn.v_proj", lp.get("v_proj_bias"))
+                q = g.reshape(q, [0, 0, H, hd])
+                k = g.reshape(k, [0, 0, Hkv, hd])
+                v = g.reshape(v, [0, 0, Hkv, hd])
+                if cos is not None:
+                    q = self.rope(q, cos, sin)
+                    k = self.rope(k, cos, sin)
+            kT = g.add("Transpose", [k], perm=[0, 2, 1, 3])  # [B,Hkv,T,hd_k]
             vT = g.add("Transpose", [v], perm=[0, 2, 1, 3])
             if self.with_past:
                 k_full = g.add(
@@ -419,19 +656,19 @@ class _DecoderBuilder:
                 ValueInfoProto(
                     f"present.{i}.key",
                     self.act,
-                    ["batch", Hkv, "total_seq", hd],
+                    ["batch", Hkv, "total_seq", hd_k],
                 ),
                 ValueInfoProto(
                     f"present.{i}.value",
                     self.act,
-                    ["batch", Hkv, "total_seq", hd],
+                    ["batch", Hkv, "total_seq", hd_v],
                 ),
             ]
             # GQA without Expand: group q to [B,Hkv,rep,T,hd], k/v get a
             # broadcast axis -> batched MatMul broadcasts over `rep`
             qg = g.add(
                 "Transpose",
-                [g.reshape(q, [0, 0, Hkv, rep, hd])],
+                [g.reshape(q, [0, 0, Hkv, rep, hd_k])],
                 perm=[0, 2, 3, 1, 4],
             )
             k5 = g.add(
@@ -454,7 +691,7 @@ class _DecoderBuilder:
             probs = g.add("Softmax", [g.addn(scores, mask)], axis=-1)
             ctx = g.add("MatMul", [probs, g.unsqueeze(v_full, [2])])
             ctx = g.add("Transpose", [ctx], perm=[0, 3, 1, 2, 4])
-            ctx = g.reshape(ctx, [0, 0, H * hd])
+            ctx = g.reshape(ctx, [0, 0, H * hd_v])
             o = self.linear(
                 ctx, lp["o_proj"], f"{pre}.self_attn.o_proj", lp.get("o_proj_bias")
             )
@@ -475,6 +712,9 @@ class _DecoderBuilder:
                 lp.get("post_attention_layernorm_bias"),
                 f"{pre}.post_attention_layernorm",
             )
+            if "experts" in lp:
+                h = g.addn(h, self.moe_mlp(lp, pre, x2))
+                continue
             if "gate_proj" in lp:
                 gate = self.act_fn(
                     self.linear(
@@ -543,12 +783,12 @@ class _DecoderBuilder:
                     ValueInfoProto(
                         f"past_key_values.{i}.key",
                         self.act,
-                        ["batch", Hkv, "past_seq", hd],
+                        ["batch", Hkv, "past_seq", hd_k],
                     ),
                     ValueInfoProto(
                         f"past_key_values.{i}.value",
                         self.act,
-                        ["batch", Hkv, "past_seq", hd],
+                        ["batch", Hkv, "past_seq", hd_v],
                     ),
                 ]
         return GraphProto(

@@ -200,10 +200,48 @@ def run_graph(g: Dict, env: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         elif op == "Where":
             env[o] = np.where(ins[0], ins[1], ins[2])
         elif op == "Range":
-            env[o] = np.arange(int(ins[0]), int(ins[1]), int(ins[2]))
+            env[o] = np.arange(
+                int(np.asarray(ins[0]).reshape(-1)[0]),
+                int(np.asarray(ins[1]).reshape(-1)[0]),
+                int(np.asarray(ins[2]).reshape(-1)[0]),
+            )
         elif op == "Expand":
             env[o] = np.broadcast_to(
                 ins[0], np.broadcast_shapes(ins[0].shape, tuple(ins[1]))
+            )
+        elif op == "TopK":
+            ax = _attr(node, "axis", -1)
+            kk = int(np.asarray(ins[1]).reshape(-1)[0])
+            # largest, sorted (the defaults the exporter emits); stable
+            # lowest-index tie order matches lax.top_k / torch.topk
+            idx = np.argsort(-ins[0], axis=ax, kind="stable")
+            idx = np.take(idx, np.arange(kk), axis=ax)
+            vals = np.take_along_axis(ins[0], idx, axis=ax)
+            env[o] = vals
+            if len(node["outputs"]) > 1:
+                env[node["outputs"][1]] = idx.astype(np.int64)
+        elif op == "ScatterElements":
+            ax = _attr(node, "axis", 0)
+            out = np.copy(ins[0])
+            np.put_along_axis(out, ins[1].astype(np.int64), ins[2], ax)
+            env[o] = out
+        elif op == "ReduceSum":
+            axes = (
+                tuple(int(a) for a in np.asarray(ins[1]).reshape(-1))
+                if len(ins) > 1 and ins[1] is not None
+                else None
+            )
+            env[o] = ins[0].sum(
+                axis=axes, keepdims=bool(_attr(node, "keepdims", 1))
+            ).astype(ins[0].dtype)
+        elif op == "ReduceMax":
+            axes = (
+                tuple(int(a) for a in np.asarray(ins[1]).reshape(-1))
+                if len(ins) > 1 and ins[1] is not None
+                else None
+            )
+            env[o] = ins[0].max(
+                axis=axes, keepdims=bool(_attr(node, "keepdims", 1))
             )
         elif op == "If":
             branch = (
