@@ -95,7 +95,21 @@ def _act(name: str, x: np.ndarray) -> np.ndarray:
             * x
             * (1.0 + np.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
         )
+    if name == "relu":
+        return np.maximum(x, 0.0)
     raise NotImplementedError(f"act {name}")
+
+
+def _qk_head_norm(x, weight, eps, kind):
+    """Per-head q/k norm (mirrors models.llama.qk_head_norm): cohere =
+    per-head layernorm [H, hd]; rms = shared [hd] RMSNorm (qwen3)."""
+    w = np.asarray(weight, np.float32)
+    if kind == "rms":
+        var = (x * x).mean(-1, keepdims=True)
+        return x / np.sqrt(var + eps) * w
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + eps) * w[None, None]
 
 
 def _rope(q, k, positions, cfg):
@@ -227,10 +241,8 @@ def np_forward_logits(
     params: Dict[str, Any], cfg, token_ids: np.ndarray
 ) -> np.ndarray:
     """Causal full-sequence forward -> logits [B, T, V], f32 numpy."""
-    if cfg.pos_embedding not in ("rope", "alibi"):
+    if cfg.pos_embedding not in ("rope", "alibi", "learned"):
         raise NotImplementedError(f"pos_embedding {cfg.pos_embedding}")
-    if getattr(cfg, "parallel_residual", False):
-        raise NotImplementedError("parallel residual in numpy ref")
     ids = np.asarray(token_ids)
     B, T = ids.shape
     H = cfg.num_attention_heads
@@ -240,6 +252,12 @@ def np_forward_logits(
     h = emb[ids]
     if cfg.embedding_multiplier != 1.0:
         h = h * cfg.embedding_multiplier
+    if cfg.pos_embedding == "learned":
+        pe = np.asarray(params["pos_embed"], np.float32)
+        idx = np.clip(
+            np.arange(T) + cfg.learned_pos_offset, 0, pe.shape[0] - 1
+        )
+        h = h + pe[idx][None]
     if cfg.embed_layernorm:
         h = _norm(
             cfg,
@@ -267,6 +285,13 @@ def np_forward_logits(
             q = q.reshape(B, T, H, hd)
             k = k.reshape(B, T, Hkv, hd)
             v = v.reshape(B, T, Hkv, hd)
+            if getattr(cfg, "qk_norm", ""):
+                q = _qk_head_norm(
+                    q, lp["q_norm"], cfg.rms_norm_eps, cfg.qk_norm
+                )
+                k = _qk_head_norm(
+                    k, lp["k_norm"], cfg.rms_norm_eps, cfg.qk_norm
+                )
             if cfg.pos_embedding == "rope":
                 q, k = _rope(q, k, positions, cfg)
             if H != Hkv:
@@ -287,13 +312,29 @@ def np_forward_logits(
         o = attn @ _w(lp["o_proj"])
         if lp.get("o_proj_bias") is not None:
             o += np.asarray(lp["o_proj_bias"], np.float32)
-        h = h + o
-        x2 = _norm(
-            cfg,
-            h,
-            lp["post_attention_layernorm"],
-            lp.get("post_attention_layernorm_bias"),
-        )
+        parallel = bool(getattr(cfg, "parallel_residual", False))
+        if parallel:
+            # h_out = h + attn(x1) + mlp(x2), x2 = x1 (shared norm,
+            # gptj/falcon/cohere) or a second norm of the INPUT h (neox)
+            x2 = (
+                x1
+                if cfg.shared_input_norm
+                else _norm(
+                    cfg,
+                    h,
+                    lp["post_attention_layernorm"],
+                    lp.get("post_attention_layernorm_bias"),
+                )
+            )
+            h = h + o
+        else:
+            h = h + o
+            x2 = _norm(
+                cfg,
+                h,
+                lp["post_attention_layernorm"],
+                lp.get("post_attention_layernorm_bias"),
+            )
         if "experts" in lp:
             h = h + _np_moe(cfg, lp, x2)
             continue

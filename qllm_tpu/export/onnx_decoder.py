@@ -169,14 +169,10 @@ def _as_np(x, dtype=np.float32) -> np.ndarray:
 
 def _check_supported(cfg) -> None:
     bad = []
-    if cfg.pos_embedding not in ("rope", "alibi"):
+    if cfg.pos_embedding not in ("rope", "alibi", "learned"):
         bad.append(f"pos_embedding={cfg.pos_embedding}")
-    if getattr(cfg, "parallel_residual", False):
-        bad.append("parallel_residual")
     if getattr(cfg, "attn_type", "mha") not in ("mha", "mla"):
         bad.append(f"attn_type={cfg.attn_type}")
-    if getattr(cfg, "qk_norm", ""):
-        bad.append(f"qk_norm={cfg.qk_norm}")
     if bad:
         raise NotImplementedError(
             f"ONNX decoder export does not cover: {', '.join(bad)}"
@@ -389,6 +385,27 @@ class _DecoderBuilder:
         )
         return g.addn(pad5, g.unsqueeze(causal, [0, 1, 2]))
 
+    def qk_head_norm(self, x: str, weight, name: str) -> str:
+        """Per-head q/k norm on [B,T,H,hd] (models.llama.qk_head_norm):
+        rms = shared [hd] RMSNorm (qwen3); cohere = per-head layernorm
+        with [H, hd] weight."""
+        cfg, g = self.cfg, self.g
+        w = _as_np(weight, _np_dt(self.act))
+        eps = g.constf("qk_eps", cfg.rms_norm_eps)
+        if cfg.qk_norm == "rms":
+            ms = g.add(
+                "ReduceMean", [g.mul(x, x)], axes=[-1], keepdims=1
+            )
+            xn = g.add("Div", [x, g.add("Sqrt", [g.addn(ms, eps)])])
+            return g.mul(xn, g.init(f"{name}.weight", w, fresh=False))
+        mu = g.add("ReduceMean", [x], axes=[-1], keepdims=1)
+        xc = g.add("Sub", [x, mu])
+        var = g.add("ReduceMean", [g.mul(xc, xc)], axes=[-1], keepdims=1)
+        xn = g.add("Div", [xc, g.add("Sqrt", [g.addn(var, eps)])])
+        return g.mul(
+            xn, g.init(f"{name}.weight", w[None, None], fresh=False)
+        )
+
     def qkv_mla(self, lp, pre: str, x1: str, cos: str, sin: str):
         """Multi-head latent attention projections (deepseek-v2; mirrors
         models.llama._mla_projections / eval.numpy_ref._np_mla).
@@ -581,6 +598,19 @@ class _DecoderBuilder:
         h = g.add("Gather", [emb_name, "input_ids"], axis=0)
         if cfg.embedding_multiplier != 1.0:
             h = g.mul(h, g.constf("emb_mult", cfg.embedding_multiplier))
+        if cfg.pos_embedding == "learned":
+            pe = _as_np(p["pos_embed"], np_dt)
+            pe_name = g.init("model.pos_embed.weight", pe, fresh=False)
+            pos_ids = "position_ids"
+            if cfg.learned_pos_offset:
+                pos_ids = g.addn(
+                    "position_ids",
+                    g.init(
+                        "pos_offset",
+                        np.asarray(cfg.learned_pos_offset, np.int64),
+                    ),
+                )
+            h = g.addn(h, g.add("Gather", [pe_name, pos_ids], axis=0))
         if getattr(cfg, "embed_layernorm", False):
             h = self.norm(
                 h,
@@ -627,6 +657,13 @@ class _DecoderBuilder:
                 q = g.reshape(q, [0, 0, H, hd])
                 k = g.reshape(k, [0, 0, Hkv, hd])
                 v = g.reshape(v, [0, 0, Hkv, hd])
+                if getattr(cfg, "qk_norm", ""):
+                    q = self.qk_head_norm(
+                        q, lp["q_norm"], f"{pre}.self_attn.q_norm"
+                    )
+                    k = self.qk_head_norm(
+                        k, lp["k_norm"], f"{pre}.self_attn.k_norm"
+                    )
                 if cos is not None:
                     q = self.rope(q, cos, sin)
                     k = self.rope(k, cos, sin)
@@ -704,14 +741,29 @@ class _DecoderBuilder:
                 )
             if resid_mult is not None:
                 o = g.mul(o, resid_mult)
-            h = g.addn(h, o)
-
-            x2 = self.norm(
-                h,
-                lp["post_attention_layernorm"],
-                lp.get("post_attention_layernorm_bias"),
-                f"{pre}.post_attention_layernorm",
-            )
+            if getattr(cfg, "parallel_residual", False):
+                # h_out = h + attn(x1) + mlp(x2), x2 = x1 (shared norm:
+                # gptj/falcon/cohere) or a second norm of the INPUT h
+                # (gpt-neox) — mirror models.llama._block_attn_mlp
+                x2 = (
+                    x1
+                    if cfg.shared_input_norm
+                    else self.norm(
+                        h,
+                        lp["post_attention_layernorm"],
+                        lp.get("post_attention_layernorm_bias"),
+                        f"{pre}.post_attention_layernorm",
+                    )
+                )
+                h = g.addn(h, o)
+            else:
+                h = g.addn(h, o)
+                x2 = self.norm(
+                    h,
+                    lp["post_attention_layernorm"],
+                    lp.get("post_attention_layernorm_bias"),
+                    f"{pre}.post_attention_layernorm",
+                )
             if "experts" in lp:
                 h = g.addn(h, self.moe_mlp(lp, pre, x2))
                 continue

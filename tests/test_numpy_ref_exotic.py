@@ -95,6 +95,71 @@ CASES = [
         ),
         "qwen2_moe",
     ),
+    (
+        # learned positions (offset 2) + pre-LN + plain relu MLP + biases
+        "OPTConfig",
+        "OPTForCausalLM",
+        dict(
+            vocab_size=128,
+            hidden_size=64,
+            ffn_dim=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            max_position_embeddings=128,
+            word_embed_proj_dim=64,
+            do_layer_norm_before=True,
+        ),
+        "opt",
+    ),
+    (
+        # parallel residual, shared input norm, gptj interleaved rope
+        "GPTJConfig",
+        "GPTJForCausalLM",
+        dict(
+            vocab_size=128,
+            n_embd=64,
+            n_layer=2,
+            n_head=4,
+            rotary_dim=8,
+            n_positions=128,
+        ),
+        "gptj",
+    ),
+    (
+        # parallel residual with a SECOND input norm + partial rotary
+        "GPTNeoXConfig",
+        "GPTNeoXForCausalLM",
+        dict(
+            **TINY,
+            rotary_pct=0.25,
+            use_parallel_residual=True,
+        ),
+        "gpt_neox",
+    ),
+    (
+        # rms qk-norm over head_dim (shared weight)
+        "Qwen3Config",
+        "Qwen3ForCausalLM",
+        dict(
+            **TINY,
+            num_key_value_heads=2,
+            head_dim=16,
+        ),
+        "qwen3",
+    ),
+    (
+        # parallel residual (shared norm) + per-head cohere qk-norm +
+        # logit scale + tied embeddings
+        "CohereConfig",
+        "CohereForCausalLM",
+        dict(
+            **TINY,
+            num_key_value_heads=4,
+            logit_scale=0.0625,
+            use_qk_norm=True,
+        ),
+        "cohere",
+    ),
 ]
 
 

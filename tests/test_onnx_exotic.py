@@ -85,6 +85,57 @@ CASES = [
         ),
         "qwen2_moe",
     ),
+    (
+        "OPTConfig",
+        "OPTForCausalLM",
+        dict(
+            vocab_size=128,
+            hidden_size=64,
+            ffn_dim=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            max_position_embeddings=128,
+            word_embed_proj_dim=64,
+            do_layer_norm_before=True,
+        ),
+        "opt",
+    ),
+    (
+        "GPTJConfig",
+        "GPTJForCausalLM",
+        dict(
+            vocab_size=128,
+            n_embd=64,
+            n_layer=2,
+            n_head=4,
+            rotary_dim=8,
+            n_positions=128,
+        ),
+        "gptj",
+    ),
+    (
+        "GPTNeoXConfig",
+        "GPTNeoXForCausalLM",
+        dict(**TINY, rotary_pct=0.25, use_parallel_residual=True),
+        "gpt_neox",
+    ),
+    (
+        "Qwen3Config",
+        "Qwen3ForCausalLM",
+        dict(**TINY, num_key_value_heads=2, head_dim=16),
+        "qwen3",
+    ),
+    (
+        "CohereConfig",
+        "CohereForCausalLM",
+        dict(
+            **TINY,
+            num_key_value_heads=4,
+            logit_scale=0.0625,
+            use_qk_norm=True,
+        ),
+        "cohere",
+    ),
 ]
 
 
