@@ -36,11 +36,33 @@ class CustomModel(AutoModelQuantization):
         )
 
 
+_IMPLS = {
+    # the worked out-of-tree example (MPT + LoRA fold); users register
+    # their own CustomModel subclass here or call .run() directly
+    "mpt_lora": "qllm_tpu.custom.example_mpt_lora:MptLoraCustomModel",
+}
+
+
 def main(argv=None) -> None:
+    import importlib
+
     from ..run import define_basic_args
 
-    args = define_basic_args().parse_args(argv)
-    CustomModel().run(args)
+    p = define_basic_args()
+    p.add_argument(
+        "--impl",
+        default="",
+        choices=[""] + sorted(_IMPLS),
+        help="custom-model implementation to run (e.g. the shipped "
+        "mpt_lora example); empty = the abstract base (subclass it)",
+    )
+    args = p.parse_args(argv)
+    if args.impl:
+        mod, cls = _IMPLS[args.impl].split(":")
+        impl = getattr(importlib.import_module(mod), cls)()
+    else:
+        impl = CustomModel()
+    impl.run(args)
 
 
 if __name__ == "__main__":

@@ -707,6 +707,15 @@ class LayerView:
 
         return expert_linear(self.lp["experts_stacked"][name], e, x)
 
+    def apply_experts_grouped(self, name, ids, x_rows):
+        """Batched per-selection expert matmul: y[i] = x_rows[i] @
+        W[ids[i]] (ONE grouped-kernel launch when eligible)."""
+        from .moe import grouped_expert_linear
+
+        return grouped_expert_linear(
+            self.lp["experts_stacked"][name], ids, x_rows
+        )
+
     def combine_moe(self, out):
         """Hook for TP views: psum the routed-experts partial sum (the
         experts' down_proj is row-sharded there). Identity single-chip."""
@@ -1171,31 +1180,31 @@ def _moe_forward(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
 
 
 def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
-    """Top-k-only expert evaluation over [E]-stacked weights: per token,
-    k indexed expert-MLP runs — the kernel reads k experts' bytes from
-    HBM instead of E (E/k-times less decode weight traffic; 4x on
-    Mixtral E=8 k=2). Token/slot loops are static python loops: the
-    caller guarantees B*T*k < E, so they are tiny."""
+    """Top-k-only expert evaluation over [E]-stacked weights: the
+    kernel reads k experts' bytes per token from HBM instead of E
+    (E/k-times less decode weight traffic; 4x on Mixtral E=8 k=2).
+    All S*k (token, expert) selections run as THREE grouped-kernel
+    launches per MoE block (gate/up/down) — per-selection expert
+    indices ride scalar prefetch into the weight index maps
+    (ops.pallas_qmm.qmatmul_grouped_experts), so launch count does not
+    scale with batch, k, or E. The caller guarantees B*T*k < E."""
     B, T, D = x.shape
     S = B * T
     top_w, top_ids = _router_topk(pv.lp, cfg, x)  # [B, T, k] each
     xf = x.reshape(S, D)
     wf = top_w.reshape(S, k)
-    idf = top_ids.reshape(S, k)
-    outs = []
-    for s in range(S):
-        xs = xf[s][None, :]  # [1, D]
-        acc = jnp.zeros((1, D), jnp.float32)
-        for j in range(k):
-            e = idf[s, j]
-            gate = pv.apply_expert("gate_proj", e, xs)
-            up = pv.apply_expert("up_proj", e, xs)
-            ye = pv.apply_expert(
-                "down_proj", e, act_fn(cfg.hidden_act, gate) * up
-            )
-            acc = acc + ye.astype(jnp.float32) * wf[s, j]
-        outs.append(acc)
-    out = jnp.concatenate(outs, axis=0) if S > 1 else outs[0]
+    ids = top_ids.reshape(S * k)
+    x_rows = jnp.repeat(xf, k, axis=0)  # row s serves its k selections
+    gate = pv.apply_experts_grouped("gate_proj", ids, x_rows)
+    up = pv.apply_experts_grouped("up_proj", ids, x_rows)
+    ye = pv.apply_experts_grouped(
+        "down_proj", ids, act_fn(cfg.hidden_act, gate) * up
+    )  # [S*k, D]
+    out = jnp.sum(
+        ye.reshape(S, k, D).astype(jnp.float32)
+        * wf[..., None].astype(jnp.float32),
+        axis=1,
+    )
     return pv.combine_moe(out).reshape(B, T, D).astype(x.dtype)
 
 

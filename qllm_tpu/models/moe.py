@@ -145,6 +145,35 @@ def stack_experts(
     return out
 
 
+def grouped_expert_linear(
+    w, ids: jax.Array, x_rows: jax.Array
+) -> jax.Array:
+    """y[i] = x_rows[i] @ W[ids[i]] for [E]-stacked expert weights —
+    ONE kernel launch for every (token, expert) selection when the
+    grouped Pallas kernel's constraints hold
+    (ops.pallas_qmm.qmatmul_grouped_experts); otherwise a static
+    per-selection loop of indexed matmuls (exact same math)."""
+    n = x_rows.shape[0]
+    if isinstance(w, QuantizedTensor):
+        from ..ops.pallas_qmm import (
+            grouped_experts_ok,
+            qmatmul_grouped_experts,
+        )
+
+        if grouped_experts_ok(w):
+            return qmatmul_grouped_experts(x_rows, w, ids)
+        return jnp.concatenate(
+            [expert_linear(w, ids[i], x_rows[i : i + 1]) for i in range(n)]
+        )
+    we = jnp.take(w, ids, axis=0)  # [n, K, N] (dense test-scale stacks)
+    return jnp.einsum(
+        "nk,nkd->nd",
+        x_rows.astype(jnp.bfloat16),
+        we.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(x_rows.dtype)
+
+
 def expert_linear(w, e, x: jax.Array) -> jax.Array:
     """y = x @ W[e] for one [E]-stacked expert weight ``w``; ``e`` may be
     a traced scalar (decode top-k selection) or a python int (dense

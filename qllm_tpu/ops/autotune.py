@@ -332,9 +332,11 @@ def tune_stacked(
     # exactly, leaving pure per-invocation device time.
     n_lo = int(os.environ.get("QLLM_TPU_AUTOTUNE_REPS", "64"))
     # size the long run so the delta is several RTTs of device time even
-    # if the kernel hits the practical streaming ceiling (~500 GB/s)
+    # if the kernel hits the practical streaming ceiling (~500 GB/s) —
+    # or, at prefill, the MXU peak (compute-bound regime; the bytes-only
+    # estimate over-sized prefill sweeps ~50x)
     bytes_per = K * N * bits / 8
-    est = bytes_per / 500e9
+    est = max(bytes_per / 500e9, 2.0 * M * K * N / 150e12)
     n_hi = n_lo + max(256, int(0.4 / est))
 
     def make_loop(bn, bk):
@@ -387,7 +389,13 @@ def tune_stacked(
                         f"{bytes_per / results[(bn, bk)] / 1e9:.0f} GB/s",
                         flush=True,
                     )
-            except Exception:
+            except Exception as e:
+                if os.environ.get("QLLM_TPU_AUTOTUNE_VERBOSE"):
+                    print(
+                        f"[autotune]   ({bn}, {bk}): FAIL "
+                        f"{type(e).__name__}: {str(e)[:200]}",
+                        flush=True,
+                    )
                 continue
     if not results:
         return (0, 0)

@@ -814,8 +814,16 @@ def prefill_attention_flash(
     are sliced off, extra key columns masked)."""
     B, T, H, d = q.shape
     S, Hkv = k.shape[1], k.shape[2]
-    bq = max(8, min(256, 512 // n_rep))
-    bs = 512 if S >= 512 else 256 if S >= 256 else 128
+    import os as _os
+
+    bq = int(
+        _os.environ.get("QLLM_TPU_FLASH_BQ", "0")
+    ) or max(8, min(256, 512 // n_rep))
+    bs = int(_os.environ.get("QLLM_TPU_FLASH_BS", "0")) or (
+        512 if S >= 512 else 256 if S >= 256 else 128
+    )
+    bq = min(bq, max(8, -(-T // 8) * 8))
+    bs = min(bs, -(-S // 128) * 128)
     Tp = -(-T // bq) * bq
     Sp = -(-S // bs) * bs
     qg = (q.astype(jnp.float32) * (d**-0.5)).astype(jnp.bfloat16)

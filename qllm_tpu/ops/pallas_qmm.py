@@ -1140,6 +1140,18 @@ def _qmm_2d_stacked(
         )
         if (
             not use_full
+            and M > 32
+            and fuse_corr
+            and planar_full_ok(K, g)
+            and os.environ.get("QLLM_TPU_W4A8") == "1"
+            and os.environ.get("QLLM_TPU_QMM_PREFILL_FULLK_A8") == "1"
+        ):
+            # W4A8-prefill experiment switch (tools/ab_a8_prefill.py):
+            # route blocked-eligible shapes through the full-K kernel's
+            # int8-dot path at M>32 to measure the integer-rate regime
+            use_full = True
+        if (
+            not use_full
             and bkp is None
             and M > 32
             and os.environ.get("QLLM_TPU_PREFILL_RELAXED_BK", "1") != "0"
@@ -1758,3 +1770,122 @@ def qmatmul_pallas(x: jax.Array, qt: QuantizedTensor) -> jax.Array:
     if Mp != M:
         y = y[:M]
     return y.reshape(*lead, N).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# Grouped expert GEMV: the TPU-native analog of megablocked MoE GEMMs.
+# One kernel launch evaluates EVERY (token, expert) selection of a
+# sparse-MoE block — grid (n_sel, N/bn) with each row's expert index
+# delivered by scalar prefetch straight into the weight index maps, so
+# the kernel streams only the selected experts' packed blocks and no
+# weight gather is ever materialized. Replaces n_sel separate
+# qmatmul_pallas_stacked launches (launch overhead scales with S*k*3
+# per MoE layer otherwise — prohibitive for batched decode and for
+# big-E families like deepseek/qwen-moe).
+# --------------------------------------------------------------------------
+
+
+def grouped_experts_ok(qt_stacked: QuantizedTensor) -> bool:
+    """Eligibility for qmatmul_grouped_experts (mirrors the fused
+    full-K planar constraints; callers fall back to per-selection
+    indexed calls otherwise)."""
+    K = qt_stacked.in_features
+    g = K if qt_stacked.group_size == -1 else qt_stacked.group_size
+    if not (
+        qt_stacked.bits == 4
+        and qt_stacked.planar
+        and qt_stacked.zeros_prefolded
+        and qt_stacked.perm is None
+        and planar_full_ok(K, g)
+    ):
+        return False
+    if jax.default_backend() == "cpu":
+        # same convention as the stacked kernel: interpret-mode runs
+        # only when forced (tests); the default CPU path stays on the
+        # exact per-selection fallback
+        if not os.environ.get("QLLM_TPU_FORCE_STACKED_KERNEL"):
+            return False
+    elif qt_stacked.scales.dtype == jnp.float32:
+        # f32-scale planar + fused correction crashes the Mosaic
+        # compile helper on TPU (see qmatmul_pallas_stacked)
+        return False
+    N_buf = qt_stacked.qweight.shape[-1]
+    bn = _pick_block(N_buf, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
+    full_max = int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
+    return (K // 8) * bn * 4 <= full_max
+
+
+def qmatmul_grouped_experts(
+    x_rows: jax.Array,  # [n, K] — one activation row per selection
+    qt_stacked: QuantizedTensor,  # [E]-stacked planar serving prep
+    expert_ids: jax.Array,  # [n] int32 (traced)
+) -> jax.Array:  # [n, N] bf16
+    """y[i] = x_rows[i] @ dequant(stack[expert_ids[i]]) — all
+    selections in ONE pallas_call (see module comment above)."""
+    K, N = qt_stacked.in_features, qt_stacked.out_features
+    N_buf = qt_stacked.qweight.shape[-1]
+    g = K if qt_stacked.group_size == -1 else qt_stacked.group_size
+    G_all = K // g
+    n = x_rows.shape[0]
+    bn = _pick_block(N_buf, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
+    kernel = functools.partial(
+        _qmm_kernel_planar_full, K=K, g=g, norm=False, a8=False
+    )
+    grid = (n, N_buf // bn)
+    # Mosaic needs an 8-divisible sublane block: give every selection an
+    # 8-row x block (its row + 7 zeros). The MXU pads sub-8-row operands
+    # to 8 sublanes anyway, so the extra rows cost nothing; rows 1..7 of
+    # each output block are discarded below.
+    x8 = jnp.pad(x_rows[:, None, :], ((0, 0), (0, 7), (0, 0))).reshape(
+        8 * n, K
+    )
+    in_specs = [
+        pl.BlockSpec((8, K), lambda i, j, ids: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, K // 8, bn),
+            lambda i, j, ids: (ids[i], 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G_all, bn),
+            lambda i, j, ids: (ids[i], 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G_all, bn),
+            lambda i, j, ids: (ids[i], 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (8, bn), lambda i, j, ids: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+    x_dt = (
+        jnp.bfloat16
+        if os.environ.get("QLLM_TPU_X_BF16", "1") != "0"
+        else jnp.float32
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8 * n, N_buf), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        expert_ids.astype(jnp.int32),
+        x8.astype(x_dt),
+        qt_stacked.qweight,
+        qt_stacked.scales,
+        qt_stacked.zeros,
+    )
+    out = out.reshape(n, 8, N_buf)[:, 0]
+    if N_buf != N:
+        out = out[:, :N]
+    return out.astype(jnp.bfloat16)

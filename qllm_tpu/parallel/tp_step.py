@@ -664,6 +664,14 @@ class TPMoeLayerView:
             w = _localize_qt(w)  # stacked [E] metadata -> local shard
         return expert_linear(w, e, x)
 
+    def apply_experts_grouped(self, name, ids, x_rows):
+        from ..models.moe import grouped_expert_linear
+
+        w = self.lp["experts_stacked"][name]
+        if isinstance(w, QuantizedTensor):
+            w = _localize_qt(w)
+        return grouped_expert_linear(w, ids, x_rows)
+
     def combine_moe(self, out):
         # expert down_proj is row-sharded: one psum per MoE block
         # combines every expert's partial product (weights/router are

@@ -261,9 +261,21 @@ class ContinuousBatchingEngine:
 
         if has_stackable_experts(params):
             # MoE serving: [E]-stack expert weights once so decode reads
-            # only the top-k experts per token (models.moe). No-op copy
-            # cost for non-MoE params.
-            params = stack_experts(params)
+            # only the top-k experts per token (models.moe). bf16 scale
+            # storage (QLLM_TPU_SCALES_BF16, default on) additionally
+            # qualifies the grouped expert kernel on TPU — f32-scale
+            # planar stacks cannot run the fused kernel there.
+            import os
+
+            scales_bf16 = (
+                os.environ.get("QLLM_TPU_SCALES_BF16", "1") != "0"
+            )
+            params = stack_experts(
+                params,
+                scale_store_dtype=(
+                    jnp.bfloat16 if scales_bf16 else jnp.float32
+                ),
+            )
         self.params = params
         self.cfg = cfg
         self.scfg = serve_cfg

@@ -55,6 +55,7 @@ def test_sparse_matches_dense_float(cfg):
 
     ids = jnp.asarray([[5, 9, 2]], jnp.int32)
     dense_logits, _ = forward(params, cfg, ids)
+    atol = 3e-3  # grouped-selection einsum reorders bf16 accumulation
     # T=3, k=2, E>=4: B*T*k >= E for mixtral -> dense; single token is
     # the sparse regime. Compare a full prefill (dense) + 1-token decode
     # (sparse) against the all-dense run.
@@ -67,12 +68,12 @@ def test_sparse_matches_dense_float(cfg):
     _, cache2 = forward(params, cfg, ids[:, :2], cache2, pos=jnp.int32(0))
     ref_step, _ = forward(params, cfg, ids[:, 2:3], cache2, pos=jnp.int32(2))
     np.testing.assert_allclose(
-        np.asarray(step_logits), np.asarray(ref_step), atol=2e-3, rtol=2e-3
+        np.asarray(step_logits), np.asarray(ref_step), atol=atol, rtol=2e-3
     )
     # and the stacked full-T (dense loop over stacked tensors) matches
     full_stacked, _ = forward(stacked, cfg, ids)
     np.testing.assert_allclose(
-        np.asarray(full_stacked), np.asarray(dense_logits), atol=2e-3, rtol=2e-3
+        np.asarray(full_stacked), np.asarray(dense_logits), atol=atol, rtol=2e-3
     )
 
 
@@ -121,6 +122,49 @@ def test_engine_auto_stacks_moe():
     eng.submit([1, 5, 3], max_new_tokens=4)
     done = eng.run()
     assert len(done) == 1 and len(done[0].output) == 4
+
+
+def test_grouped_kernel_matches_fallback(monkeypatch):
+    """The grouped expert GEMV kernel (one launch for all (token,
+    expert) selections, interpret mode on CPU) must match the exact
+    per-selection fallback within bf16-activation rounding."""
+    import qllm_tpu.ops.pallas_qmm as pq
+    from qllm_tpu.models.moe import grouped_expert_linear
+
+    # kernel geometry needs K % 256 == 0 (the tiny 128-hidden test cfg
+    # stays on the fallback); use the 256-hidden shape
+    big_cfg = dataclasses.replace(
+        MOE_CFG,
+        hidden_size=256,
+        intermediate_size=512,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=64,
+    )
+    params = init_params(big_cfg, jax.random.key(11))
+    q = HQQQuantizer(HQQConfig(wbits=4, groupsize=32))
+    qparams = q.quantize(params, big_cfg, None, progress=False)
+    stacked = stack_experts(
+        qparams, scale_store_dtype=jnp.bfloat16
+    )
+    w = stacked["layers"][0]["experts_stacked"]["gate_proj"]
+    rng = np.random.default_rng(0)
+    n, K = 4, w.in_features
+    x_np = rng.normal(size=(n, K)).astype(np.float32)
+    x_np[3] = x_np[0]  # same (row, id) pair twice -> must agree exactly
+    x_rows = jnp.asarray(x_np)
+    ids = jnp.asarray([2, 0, 3, 2], jnp.int32)
+
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    assert pq.grouped_experts_ok(w)
+    y_kernel = np.asarray(pq.qmatmul_grouped_experts(x_rows, w, ids))
+    monkeypatch.delenv("QLLM_TPU_FORCE_STACKED_KERNEL")
+    assert not pq.grouped_experts_ok(w)  # default CPU path = fallback
+    y_fb = np.asarray(grouped_expert_linear(w, ids, x_rows))
+    scale = np.abs(y_fb).max()
+    assert np.abs(y_kernel - y_fb).max() < 2e-2 * scale + 1e-3
+    # selections with the same id must agree exactly (same weights read)
+    np.testing.assert_allclose(y_kernel[0], y_kernel[3], rtol=1e-6)
 
 
 def test_heterogeneous_experts_keep_dense_path():
