@@ -819,8 +819,20 @@ def prefill_attention_flash(
     bq = int(
         _os.environ.get("QLLM_TPU_FLASH_BQ", "0")
     ) or max(8, min(256, 512 // n_rep))
+    # key-block: as large as S admits up to 2048 — swept on v5e at the
+    # 7B shape (tools/sweep_flash_prefill.py, 2026-08-20): T=2048
+    # bs 512->2048 is 1.78->1.18 ms/layer-call (+51% throughput); T=512
+    # keeps bs=512 (whole-S). VMEM: scores R x bs f32 <= 4 MB at R=512.
     bs = int(_os.environ.get("QLLM_TPU_FLASH_BS", "0")) or (
-        512 if S >= 512 else 256 if S >= 256 else 128
+        2048
+        if S >= 2048
+        else 1024
+        if S >= 1024
+        else 512
+        if S >= 512
+        else 256
+        if S >= 256
+        else 128
     )
     bq = min(bq, max(8, -(-T // 8) * 8))
     bs = min(bs, -(-S // 128) * 128)

@@ -1177,7 +1177,19 @@ def _qmm_2d_stacked(
             # whole contraction and is applied to the kernel output; the
             # in-kernel zs correction runs on x8 sums, so y = sx * (
             # sum_g (x8_g·v_g)·s_g - sum(x8_g)·zs_g) ≈ x·dequant(W).
-            a8 = os.environ.get("QLLM_TPU_W4A8") == "1"
+            # a8 is DECODE-ONLY by default: at prefill the int8 path
+            # must dot per group (g-deep contractions — scales vary per
+            # group) while the a16 big-dot branch dequantizes once and
+            # runs K/2-deep bf16 dots. Measured on v5e at M=512
+            # (tools/ab_a8_prefill.py, 2026-08-20): gateup 23.2 vs
+            # 172.7 TFLOP/s, down 111.8 vs 147.8 — the integer MXU
+            # rate never overcomes the short-contraction penalty, so
+            # --w4a8 keeps prefill on W4A16 (the experiment switch
+            # QLLM_TPU_QMM_PREFILL_FULLK_A8 re-enables it for sweeps).
+            a8 = os.environ.get("QLLM_TPU_W4A8") == "1" and (
+                M <= 32
+                or os.environ.get("QLLM_TPU_QMM_PREFILL_FULLK_A8") == "1"
+            )
             if a8 and norm_w is not None:
                 x = _rms_norm_rows(x, norm_w[layer], norm_eps)
                 norm_w = None
