@@ -1901,3 +1901,292 @@ def qmatmul_grouped_experts(
     if N_buf != N:
         out = out[:, :N]
     return out.astype(jnp.bfloat16)
+
+
+# --------------------------------------------------------------------------
+# Fused proj -> residual+rmsnorm -> proj (decode): o_proj and gateup in
+# ONE launch. The width-ceiling experiment (tools/ab_width_ceiling.py,
+# v5e 2026-08-20) showed the o kernel is pipeline-FILL bound: its 8
+# n-blocks stream at ~587 GB/s alone but ~674 GB/s when the same bytes
+# ride a 4x-wider launch. Every op between o and gateup is serially
+# dependent, so the only aggregation that respects the dataflow is a
+# single kernel whose grid runs o's blocks first and gateup's after —
+# gateup's weight stream prefetches during o's compute, and o's drain
+# is amortized into a 52-step pipeline instead of 8. The residual add
+# + rmsnorm live in VMEM between the phases (VPU work hidden under the
+# weight stream, same as the fused-norm kernel).
+# --------------------------------------------------------------------------
+
+
+def _qmm_kernel_pnp(
+    layer_ref,  # scalar prefetch [1]
+    x1_ref,  # [M, K1] bf16/f32 — proj1 input (attention context)
+    h_ref,  # [M, D] residual stream
+    nw_ref,  # [1, D/g2, g2] rms-norm weight rows (post_attention_ln)
+    qw1_ref,  # [1, K1/8, bn1] planar u32 (proj1 block)
+    s1_ref,  # [1, G1, bn1]
+    z1_ref,  # [1, G1, bn1] prefolded zs
+    qw2_ref,  # [1, K2/8, bn2] (proj2 block)
+    s2_ref,  # [1, G2, bn2]
+    z2_ref,  # [1, G2, bn2]
+    y2_ref,  # out [M, bn2]
+    hn_ref,  # out [M, D] (h + proj1(x1)) — the next residual
+    hn_scr,  # scratch [M, D] f32
+    *,
+    K1: int,
+    K2: int,
+    g1: int,
+    g2: int,
+    n1: int,
+    eps: float,
+):
+    del layer_ref
+    s = pl.program_id(0)
+    M = x1_ref.shape[0]
+
+    def fullk(xv, qw_ref, s_ref, z_ref, K, g, out_w):
+        """Full-K per-group matmul with fused zs correction (the
+        _qmm_kernel_planar_full decode loop)."""
+        Gh = (K // 2) // g
+        qw = pltpu.bitcast(qw_ref[0], jnp.int32)
+        v_lo = pltpu.bitcast(qw & jnp.int32(0x0F0F0F0F), jnp.int8).astype(
+            jnp.float32
+        )
+        v_hi = pltpu.bitcast(
+            jax.lax.shift_right_logical(qw, jnp.int32(4))
+            & jnp.int32(0x0F0F0F0F),
+            jnp.int8,
+        ).astype(jnp.float32)
+        sc = s_ref[0].astype(jnp.float32)
+        zs = z_ref[0].astype(jnp.float32)
+        acc = jnp.zeros((M, out_w), jnp.float32)
+        for half, v in ((0, v_lo), (1, v_hi)):
+            base = half * Gh
+            off = half * (K // 2)
+            for gi in range(Gh):
+                xg = xv[:, off + gi * g : off + (gi + 1) * g]
+                d = jnp.dot(
+                    xg,
+                    v[gi * g : (gi + 1) * g],
+                    preferred_element_type=jnp.float32,
+                )
+                xsum = jnp.sum(xg, axis=1, keepdims=True)
+                acc = (
+                    acc
+                    + d * sc[base + gi : base + gi + 1, :]
+                    - xsum * zs[base + gi : base + gi + 1, :]
+                )
+        return acc
+
+    # phase 1: proj1 block j -> static slice of the hn scratch
+    # (static unroll: dynamic lane-offset scratch stores are what
+    # Mosaic rejects; n1 is small — 8 for o at bn=512)
+    bn1 = qw1_ref.shape[-1]
+    x1v = x1_ref[:, :].astype(jnp.float32)
+    for j in range(n1):
+
+        @pl.when(s == j)
+        def _(j=j):
+            hn_scr[:, j * bn1 : (j + 1) * bn1] = fullk(
+                x1v, qw1_ref, s1_ref, z1_ref, K1, g1, bn1
+            )
+
+    # phase boundary: residual add, emit hn, keep it in scratch for the
+    # per-group normalized reads below
+    @pl.when(s == n1)
+    def _():
+        hn = hn_scr[:, :] + h_ref[:, :].astype(jnp.float32)
+        hn_scr[:, :] = hn
+        hn_ref[:, :] = hn.astype(hn_ref.dtype)
+
+    # phase 2: proj2 block (s - n1) on rmsnorm(hn) — the norm is
+    # recomputed per block from scratch (VPU cost hidden under the
+    # weight stream, exactly like the fused-norm decode kernel)
+    @pl.when(s >= n1)
+    def _():
+        hn = hn_scr[:, :]
+        var = jnp.sum(hn * hn, axis=1, keepdims=True) * float(1.0 / K2)
+        rstd = jax.lax.rsqrt(var + float(eps))
+        Gh2 = (K2 // 2) // g2
+        nw = nw_ref[0].astype(jnp.float32)  # [D/g2, g2]
+        qw = pltpu.bitcast(qw2_ref[0], jnp.int32)
+        v_lo = pltpu.bitcast(qw & jnp.int32(0x0F0F0F0F), jnp.int8).astype(
+            jnp.float32
+        )
+        v_hi = pltpu.bitcast(
+            jax.lax.shift_right_logical(qw, jnp.int32(4))
+            & jnp.int32(0x0F0F0F0F),
+            jnp.int8,
+        ).astype(jnp.float32)
+        sc = s2_ref[0].astype(jnp.float32)
+        zs = z2_ref[0].astype(jnp.float32)
+        acc = jnp.zeros(y2_ref.shape, jnp.float32)
+        for half, v in ((0, v_lo), (1, v_hi)):
+            base = half * Gh2
+            off = half * (K2 // 2)
+            for gi in range(Gh2):
+                gabs = (off + gi * g2) // g2
+                xg = (
+                    hn[:, off + gi * g2 : off + (gi + 1) * g2]
+                    * rstd
+                    * nw[gabs : gabs + 1, :]
+                )
+                d = jnp.dot(
+                    xg,
+                    v[gi * g2 : (gi + 1) * g2],
+                    preferred_element_type=jnp.float32,
+                )
+                xsum = jnp.sum(xg, axis=1, keepdims=True)
+                acc = (
+                    acc
+                    + d * sc[base + gi : base + gi + 1, :]
+                    - xsum * zs[base + gi : base + gi + 1, :]
+                )
+        y2_ref[:, :] = acc
+
+
+def pnp_stacked_ok(qt1: QuantizedTensor, qt2: QuantizedTensor) -> bool:
+    """Eligibility for qmatmul_pnp_stacked: both stacks planar 4-bit,
+    prefolded, bf16 scales (TPU Mosaic constraint), full-K admissible,
+    proj1's out width unpadded and equal to proj2's in width."""
+    for qt in (qt1, qt2):
+        g = qt.in_features if qt.group_size == -1 else qt.group_size
+        if not (
+            qt.bits == 4
+            and qt.planar
+            and qt.zeros_prefolded
+            and qt.perm is None
+            and planar_full_ok(qt.in_features, g)
+        ):
+            return False
+        if (
+            qt.scales.dtype == jnp.float32
+            and jax.default_backend() != "cpu"
+        ):
+            return False
+    if qt1.qweight.shape[-1] != qt1.out_features:
+        return False  # padded proj1 columns would corrupt the residual
+    if qt1.out_features != qt2.in_features:
+        return False
+    full_max = int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
+    bn = int(os.environ.get("QLLM_TPU_QMM_BN", "512"))
+    return (
+        (qt1.in_features // 8) * min(bn, qt1.out_features) * 4 <= full_max
+        and (qt2.in_features // 8) * min(bn, qt2.qweight.shape[-1]) * 4
+        <= full_max
+    )
+
+
+def qmatmul_pnp_stacked(
+    x1: jax.Array,  # [M, K1]
+    h: jax.Array,  # [M, D]
+    qt1: QuantizedTensor,  # [L]-stacked proj1 (o_proj)
+    qt2: QuantizedTensor,  # [L]-stacked proj2 (gateup)
+    norm_w: jax.Array,  # [L, D] rms-norm weights
+    layer: jax.Array,
+    eps: float,
+):
+    """(h + x1 @ W1[layer], rmsnorm(h + x1 @ W1) @ W2[layer]) in ONE
+    launch — see the module comment above. Returns (hn [M, D],
+    y2 [M, N2])."""
+    K1, D = qt1.in_features, qt1.out_features
+    K2, N2 = qt2.in_features, qt2.out_features
+    N2_buf = qt2.qweight.shape[-1]
+    g1 = K1 if qt1.group_size == -1 else qt1.group_size
+    g2 = K2 if qt2.group_size == -1 else qt2.group_size
+    M = x1.shape[0]
+    bn = int(os.environ.get("QLLM_TPU_QMM_BN", "512"))
+    bn1 = _pick_block(D, 128, bn)
+    bn2 = _pick_block(N2_buf, 128, bn)
+    n1, n2 = D // bn1, N2_buf // bn2
+    G1, G2 = K1 // g1, K2 // g2
+    kernel = functools.partial(
+        _qmm_kernel_pnp, K1=K1, K2=K2, g1=g1, g2=g2, n1=n1, eps=eps
+    )
+    grid = (n1 + n2,)
+    c = lambda f: f  # noqa: E731  (readability below)
+    in_specs = [
+        pl.BlockSpec((M, K1), lambda s, l: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((M, D), lambda s, l: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, D // g2, g2), lambda s, l: (l[0], 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, K1 // 8, bn1),
+            lambda s, l: (l[0], 0, jnp.minimum(s, n1 - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G1, bn1),
+            lambda s, l: (l[0], 0, jnp.minimum(s, n1 - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G1, bn1),
+            lambda s, l: (l[0], 0, jnp.minimum(s, n1 - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, K2 // 8, bn2),
+            lambda s, l: (l[0], 0, jnp.clip(s - n1, 0, n2 - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G2, bn2),
+            lambda s, l: (l[0], 0, jnp.clip(s - n1, 0, n2 - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G2, bn2),
+            lambda s, l: (l[0], 0, jnp.clip(s - n1, 0, n2 - 1)),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (M, bn2),
+                lambda s, l: (0, jnp.clip(s - n1, 0, n2 - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (M, D), lambda s, l: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((M, D), jnp.float32)],
+    )
+    x_dt = (
+        jnp.bfloat16
+        if os.environ.get("QLLM_TPU_X_BF16", "1") != "0"
+        else jnp.float32
+    )
+    y2, hn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((M, N2_buf), jnp.float32),
+            jax.ShapeDtypeStruct((M, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        jnp.asarray([layer], jnp.int32),
+        x1.astype(x_dt),
+        h.astype(jnp.float32),
+        norm_w.reshape(norm_w.shape[0], D // g2, g2),
+        qt1.qweight,
+        qt1.scales,
+        qt1.zeros,
+        qt2.qweight,
+        qt2.scales,
+        qt2.zeros,
+    )
+    if N2_buf != N2:
+        y2 = y2[:, :N2]
+    return hn, y2.astype(jnp.bfloat16)
