@@ -429,12 +429,15 @@ def tp_forward_stacked(
 
 
 # ---------------------------------------------------------------------------
-# MoE tensor parallelism: per-layer list params + [E]-stacked expert shards
+# MoE / MLA tensor parallelism: per-layer list params + [E]-stacked experts
 # ---------------------------------------------------------------------------
 #
-# MoE models cannot take the [L]-stack (mixed dense/sparse layers, and
-# the expert axis adds a second stacking level), so TP serves them on
-# the per-layer python-loop path: every expert's gate/up is
+# MoE and MLA models cannot take the [L]-stack (mixed dense/sparse
+# layers; the expert axis adds a second stacking level), so TP serves
+# them on the per-layer python-loop path. MLA (deepseek-v2) head split:
+# q_b/kv_b column-sharded by heads, o_proj row-sharded, the latent
+# projections (q_a, kv_a_proj_with_mqa) and their norms replicated —
+# their outputs feed every head. Expert split: every expert's gate/up is
 # column-sharded and its down row-sharded over tp (Megatron layout, the
 # same intermediate-dim split as the dense MLP), with the routed-expert
 # partial sum psum'd ONCE per MoE block (LayerView.combine_moe). The
@@ -466,11 +469,11 @@ def prepare_tp_moe_params(
     layers = params["layers"]
     if not isinstance(layers, list):
         raise ValueError("prepare_tp_moe_params expects per-layer params")
-    if any("kv_a_proj_with_mqa" in lp for lp in layers):
-        raise NotImplementedError(
-            "MLA (deepseek-v2) attention is not yet TP-sharded; serve "
-            "deepseek-v2 single-chip or add the MLA head split first"
-        )
+    # MLA (deepseek-v2): q_b / kv_b are column-sharded by heads, o_proj
+    # row-sharded; the latent projections (q_a, kv_a_proj_with_mqa —
+    # their outputs feed every head) and their norms stay replicated.
+    # No extra prep needed here: the head split is a plain column split
+    # (qk_hd/dn+dv-contiguous per head) and o's group check runs below.
 
     new_layers = []
     for lp in layers:
@@ -556,6 +559,8 @@ def prepare_tp_moe_params(
 
 
 _EXPERT_COL = ("gate_proj", "up_proj")
+# MLA head-sharded projections (deepseek-v2): column split = head split
+_MLA_COL = ("q_b_proj", "kv_b_proj")
 
 
 def moe_tp_pspecs(params: Dict[str, Any]):
@@ -590,13 +595,23 @@ def moe_tp_pspecs(params: Dict[str, Any]):
                                     else P(None, "tp", None)
                                 )
                         lo[name] = eo
-                    elif name in _COL and isinstance(w, QuantizedTensor):
+                    elif (
+                        name in _COL or name in _MLA_COL
+                    ) and isinstance(w, QuantizedTensor):
                         lo[name] = _qt_pspec(w, "col", stacked=False)
                     elif name in _ROW and isinstance(w, QuantizedTensor):
                         lo[name] = _qt_pspec(w, "row", stacked=False)
-                    elif name in _COL and w is not None and w.ndim == 2:
+                    elif (
+                        (name in _COL or name in _MLA_COL)
+                        and w is not None
+                        and getattr(w, "ndim", 0) == 2
+                    ):
                         lo[name] = P(None, "tp")
-                    elif name in _ROW and w is not None and w.ndim == 2:
+                    elif (
+                        name in _ROW
+                        and w is not None
+                        and getattr(w, "ndim", 0) == 2
+                    ):
                         lo[name] = P("tp", None)
                     elif (
                         name.endswith("_bias")
@@ -607,10 +622,14 @@ def moe_tp_pspecs(params: Dict[str, Any]):
                         lo[name] = P("tp")
                     else:
                         # router, shared experts, shared_expert_gate,
-                        # norms, row biases: replicated
-                        lo[name] = jax.tree_util.tree_map(
-                            lambda _: P(), w
-                        ) if isinstance(w, dict) else P()
+                        # MLA latent projections (q_a / kv_a — feed
+                        # every head), norms, row biases: replicated.
+                        # Quantized leaves need a QT-shaped spec tree.
+                        lo[name] = (
+                            jax.tree_util.tree_map(lambda _: P(), w)
+                            if isinstance(w, (dict, QuantizedTensor))
+                            else P()
+                        )
                 lspecs.append(lo)
             out[key] = lspecs
         else:

@@ -57,20 +57,43 @@ class TPEngine(ContinuousBatchingEngine):
         prepared: bool = False,
     ):
         from ..parallel.tp_step import (
+            moe_tp_pspecs,
             place_tp,
+            prepare_tp_moe_params,
             prepare_tp_params,
             stacked_tp_pspecs,
             tp_cache_pspecs,
+            tp_forward_moe,
+            tp_forward_stacked,
         )
 
         self.mesh = mesh
         self.axis = axis
         self.tp = mesh.shape[axis]
+        # MoE / MLA models serve on the per-layer (python-loop) TP path
+        # — their layers cannot [L]-stack; dense models keep the
+        # scan-over-stacked path
+        layers = params.get("layers")
+        per_layer = isinstance(layers, list) and any(
+            isinstance(lp, dict)
+            and (
+                "experts" in lp
+                or "experts_stacked" in lp
+                or "kv_a_proj_with_mqa" in lp
+            )
+            for lp in layers
+        )
+        self._per_layer_tp = per_layer
+        self._tp_forward = tp_forward_moe if per_layer else tp_forward_stacked
         if not prepared:
-            params = prepare_tp_params(params, cfg, self.tp)
+            params = (
+                prepare_tp_moe_params(params, cfg, self.tp)
+                if per_layer
+                else prepare_tp_params(params, cfg, self.tp)
+            )
         import os
 
-        if os.environ.get("QLLM_TPU_AUTOTUNE") == "1":
+        if os.environ.get("QLLM_TPU_AUTOTUNE") == "1" and not per_layer:
             # tune the LOCAL shard shapes the shard_map body will hand
             # the kernels (must run OUTSIDE any trace — lookups from
             # inside a jit can only read the cache)
@@ -81,7 +104,11 @@ class TPEngine(ContinuousBatchingEngine):
             )
         super().__init__(params, cfg, serve_cfg)
         self.params, self.cache = place_tp(self.params, self.cache, mesh)
-        self._pspecs = stacked_tp_pspecs(self.params)
+        self._pspecs = (
+            moe_tp_pspecs(self.params)
+            if self._per_layer_tp
+            else stacked_tp_pspecs(self.params)
+        )
         self._cspecs = tp_cache_pspecs(self.cache)
         self._fns: Dict[Any, Any] = {}  # (kind, *static) -> jitted shmap
 
@@ -111,7 +138,6 @@ class TPEngine(ContinuousBatchingEngine):
     # ----------------------------------------------------- step overrides
 
     def _fn_decode_step(self, tokens, cache, positions, sampling, key):
-        from ..parallel.tp_step import tp_forward_stacked
 
         sampled = sampling is not None
         fn = self._fns.get(("step", sampled))
@@ -120,7 +146,7 @@ class TPEngine(ContinuousBatchingEngine):
             def body(params, tokens, cache, positions, *rest):
                 samp = (rest[0], rest[1], rest[2]) if sampled else None
                 k = rest[3] if sampled else None
-                logits, cache = tp_forward_stacked(
+                logits, cache = self._tp_forward(
                     params, self.cfg, tokens, cache, positions, self.tp
                 )
                 return self._pick(logits[:, -1], samp, k), cache
@@ -138,7 +164,6 @@ class TPEngine(ContinuousBatchingEngine):
     def _fn_decode_multi(
         self, tokens, cache, positions, active, steps, sampling, key
     ):
-        from ..parallel.tp_step import tp_forward_stacked
 
         sampled = sampling is not None
         eos = self.scfg.eos_token_id
@@ -151,7 +176,7 @@ class TPEngine(ContinuousBatchingEngine):
 
                 def step(carry, i):
                     tokens, cache, positions, active = carry
-                    logits, cache = tp_forward_stacked(
+                    logits, cache = self._tp_forward(
                         params, self.cfg, tokens, cache, positions, self.tp
                     )
                     k_i = (
@@ -189,7 +214,6 @@ class TPEngine(ContinuousBatchingEngine):
         self, tokens, cache, positions, active, history, hist_len
     ):
         from ..models.speculative import ngram_draft
-        from ..parallel.tp_step import tp_forward_stacked
 
         eos = self.scfg.eos_token_id
         gamma, ngram = self.scfg.spec_gamma, self.scfg.spec_ngram
@@ -199,7 +223,7 @@ class TPEngine(ContinuousBatchingEngine):
             def body(params, tokens, cache, positions, active, hist, hlen):
                 draft = ngram_draft(hist, hlen, gamma, ngram)
                 seq = jnp.concatenate([tokens, draft], axis=1)
-                logits, cache = tp_forward_stacked(
+                logits, cache = self._tp_forward(
                     params, self.cfg, seq, cache, positions, self.tp
                 )
                 B, T, Vl = logits.shape
@@ -222,14 +246,13 @@ class TPEngine(ContinuousBatchingEngine):
         )
 
     def _fn_prefill_one(self, tokens, cache, length):
-        from ..parallel.tp_step import tp_forward_stacked
 
         Tb = tokens.shape[1]
         fn = self._fns.get(("prefill", Tb, cache.max_seq))
         if fn is None:
 
             def body(params, tokens, cache, length):
-                logits, cache = tp_forward_stacked(
+                logits, cache = self._tp_forward(
                     params, self.cfg, tokens, cache, jnp.int32(0), self.tp
                 )
                 last = jnp.take_along_axis(
@@ -249,14 +272,13 @@ class TPEngine(ContinuousBatchingEngine):
         return fn(self.params, tokens, cache, length)
 
     def _fn_prefill_chunk(self, tokens, cache, offset, length):
-        from ..parallel.tp_step import tp_forward_stacked
 
         C = tokens.shape[1]
         fn = self._fns.get(("prefill_chunk", C, cache.max_seq))
         if fn is None:
 
             def body(params, tokens, cache, offset, length):
-                logits, cache = tp_forward_stacked(
+                logits, cache = self._tp_forward(
                     params, self.cfg, tokens, cache, offset, self.tp
                 )
                 last = jnp.take_along_axis(

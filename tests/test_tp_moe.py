@@ -88,10 +88,85 @@ def test_tp_moe_expert_shards_are_local():
     assert shard_d.data.shape[-2] * 4 == dn.qweight.shape[-2]  # K/tp local
 
 
-def test_tp_moe_rejects_mla():
-    from qllm_tpu.quant.qtensor import quantize_tensor
+def test_tp_mla_moe_decode_matches_single_device(tmp_path):
+    """deepseek-v2 (MLA attention + group-limited MoE + shared experts)
+    under tensor parallelism: q_b/kv_b column-sharded by heads, o
+    row-sharded, latent projections replicated, experts intermediate-
+    sharded — greedy tokens must match the single-device path."""
+    import torch
+    import transformers
 
-    qparams = _qparams(seed=2)
-    qparams["layers"][0]["kv_a_proj_with_mqa"] = jnp.zeros((8, 8))
-    with pytest.raises(NotImplementedError):
-        prepare_tp_moe_params(qparams, MOE_CFG, tp=4)
+    from qllm_tpu.modeling.auto import AutoQuantizedModelForCausalLM as AutoQ
+    from qllm_tpu.quant.config import HQQConfig as HC
+
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        hidden_size=64,
+        intermediate_size=96,
+        max_position_embeddings=128,
+        q_lora_rank=32,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        n_routed_experts=4,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        moe_intermediate_size=64,
+        first_k_dense_replace=1,
+        topk_method="group_limited_greedy",
+        n_group=2,
+        topk_group=1,
+        routed_scaling_factor=2.0,
+    )
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    hf = transformers.DeepseekV2ForCausalLM(cfg).eval().to(torch.float32)
+    path = str(tmp_path / "dsv2")
+    hf.save_pretrained(path, safe_serialization=True)
+
+    params, mcfg = AutoQ.from_pretrained(path, dtype=jnp.float32)
+    q = HQQQuantizer(HC(wbits=4, groupsize=16))
+    qparams = q.quantize(params, mcfg, None, progress=False)
+
+    steps, batch = 5, 2
+    sp = stack_experts(qparams, lane_quantum=1, planar=False)
+    cache = make_cache(mcfg, batch, 64, quantized_kv=True)
+    token = jnp.ones((batch, 1), jnp.int32)
+    ref, _ = decode_loop(sp, mcfg, token, cache, jnp.int32(0), steps)
+
+    mesh = make_mesh(dp=2, tp=4)
+    tp_params = prepare_tp_moe_params(qparams, mcfg, tp=4)
+    cache2 = make_cache(mcfg, batch, 64, quantized_kv=True)
+    tp_params, cache2 = place_tp(tp_params, cache2, mesh)
+    fn = make_tp_moe_decode_loop(mcfg, mesh, tp_params, cache2, steps)
+    toks, _ = fn(tp_params, token, cache2, jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+def test_tp_engine_serves_moe():
+    """TPEngine must route MoE models through the per-layer TP forward
+    (expert-sharded) and match the single-device engine's outputs."""
+    from qllm_tpu.serve import ContinuousBatchingEngine, ServeConfig, TPEngine
+
+    qparams = _qparams(seed=3)
+    prompts = [
+        np.asarray([1, 5, 3, 9, 2], np.int32),
+        np.asarray([4, 4, 7], np.int32),
+    ]
+    scfg = dict(max_batch=2, max_seq=64, prefill_buckets=(16,))
+
+    ref_eng = ContinuousBatchingEngine(qparams, MOE_CFG, ServeConfig(**scfg))
+    refs = [ref_eng.submit(p, max_new_tokens=6) for p in prompts]
+    ref_eng.run()
+
+    mesh = make_mesh(dp=1, tp=4, n_devices=4)
+    eng = TPEngine(qparams, MOE_CFG, ServeConfig(**scfg), mesh=mesh)
+    assert eng._per_layer_tp
+    reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
+    eng.run()
+    for r, ref in zip(reqs, refs):
+        assert r.output == ref.output, (r.output, ref.output)
