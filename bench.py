@@ -123,6 +123,25 @@ MODEL_SHAPES = {
         num_local_experts=8,
         num_experts_per_tok=2,
     ),
+    # qwen3-moe-30b-a3b layer geometry, 8-layer slab: the BIG-E regime
+    # (E=128, k=8 — a 16x dense-vs-sparse weight-traffic ratio) that the
+    # grouped expert GEMV kernel exists for (3 launches per MoE block
+    # regardless of E). deepseek-style router with top-k renorm.
+    # QLLM_BENCH_MODEL=qwen3moe; not the headline metric
+    "qwen3moe": dict(
+        vocab_size=32000,
+        hidden_size=2048,
+        intermediate_size=768,  # per-expert (moe_intermediate_size)
+        num_hidden_layers=8,
+        num_attention_heads=32,
+        num_key_value_heads=4,
+        head_dim=128,
+        arch="qwen3_moe",
+        num_local_experts=128,
+        num_experts_per_tok=8,
+        moe_router="deepseek",
+        norm_topk_prob=True,
+    ),
     # tinyllama-1.1b
     "1b": dict(
         vocab_size=32000,

@@ -1161,9 +1161,15 @@ def _moe_forward(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     weights = _router_weights(lp, cfg, x)
     out = jnp.zeros_like(x, shape=x.shape).astype(jnp.float32)
     if est is not None:
+        fused_gu = "gateup_proj" in est
         for e in range(E):
-            gate = pv.apply_expert("gate_proj", e, x)
-            up = pv.apply_expert("up_proj", e, x)
+            if fused_gu:
+                gu = pv.apply_expert("gateup_proj", e, x)
+                ii = gu.shape[-1] // 2
+                gate, up = gu[..., :ii], gu[..., ii:]
+            else:
+                gate = pv.apply_expert("gate_proj", e, x)
+                up = pv.apply_expert("up_proj", e, x)
             ye = pv.apply_expert(
                 "down_proj", e, act_fn(cfg.hidden_act, gate) * up
             )
@@ -1195,8 +1201,15 @@ def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
     wf = top_w.reshape(S, k)
     ids = top_ids.reshape(S * k)
     x_rows = jnp.repeat(xf, k, axis=0)  # row s serves its k selections
-    gate = pv.apply_experts_grouped("gate_proj", ids, x_rows)
-    up = pv.apply_experts_grouped("up_proj", ids, x_rows)
+    if pv.get("experts_stacked") is not None and "gateup_proj" in pv.get(
+        "experts_stacked"
+    ):
+        gu = pv.apply_experts_grouped("gateup_proj", ids, x_rows)
+        ii = gu.shape[-1] // 2
+        gate, up = gu[..., :ii], gu[..., ii:]
+    else:
+        gate = pv.apply_experts_grouped("gate_proj", ids, x_rows)
+        up = pv.apply_experts_grouped("up_proj", ids, x_rows)
     ye = pv.apply_experts_grouped(
         "down_proj", ids, act_fn(cfg.hidden_act, gate) * up
     )  # [S*k, D]

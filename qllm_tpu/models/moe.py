@@ -88,6 +88,7 @@ def stack_experts(
     scale_store_dtype=jnp.float32,
     sync_per_leaf: bool = False,
     consume: bool = False,
+    fuse_gateup: bool = True,
 ) -> Dict[str, Any]:
     """Return a copy of ``params`` where each MoE layer's per-expert
     list is replaced by ``experts_stacked``: one dict of [E]-leading
@@ -120,18 +121,82 @@ def stack_experts(
             new_layers.append(lp)
             continue
         experts = lp["experts"]
+        # fuse each expert's gate+up into one column-concat tensor when
+        # possible: HALVES the launches per MoE block (the grouped
+        # kernel then runs twice, not three times) — decisive for big-E
+        # families whose per-expert matmuls are small (qwen3-moe I=768)
+        names = list(experts[0].keys())
+        def _gu_fusable(ep):
+            g0, u0 = ep.get("gate_proj"), ep.get("up_proj")
+            return (
+                isinstance(g0, QuantizedTensor)
+                and isinstance(u0, QuantizedTensor)
+                and (
+                    g0.bits,
+                    g0.group_size,
+                    g0.sym,
+                    g0.in_features,
+                    g0.out_features,
+                )
+                == (
+                    u0.bits,
+                    u0.group_size,
+                    u0.sym,
+                    u0.in_features,
+                    u0.out_features,
+                )
+                and g0.perm is None
+                and u0.perm is None
+                and not g0.planar
+                and not u0.planar
+            )
+
+        fuse_gu = (
+            fuse_gateup
+            and "gate_proj" in names
+            and "up_proj" in names
+            and all(_gu_fusable(ep) for ep in experts)
+        )
+        if fuse_gu:
+            from ..quant.qtensor import concat_columns
+            import numpy as _np
+
+            fused = []
+            for ep in experts:
+                gqt, uqt = ep["gate_proj"], ep["up_proj"]
+                ii = gqt.out_features
+                fused.append(
+                    concat_columns(
+                        [gqt, uqt],
+                        [_np.arange(0, ii), _np.arange(ii, ii + uqt.out_features)],
+                        ii + uqt.out_features,
+                    )
+                )
+            experts = [
+                {"gateup_proj": f, "down_proj": ep["down_proj"]}
+                for f, ep in zip(fused, experts)
+            ]
+            names = ["gateup_proj", "down_proj"]
         est: Dict[str, Any] = {}
-        for n in list(experts[0].keys()):
+        for n in names:
             vals = [ep[n] for ep in experts]
             v = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *vals)
             if isinstance(v, QuantizedTensor):
+                # adaptive lane quantum: 512-padding a small per-expert
+                # width wastes real bytes (qwen3-moe N=768 -> 1024 was
+                # +33% expert traffic); narrow stacks pad to 128 only
+                q = (
+                    lane_quantum
+                    if v.out_features >= 4 * max(lane_quantum, 1)
+                    else min(lane_quantum, 128)
+                )
                 v = prepare_stacked_tensor(
-                    v, lane_quantum, planar, scale_store_dtype
+                    v, q, planar, scale_store_dtype
                 )
                 if sync_per_leaf:
                     _sync_one(v.qweight)
             if consume:
-                for ep in experts:
+                for ep in lp["experts"]:
                     ep.pop(n, None)
             est[n] = v
         nlp = dict(lp)

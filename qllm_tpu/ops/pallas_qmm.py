@@ -1822,9 +1822,22 @@ def grouped_experts_ok(qt_stacked: QuantizedTensor) -> bool:
         # compile helper on TPU (see qmatmul_pallas_stacked)
         return False
     N_buf = qt_stacked.qweight.shape[-1]
-    bn = _pick_block(N_buf, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
+    bn = _grouped_bn(K, N_buf)
     full_max = int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
     return (K // 8) * bn * 4 <= full_max
+
+
+def _grouped_bn(K: int, N_buf: int) -> int:
+    """Grouped-kernel n-block: as WIDE as the VMEM cap admits (small
+    per-expert widths otherwise stream tiny blocks — qwen3-moe's
+    [1, 96, 512] gate blocks measured well under the wide-block rate).
+    Env QLLM_TPU_QMM_GROUPED_BN overrides."""
+    env = int(os.environ.get("QLLM_TPU_QMM_GROUPED_BN", "0"))
+    if env:
+        return _pick_block(N_buf, 128, env)
+    full_max = int(os.environ.get("QLLM_TPU_QMM_FULLK_MAX", str(4 << 20)))
+    cap = max(128, full_max // ((K // 8) * 4))
+    return _pick_block(N_buf, 128, min(2048, cap))
 
 
 def qmatmul_grouped_experts(
@@ -1839,7 +1852,7 @@ def qmatmul_grouped_experts(
     g = K if qt_stacked.group_size == -1 else qt_stacked.group_size
     G_all = K // g
     n = x_rows.shape[0]
-    bn = _pick_block(N_buf, 128, int(os.environ.get("QLLM_TPU_QMM_BN", "512")))
+    bn = _grouped_bn(K, N_buf)
     kernel = functools.partial(
         _qmm_kernel_planar_full, K=K, g=g, norm=False, a8=False
     )

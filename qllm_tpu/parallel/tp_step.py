@@ -534,8 +534,11 @@ def prepare_tp_moe_params(
 
     out = dict(params)
     out["layers"] = new_layers
-    # [E]-stack each layer's (now padded) experts; no extra lane padding
-    out = stack_experts(out, lane_quantum=1, planar=False)
+    # [E]-stack each layer's (now padded) experts; no extra lane
+    # padding, NO gate/up fusion (the concat's column split would break
+    # gate/up locality under tp sharding — same reason dense TP
+    # disables fuse_projections)
+    out = stack_experts(out, lane_quantum=1, planar=False, fuse_gateup=False)
 
     lm = out.get("lm_head")
     if lm is not None:

@@ -147,7 +147,7 @@ def test_grouped_kernel_matches_fallback(monkeypatch):
     stacked = stack_experts(
         qparams, scale_store_dtype=jnp.bfloat16
     )
-    w = stacked["layers"][0]["experts_stacked"]["gate_proj"]
+    w = stacked["layers"][0]["experts_stacked"]["gateup_proj"]
     rng = np.random.default_rng(0)
     n, K = 4, w.in_features
     x_np = rng.normal(size=(n, K)).astype(np.float32)
