@@ -278,16 +278,15 @@ def main():
     scales_bf16 = os.environ.get("QLLM_TPU_SCALES_BF16", "1") != "0"
     is_moe = cfg.num_local_experts > 0
     if is_moe:
-        # MoE: [E]-stack experts per layer (top-k-only decode reads);
-        # layers stay a python-loop list (mixed expert/dense bodies
-        # cannot [L]-scan)
-        from qllm_tpu.models.moe import stack_experts
+        # MoE: hybrid stacking — [L]-stacked attention (tuned kernels +
+        # fused qkv) with per-layer [E]-stacked experts (top-k-only
+        # decode reads); python-loop forward
+        from qllm_tpu.models.stacked import stack_layer_params_hybrid
 
-        params = stack_experts(
+        params = stack_layer_params_hybrid(
             params,
             scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
             sync_per_leaf=backend != "cpu",
-            consume=True,
         )
     else:
         params = stack_layer_params(

@@ -1030,7 +1030,8 @@ def _mla_attention(
 
 def _mlp_from_view(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
     if pv.get("experts") is not None or pv.get("experts_stacked") is not None:
-        out = _moe_forward(pv, cfg, _mat(x))
+        x = _mat(x)  # router/shared paths consume the raw activation
+        out = _moe_forward(pv, cfg, x)
         se = pv.get("shared_experts")
         if se is not None:
             # deepseek shared experts: always-on gated MLP added to the
@@ -1079,19 +1080,23 @@ def _layer_forward(
 
 
 def _router_topk(
-    lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array
+    pv, cfg: ModelConfig, x: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k expert routing: ([B, T, k] weights, [B, T, k] expert ids).
+    ``pv`` is a LayerView-like accessor (or a raw layer dict).
 
     mixtral: top-k of the logits, softmax over the selected k
     (HF MixtralSparseMoeBlock). deepseek: softmax over ALL experts,
     optional group-limited selection (top groups by per-group max score,
     others masked to 0), top-k, then * routed_scaling_factor — NO
     renormalization (HF DeepseekV2MoEGate.forward)."""
+    if isinstance(pv, dict):
+        pv = LayerView(pv)
+    router = pv.get("router")
     router_logits = jnp.dot(
-        x.astype(jnp.float32), lp["router"].astype(jnp.float32)
+        x.astype(jnp.float32), router.astype(jnp.float32)
     )  # [B, T, E]
-    E = lp["router"].shape[-1]
+    E = router.shape[-1]
     k = min(cfg.num_experts_per_tok, E)
     if cfg.moe_router == "deepseek":
         scores = jax.nn.softmax(router_logits, axis=-1)
@@ -1122,11 +1127,13 @@ def _router_topk(
 
 
 def _router_weights(
-    lp: Dict[str, Any], cfg: ModelConfig, x: jax.Array
+    pv, cfg: ModelConfig, x: jax.Array
 ) -> jax.Array:
     """Dense [B, T, E] expert combination weights (0 for unselected)."""
-    top_w, top_ids = _router_topk(lp, cfg, x)
-    E = lp["router"].shape[-1]
+    if isinstance(pv, dict):
+        pv = LayerView(pv)
+    top_w, top_ids = _router_topk(pv, cfg, x)
+    E = pv.get("router").shape[-1]
     return jnp.sum(
         jax.nn.one_hot(top_ids, E, dtype=jnp.float32) * top_w[..., None],
         axis=-2,
@@ -1151,14 +1158,13 @@ def _moe_forward(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
       by some token anyway, and the dense loop is XLA-friendly)."""
     if isinstance(pv, dict):  # back-compat: accept a raw layer dict
         pv = LayerView(pv)
-    lp = pv.lp
     est = pv.get("experts_stacked")
     B, T, D = x.shape
     E = pv.get("router").shape[-1]
     k = min(cfg.num_experts_per_tok, E)
     if est is not None and B * T * k < E:
         return _moe_sparse(pv, cfg, x, k)
-    weights = _router_weights(lp, cfg, x)
+    weights = _router_weights(pv, cfg, x)
     out = jnp.zeros_like(x, shape=x.shape).astype(jnp.float32)
     if est is not None:
         fused_gu = "gateup_proj" in est
@@ -1196,7 +1202,7 @@ def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
     scale with batch, k, or E. The caller guarantees B*T*k < E."""
     B, T, D = x.shape
     S = B * T
-    top_w, top_ids = _router_topk(pv.lp, cfg, x)  # [B, T, k] each
+    top_w, top_ids = _router_topk(pv, cfg, x)  # [B, T, k] each
     xf = x.reshape(S, D)
     wf = top_w.reshape(S, k)
     ids = top_ids.reshape(S * k)
@@ -1461,6 +1467,12 @@ def forward(
                 "stacked-layer forward requires a KV cache; use the "
                 "per-layer (list) params for cacheless scoring"
             )
+        if any(isinstance(v, list) for v in params["layers"].values()):
+            # hybrid MoE/MLA stacking (stack_layer_params_hybrid):
+            # [L]-stacked attention + per-layer expert stacks
+            from .stacked import forward_hybrid
+
+            return forward_hybrid(params, cfg, token_ids, cache, pos)
         from .stacked import forward_stacked
 
         return forward_stacked(params, cfg, token_ids, cache, pos)

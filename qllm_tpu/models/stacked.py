@@ -486,8 +486,47 @@ class StackedLayerView:
             return y[..., s[part] : s[part + 1]]
         return self._apply_name(name, x)
 
+    def apply_expert(self, name, e, x):
+        """Hybrid MoE layers: [E]-stacked expert weights live per layer
+        (self.get returns layer l's stack); same contract as
+        llama.LayerView.apply_expert."""
+        from .moe import expert_linear
+
+        return expert_linear(self.get("experts_stacked")[name], e, x)
+
+    def apply_experts_grouped(self, name, ids, x_rows):
+        from .moe import grouped_expert_linear
+
+        return grouped_expert_linear(
+            self.get("experts_stacked")[name], ids, x_rows
+        )
+
+    def combine_moe(self, out):
+        return out
+
     def _apply_name(self, name, x):
         w = self.lp[name]
+        if isinstance(w, list):
+            # hybrid layers: heterogeneous entries (e.g. qwen-moe's
+            # dense mlp_only layers among sparse ones) stay per-layer
+            w = w[self.l]
+            if isinstance(x, NormedX):
+                x = x.materialize()
+            if isinstance(w, QuantizedTensor):
+                from ..ops.ref_matmul import qmatmul
+
+                b = self.lp.get(f"{name}_bias")
+                bias = None
+                if isinstance(b, list):
+                    bias = b[self.l]
+                elif b is not None:
+                    bias = b[self.l]
+                return qmatmul(x, w, bias)
+            return jnp.dot(
+                x.astype(jnp.bfloat16),
+                w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
         b = self.lp.get(f"{name}_bias")
         bias = None if b is None else b[self.l]
         norm_kw = {}
@@ -564,4 +603,133 @@ def forward_stacked(
     (h, cache), _ = jax.lax.scan(
         body, (h, cache), jnp.arange(cfg.num_hidden_layers)
     )
+    return final_logits(params, cfg, h), cache
+
+
+# ---------------------------------------------------------------------------
+# Hybrid stacking for MoE / MLA models: [L]-stack every homogeneous
+# per-layer tensor (attention projections, norms, routers) so they ride
+# the tuned stacked kernels + fused qkv, while experts keep their
+# per-layer [E]-stacks (they cannot join an [L]-scan — the sparse path
+# selects experts per token). Execution is a python loop over layers
+# (forward_hybrid); the qwen3moe bench showed per-layer attention on
+# the unstacked kernel was the biggest residual after the expert-side
+# fixes.
+# ---------------------------------------------------------------------------
+
+
+def _qt_stackable_across(vals) -> bool:
+    q0 = vals[0]
+    return all(
+        isinstance(q, QuantizedTensor)
+        and (q.bits, q.group_size, q.sym, q.in_features, q.out_features)
+        == (q0.bits, q0.group_size, q0.sym, q0.in_features, q0.out_features)
+        and q.perm is None
+        and not q.planar
+        and not q.zeros_prefolded
+        for q in vals
+    )
+
+
+def stack_layer_params_hybrid(
+    params: Dict[str, Any],
+    lane_quantum: int = 512,
+    planar: bool = True,
+    scale_store_dtype=jnp.float32,
+    fuse_projections: bool = True,
+    sync_per_leaf: bool = False,
+) -> Dict[str, Any]:
+    """Serving prep for MoE/MLA models (per-layer list in, hybrid
+    layers-dict out). Homogeneous entries stack to [L] leaves with the
+    usual serving prep; ``experts_stacked`` stays a per-layer list;
+    heterogeneous entries (qwen-moe's dense mlp_only layers, deepseek's
+    first_k_dense layer) stay per-layer lists served by the plain
+    kernel. models.llama.forward dispatches to forward_hybrid."""
+    from .moe import has_stackable_experts, stack_experts
+
+    if has_stackable_experts(params):
+        params = stack_experts(
+            params,
+            planar=planar,
+            scale_store_dtype=scale_store_dtype,
+            sync_per_leaf=sync_per_leaf,
+        )
+    layers = params["layers"]
+    if not isinstance(layers, list):
+        raise ValueError("hybrid stacking expects per-layer (list) params")
+    if fuse_projections:
+        layers = [_fuse_layer_projections(lp) for lp in layers]
+
+    keys = []
+    for lp in layers:
+        for k in lp.keys():
+            if k not in keys:
+                keys.append(k)
+    slp: Dict[str, Any] = {}
+    for k in keys:
+        vals = [lp.get(k) for lp in layers]
+        if k == "experts_stacked" or any(v is None for v in vals):
+            slp[k] = vals  # per-layer (possibly sparse-only) entry
+            continue
+        if isinstance(vals[0], QuantizedTensor):
+            if not _qt_stackable_across(vals):
+                slp[k] = vals
+                continue
+            v = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *vals)
+            v = prepare_stacked_tensor(
+                v, lane_quantum, planar, scale_store_dtype
+            )
+            if sync_per_leaf:
+                _sync_one(v.qweight)
+            slp[k] = v
+            continue
+        if all(
+            hasattr(v, "shape") and v.shape == vals[0].shape for v in vals
+        ):
+            slp[k] = jnp.stack(vals)
+        else:
+            slp[k] = vals
+    out = dict(params)
+    out["layers"] = slp
+    return out
+
+
+def forward_hybrid(params, cfg, token_ids, cache, pos):
+    """forward for hybrid-stacked MoE/MLA params: python loop over
+    layers with the StackedLayerView (stacked attention kernels + fused
+    qkv), per-layer expert stacks under it. Semantics identical to
+    models.llama.forward with a cache."""
+    from .llama import layer_uses_swa
+
+    B, T = token_ids.shape
+    if cache is None:
+        raise ValueError(
+            "hybrid forward requires a KV cache; use the per-layer "
+            "(list) params for cacheless scoring"
+        )
+    pos = jnp.asarray(pos if pos is not None else 0)
+    S = cache.max_seq
+    if pos.ndim == 0:
+        positions = pos + jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    else:
+        positions = pos[:, None] + jnp.arange(T)[None, :]
+    mask = build_mask(cfg, B, T, S, pos)
+    mask_swa = (
+        build_mask(cfg, B, T, S, pos, window=cfg.sliding_window)
+        if cfg.sliding_window > 0
+        else None
+    )
+    h = embed_tokens_forward(params, cfg, token_ids, positions)
+    if cfg.pos_embedding == "rope":
+        cos, sin = _rope_cos_sin(
+            positions, cfg.rot_dim, cfg.rope_theta, cfg.rope_style, cfg=cfg
+        )
+    else:
+        cos = sin = None
+    slp = params["layers"]
+    for l in range(cfg.num_hidden_layers):
+        m = mask if mask_swa is None or not layer_uses_swa(cfg, l) else mask_swa
+        h, cache = _block_attn_mlp(
+            StackedLayerView(slp, l, cfg), cfg, h, cos, sin, m, cache, l, pos
+        )
     return final_logits(params, cfg, h), cache

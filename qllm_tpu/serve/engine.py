@@ -260,18 +260,22 @@ class ContinuousBatchingEngine:
         from ..models.moe import has_stackable_experts, stack_experts
 
         if has_stackable_experts(params):
-            # MoE serving: [E]-stack expert weights once so decode reads
-            # only the top-k experts per token (models.moe). bf16 scale
-            # storage (QLLM_TPU_SCALES_BF16, default on) additionally
-            # qualifies the grouped expert kernel on TPU — f32-scale
-            # planar stacks cannot run the fused kernel there.
+            # MoE serving: hybrid stacking — [L]-stacked attention
+            # (tuned kernels + fused qkv) with per-layer [E]-stacked
+            # experts so decode reads only the top-k experts per token
+            # (models.moe / models.stacked). bf16 scale storage
+            # (QLLM_TPU_SCALES_BF16, default on) additionally qualifies
+            # the grouped expert kernel on TPU — f32-scale planar
+            # stacks cannot run the fused kernel there.
             import os
+
+            from ..models.stacked import stack_layer_params_hybrid
 
             scales_bf16 = (
                 os.environ.get("QLLM_TPU_SCALES_BF16", "1") != "0"
             )
-            params = stack_experts(
-                params,
+            params = stack_layer_params_hybrid(
+                {**params, "layers": [dict(lp) for lp in params["layers"]]},
                 scale_store_dtype=(
                     jnp.bfloat16 if scales_bf16 else jnp.float32
                 ),

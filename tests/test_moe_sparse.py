@@ -115,8 +115,10 @@ def test_engine_auto_stacks_moe():
     eng = ContinuousBatchingEngine(
         qparams, MOE_CFG, ServeConfig(max_batch=2, max_seq=32)
     )
-    assert "experts_stacked" in eng.params["layers"][0]
-    assert "experts" not in eng.params["layers"][0]
+    # hybrid stacking: layers-dict with per-layer expert stacks
+    assert isinstance(eng.params["layers"], dict)
+    assert isinstance(eng.params["layers"]["experts_stacked"], list)
+    assert "experts" not in eng.params["layers"]
     # original params untouched (save paths keep the per-expert list)
     assert "experts" in qparams["layers"][0]
     eng.submit([1, 5, 3], max_new_tokens=4)
@@ -186,3 +188,71 @@ def test_heterogeneous_experts_keep_dense_path():
     assert all("experts" in lp for lp in out["layers"])
     logits, _ = forward(out, MOE_CFG, jnp.asarray([[1, 2]], jnp.int32))
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_hybrid_stacking_matches_dense():
+    """Hybrid MoE stacking ([L]-stacked attention + per-layer expert
+    stacks, python-loop forward) must reproduce the dense per-layer
+    path's greedy tokens exactly."""
+    from qllm_tpu.models import greedy_generate
+    from qllm_tpu.models.stacked import stack_layer_params_hybrid
+
+    qparams = _quantized_moe_params(MOE_CFG, seed=13)
+    hp = stack_layer_params_hybrid(
+        {**qparams, "layers": [dict(lp) for lp in qparams["layers"]]}
+    )
+    assert not isinstance(hp["layers"], list)
+    assert isinstance(hp["layers"]["experts_stacked"], list)
+    prompt = jnp.asarray([[1, 4, 2, 8]], jnp.int32)
+    a = greedy_generate(qparams, MOE_CFG, prompt, max_new_tokens=8)
+    b = greedy_generate(hp, MOE_CFG, prompt, max_new_tokens=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hybrid_stacking_deepseek_mla():
+    """Hybrid path over MLA + mixed dense/sparse layers (deepseek-v2
+    shape): heterogeneous entries stay per-layer, output matches."""
+    import torch
+    import transformers
+
+    from qllm_tpu.models import greedy_generate
+    from qllm_tpu.models.stacked import stack_layer_params_hybrid
+    from qllm_tpu.modeling.auto import AutoQuantizedModelForCausalLM as AutoQ
+    import tempfile
+
+    cfg = transformers.DeepseekV2Config(
+        vocab_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        hidden_size=64,
+        intermediate_size=96,
+        max_position_embeddings=128,
+        q_lora_rank=32,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        n_routed_experts=4,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        moe_intermediate_size=64,
+        first_k_dense_replace=1,
+        topk_method="greedy",
+        routed_scaling_factor=1.0,
+    )
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    hf = transformers.DeepseekV2ForCausalLM(cfg).eval().to(torch.float32)
+    path = tempfile.mkdtemp()
+    hf.save_pretrained(path, safe_serialization=True)
+    params, mcfg = AutoQ.from_pretrained(path, dtype=jnp.float32)
+    q = HQQQuantizer(HQQConfig(wbits=4, groupsize=16))
+    qparams = q.quantize(params, mcfg, None, progress=False)
+    hp = stack_layer_params_hybrid(
+        {**qparams, "layers": [dict(lp) for lp in qparams["layers"]]}
+    )
+    prompt = jnp.asarray([[3, 9, 5]], jnp.int32)
+    a = greedy_generate(qparams, mcfg, prompt, max_new_tokens=6)
+    b = greedy_generate(hp, mcfg, prompt, max_new_tokens=6)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -149,8 +149,12 @@ def test_tp_mla_moe_decode_matches_single_device(tmp_path):
 
 def test_tp_engine_serves_moe():
     """TPEngine must route MoE models through the per-layer TP forward
-    (expert-sharded) and match the single-device engine's outputs."""
-    from qllm_tpu.serve import ContinuousBatchingEngine, ServeConfig, TPEngine
+    (expert-sharded) and match the single-device greedy stream computed
+    with the SAME numerics prep (planar off, f32 scales — the TP layout;
+    the single-chip engine itself uses the hybrid bf16 prep, which is a
+    different-but-equivalent quantized path)."""
+    from qllm_tpu.models import greedy_generate
+    from qllm_tpu.serve import ServeConfig, TPEngine
 
     qparams = _qparams(seed=3)
     prompts = [
@@ -159,9 +163,20 @@ def test_tp_engine_serves_moe():
     ]
     scfg = dict(max_batch=2, max_seq=64, prefill_buckets=(16,))
 
-    ref_eng = ContinuousBatchingEngine(qparams, MOE_CFG, ServeConfig(**scfg))
-    refs = [ref_eng.submit(p, max_new_tokens=6) for p in prompts]
-    ref_eng.run()
+    sp = stack_experts(qparams, lane_quantum=1, planar=False)
+    refs = [
+        np.asarray(
+            greedy_generate(
+                sp,
+                MOE_CFG,
+                jnp.asarray(p[None]),
+                max_new_tokens=6,
+                max_seq=64,
+                quantized_kv=True,
+            )
+        )[0, len(p):].tolist()
+        for p in prompts
+    ]
 
     mesh = make_mesh(dp=1, tp=4, n_devices=4)
     eng = TPEngine(qparams, MOE_CFG, ServeConfig(**scfg), mesh=mesh)
@@ -169,4 +184,4 @@ def test_tp_engine_serves_moe():
     reqs = [eng.submit(p, max_new_tokens=6) for p in prompts]
     eng.run()
     for r, ref in zip(reqs, refs):
-        assert r.output == ref.output, (r.output, ref.output)
+        assert r.output == ref, (r.output, ref)
