@@ -716,6 +716,12 @@ class LayerView:
             self.lp["experts_stacked"][name], ids, x_rows
         )
 
+    def apply_shared(self, name, x):
+        """Shared-expert linear (deepseek/qwen2-moe always-on MLP).
+        The stacked serving view overrides this to ride the tuned
+        [L]-stacked kernel."""
+        return apply_linear(self.lp["shared_experts"][name], x)
+
     def combine_moe(self, out):
         """Hook for TP views: psum the routed-experts partial sum (the
         experts' down_proj is row-sharded there). Identity single-chip."""
@@ -1036,10 +1042,10 @@ def _mlp_from_view(pv, cfg: ModelConfig, x: jax.Array) -> jax.Array:
         if se is not None:
             # deepseek shared experts: always-on gated MLP added to the
             # routed output (modeling_deepseek_v2.DeepseekV2MoE.forward)
-            gate = apply_linear(se["gate_proj"], x)
-            up = apply_linear(se["up_proj"], x)
-            seo = apply_linear(
-                se["down_proj"], act_fn(cfg.hidden_act, gate) * up
+            gate = pv.apply_shared("gate_proj", x)
+            up = pv.apply_shared("up_proj", x)
+            seo = pv.apply_shared(
+                "down_proj", act_fn(cfg.hidden_act, gate) * up
             )
             sg = pv.get("shared_expert_gate")
             if sg is not None:
@@ -1199,14 +1205,30 @@ def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
     launches per MoE block (gate/up/down) — per-selection expert
     indices ride scalar prefetch into the weight index maps
     (ops.pallas_qmm.qmatmul_grouped_experts), so launch count does not
-    scale with batch, k, or E. The caller guarantees B*T*k < E."""
+    scale with batch, k, or E. The caller guarantees B*T*k < E.
+
+    Selections are SORTED by expert id before the kernel: the grouped
+    kernel iterates selections along the minor grid dim, and Pallas
+    skips the weight-block copy when consecutive grid steps map to the
+    same block — so duplicate selections of one expert (batched decode:
+    B*k selections over E experts) stream that expert's bytes ONCE, not
+    once per selection. Weight traffic becomes unique-experts-touched,
+    the same dedup HF's batched sparse block gets from its token
+    gather, with no dynamic shapes."""
     B, T, D = x.shape
     S = B * T
     top_w, top_ids = _router_topk(pv, cfg, x)  # [B, T, k] each
     xf = x.reshape(S, D)
     wf = top_w.reshape(S, k)
-    ids = top_ids.reshape(S * k)
-    x_rows = jnp.repeat(xf, k, axis=0)  # row s serves its k selections
+    ids_u = top_ids.reshape(S * k)
+    if S > 1:  # B=1: top-k ids are distinct by construction — no dedup
+        order = jnp.argsort(ids_u)  # stable: ties keep selection order
+        ids = jnp.take(ids_u, order)
+        x_rows = jnp.take(xf, order // k, axis=0)  # row s -> k selections
+    else:
+        order = None
+        ids = ids_u
+        x_rows = jnp.repeat(xf, k, axis=0)
     if pv.get("experts_stacked") is not None and "gateup_proj" in pv.get(
         "experts_stacked"
     ):
@@ -1216,9 +1238,13 @@ def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
     else:
         gate = pv.apply_experts_grouped("gate_proj", ids, x_rows)
         up = pv.apply_experts_grouped("up_proj", ids, x_rows)
-    ye = pv.apply_experts_grouped(
+    ye_s = pv.apply_experts_grouped(
         "down_proj", ids, act_fn(cfg.hidden_act, gate) * up
-    )  # [S*k, D]
+    )  # [S*k, D] in sorted order
+    if order is not None:
+        ye = jnp.take(ye_s, jnp.argsort(order), axis=0)  # undo the sort
+    else:
+        ye = ye_s
     out = jnp.sum(
         ye.reshape(S, k, D).astype(jnp.float32)
         * wf[..., None].astype(jnp.float32),

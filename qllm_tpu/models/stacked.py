@@ -448,6 +448,10 @@ class StackedLayerView:
         v = self.lp.get(name)
         if v is None or isinstance(v, QuantizedTensor):
             return v
+        if name == "shared_experts" and isinstance(v, dict):
+            # [L]-stacked shared-expert leaves: served via apply_shared
+            # (a truthy presence marker for _mlp_from_view)
+            return v
         return v[self.l]
 
     def fused_norm_arg(self, h, name: str, cfg):
@@ -500,6 +504,18 @@ class StackedLayerView:
         return grouped_expert_linear(
             self.get("experts_stacked")[name], ids, x_rows
         )
+
+    def apply_shared(self, name, x):
+        """Shared experts in hybrid params: [L]-stacked (dict of
+        stacked QTs, tuned kernel) or per-layer list (heterogeneous)."""
+        se = self.lp["shared_experts"]
+        if isinstance(se, dict):
+            from ..ops.pallas_qmm import qmatmul_pallas_stacked
+
+            return qmatmul_pallas_stacked(x, se[name], self.l)
+        from .llama import apply_linear
+
+        return apply_linear(se[self.l][name], x)
 
     def combine_moe(self, out):
         return out
@@ -670,6 +686,30 @@ def stack_layer_params_hybrid(
         vals = [lp.get(k) for lp in layers]
         if k == "experts_stacked" or any(v is None for v in vals):
             slp[k] = vals  # per-layer (possibly sparse-only) entry
+            continue
+        if k == "shared_experts" and all(isinstance(v, dict) for v in vals):
+            # qwen2-moe/deepseek always-on shared experts: homogeneous
+            # across every layer -> [L]-stack each leaf so the shared
+            # MLP rides the tuned stacked kernel (apply_shared) instead
+            # of the generic per-layer path
+            names = sorted(vals[0].keys())
+            if all(sorted(v.keys()) == names for v in vals) and all(
+                _qt_stackable_across([v[nm] for v in vals]) for nm in names
+            ):
+                sse = {}
+                for nm in names:
+                    sv = jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *[v[nm] for v in vals]
+                    )
+                    sv = prepare_stacked_tensor(
+                        sv, lane_quantum, planar, scale_store_dtype
+                    )
+                    if sync_per_leaf:
+                        _sync_one(sv.qweight)
+                    sse[nm] = sv
+                slp[k] = sse
+                continue
+            slp[k] = vals
             continue
         if isinstance(vals[0], QuantizedTensor):
             if not _qt_stackable_across(vals):

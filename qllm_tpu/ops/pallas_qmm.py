@@ -1856,7 +1856,12 @@ def qmatmul_grouped_experts(
     kernel = functools.partial(
         _qmm_kernel_planar_full, K=K, g=g, norm=False, a8=False
     )
-    grid = (n, N_buf // bn)
+    # Selection index i is the MINOR grid dim: the weight index map
+    # depends only on (ids[i], j), and Pallas skips an operand's copy
+    # when consecutive grid steps map to the same block — so selections
+    # pre-sorted by expert id (models.llama._moe_sparse) stream each
+    # touched expert's bytes once per j-block, not once per selection.
+    grid = (N_buf // bn, n)
     # Mosaic needs an 8-divisible sublane block: give every selection an
     # 8-row x block (its row + 7 zeros). The MXU pads sub-8-row operands
     # to 8 sublanes anyway, so the extra rows cost nothing; rows 1..7 of
@@ -1865,20 +1870,20 @@ def qmatmul_grouped_experts(
         8 * n, K
     )
     in_specs = [
-        pl.BlockSpec((8, K), lambda i, j, ids: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, K), lambda j, i, ids: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (1, K // 8, bn),
-            lambda i, j, ids: (ids[i], 0, j),
+            lambda j, i, ids: (ids[i], 0, j),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (1, G_all, bn),
-            lambda i, j, ids: (ids[i], 0, j),
+            lambda j, i, ids: (ids[i], 0, j),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (1, G_all, bn),
-            lambda i, j, ids: (ids[i], 0, j),
+            lambda j, i, ids: (ids[i], 0, j),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -1887,7 +1892,7 @@ def qmatmul_grouped_experts(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (8, bn), lambda i, j, ids: (i, j), memory_space=pltpu.VMEM
+            (8, bn), lambda j, i, ids: (i, j), memory_space=pltpu.VMEM
         ),
     )
     x_dt = (

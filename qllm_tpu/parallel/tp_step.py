@@ -694,6 +694,12 @@ class TPMoeLayerView:
             w = _localize_qt(w)
         return grouped_expert_linear(w, ids, x_rows)
 
+    def apply_shared(self, name, x):
+        # shared experts stay replicated under TP (see moe_tp_pspecs)
+        from ..models.llama import apply_linear
+
+        return apply_linear(self.lp["shared_experts"][name], x)
+
     def combine_moe(self, out):
         # expert down_proj is row-sharded: one psum per MoE block
         # combines every expert's partial product (weights/router are

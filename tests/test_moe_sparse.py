@@ -256,3 +256,101 @@ def test_hybrid_stacking_deepseek_mla():
     a = greedy_generate(qparams, mcfg, prompt, max_new_tokens=6)
     b = greedy_generate(hp, mcfg, prompt, max_new_tokens=6)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_batched_sparse_dedup_matches_dense(monkeypatch):
+    """Batched decode (B>1) drives the sorted-selection sparse path:
+    selections are reordered by expert id before the grouped kernel
+    (weight-stream dedup of repeated experts) and un-sorted after —
+    logits must still match the dense all-experts path per row, with
+    deliberately colliding expert selections in the batch."""
+    import qllm_tpu.ops.pallas_qmm as pq
+    from qllm_tpu.models.llama import _moe_sparse, _router_weights, LayerView
+
+    big_cfg = dataclasses.replace(
+        MOE_CFG,
+        hidden_size=256,
+        intermediate_size=512,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=64,
+        num_local_experts=16,  # B*T*k=8 < E keeps the sparse regime
+        num_experts_per_tok=2,
+    )
+    params = init_params(big_cfg, jax.random.key(21))
+    q = HQQQuantizer(HQQConfig(wbits=4, groupsize=32))
+    qparams = q.quantize(params, big_cfg, None, progress=False)
+    stacked = stack_experts(qparams, scale_store_dtype=jnp.bfloat16)
+    lp = stacked["layers"][0]
+    pv = LayerView(lp)
+    rng = np.random.default_rng(3)
+    B = 4
+    # identical rows -> identical top-k -> guaranteed duplicate expert
+    # ids across the batch (the dedup case), plus distinct rows
+    x_np = rng.normal(size=(B, 1, big_cfg.hidden_size)).astype(np.float32)
+    x_np[2] = x_np[0]
+    x = jnp.asarray(x_np)
+
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    assert pq.grouped_experts_ok(lp["experts_stacked"]["gateup_proj"])
+    y_sparse = np.asarray(_moe_sparse(pv, big_cfg, x, 2))
+
+    # dense oracle over the same stacked weights (per-expert indexed
+    # reads, no grouped kernel, no sorting)
+    monkeypatch.delenv("QLLM_TPU_FORCE_STACKED_KERNEL")
+    from qllm_tpu.models.llama import _moe_forward
+
+    y_dense = np.asarray(_moe_forward(pv, big_cfg, jnp.asarray(
+        np.concatenate([x_np, x_np], axis=1)  # B*T*k >= E -> dense path
+    ))[:, :1])
+    scale = np.abs(y_dense).max()
+    assert np.abs(y_sparse - y_dense).max() < 2e-2 * scale + 1e-3
+    # identical input rows must produce identical outputs (the sort is
+    # a pure permutation; dedup must not mix rows)
+    np.testing.assert_allclose(y_sparse[0], y_sparse[2], rtol=1e-6)
+
+
+def test_hybrid_stacking_shared_experts():
+    """qwen2-moe-style always-on shared experts ([L]-homogeneous across
+    layers) must [L]-stack in hybrid prep and serve via apply_shared
+    (tuned stacked kernel) with greedy tokens identical to the
+    per-layer path. Also covers the sigmoid shared_expert_gate."""
+    from qllm_tpu.models import greedy_generate
+    from qllm_tpu.models.stacked import stack_layer_params_hybrid
+    from qllm_tpu.quant.qtensor import QuantizedTensor, quantize_tensor
+
+    cfg = dataclasses.replace(MOE_CFG, arch="qwen2_moe", n_shared_experts=1)
+    qparams = _quantized_moe_params(cfg, seed=17)
+    D = cfg.hidden_size
+    I = cfg.intermediate_size
+    rng = np.random.default_rng(9)
+    for lp in qparams["layers"]:
+        lp["shared_experts"] = {
+            "gate_proj": quantize_tensor(
+                jnp.asarray(rng.normal(size=(D, I)).astype(np.float32) * 0.05),
+                bits=4, group_size=16,
+            ),
+            "up_proj": quantize_tensor(
+                jnp.asarray(rng.normal(size=(D, I)).astype(np.float32) * 0.05),
+                bits=4, group_size=16,
+            ),
+            "down_proj": quantize_tensor(
+                jnp.asarray(rng.normal(size=(I, D)).astype(np.float32) * 0.05),
+                bits=4, group_size=16,
+            ),
+        }
+        lp["shared_expert_gate"] = jnp.asarray(
+            rng.normal(size=(D, 1)).astype(np.float32) * 0.1
+        )
+    hp = stack_layer_params_hybrid(
+        {**qparams, "layers": [dict(lp) for lp in qparams["layers"]]}
+    )
+    # shared experts must be [L]-stacked: a dict of stacked QTs
+    sse = hp["layers"]["shared_experts"]
+    assert isinstance(sse, dict)
+    assert isinstance(sse["gate_proj"], QuantizedTensor)
+    assert sse["gate_proj"].qweight.shape[0] == cfg.num_hidden_layers
+    prompt = jnp.asarray([[1, 4, 2, 8]], jnp.int32)
+    a = greedy_generate(qparams, cfg, prompt, max_new_tokens=8)
+    b = greedy_generate(hp, cfg, prompt, max_new_tokens=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -51,17 +51,34 @@ def main():
         group_size=128,
         quantize_lm_head=os.environ.get("QLLM_PROF_QLMHEAD", "1") != "0",
     )
-    jax.block_until_ready(params["layers"][-1]["down_proj"].qweight)
+    _last = params["layers"][-1]
+    _last_w = (
+        _last["experts"][-1]["down_proj"]
+        if "experts" in _last
+        else _last["down_proj"]
+    )
+    jax.block_until_ready(_last_w.qweight)
     log(f"params in {time.time()-t0:.1f}s")
     # match the serving/bench defaults (bf16 scale storage enables the
     # fused-correction kernels) so the profile reflects the real path
     scales_bf16 = os.environ.get("QLLM_TPU_SCALES_BF16", "1") != "0"
-    params = stack_layer_params(
-        params,
-        scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
-        sync_per_leaf=True,
-        consume=True,
-    )
+    if cfg.num_local_experts > 0:
+        # MoE: same hybrid prep the bench/engine use ([L]-stacked
+        # attention over per-layer [E]-expert stacks)
+        from qllm_tpu.models.stacked import stack_layer_params_hybrid
+
+        params = stack_layer_params_hybrid(
+            params,
+            scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
+            sync_per_leaf=True,
+        )
+    else:
+        params = stack_layer_params(
+            params,
+            scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
+            sync_per_leaf=True,
+            consume=True,
+        )
     from qllm_tpu.models.stacked import prepare_lm_head
     from qllm_tpu.quant.qtensor import QuantizedTensor
 
