@@ -219,6 +219,108 @@ def model_bytes_per_token(params, cfg, seq_pos, batch) -> int:
     return total
 
 
+def bench_moe_slab(name, steps, rtt, with_batch8=False):
+    """Decode the 8-layer MoE slab geometry ``name`` and return detail
+    fields: tok/s and the achieved fraction of the TOP-K roofline (bpt
+    counts only the top-k experts' bytes — the sparse decode path reads
+    exactly those; models.moe). Run inside the default bench so the
+    driver-captured artifact carries the MoE numbers (VERDICT r4 #1).
+
+    ``with_batch8``: also measure batch-8 continuous-batching-style
+    decode, with the expert-id-sort weight-stream dedup ON and OFF
+    (VERDICT r4 #6 — the engine-level number for the dedup delta)."""
+    from qllm_tpu.models.decode_loop import decode_loop
+    from qllm_tpu.models.generate import make_cache
+    from qllm_tpu.models.llama import ModelConfig
+    from qllm_tpu.models.stacked import (
+        prepare_lm_head,
+        stack_layer_params_hybrid,
+    )
+    from qllm_tpu.quant.qtensor import QuantizedTensor
+    from qllm_tpu.utils.testing import random_quantized_params
+
+    cfg = ModelConfig(max_position_embeddings=2048, **MODEL_SHAPES[name])
+    prefill_len, max_seq = 128, 256
+    t0 = time.time()
+    params = random_quantized_params(
+        cfg, jax.random.key(0), bits=4, group_size=128, quantize_lm_head=True
+    )
+    jax.block_until_ready(
+        params["layers"][-1]["experts"][-1]["down_proj"].qweight
+    )
+    log(f"[bench] {name}: params in {time.time() - t0:.1f}s")
+    bpt = model_bytes_per_token(params, cfg, prefill_len + steps // 2, 1)
+    t0 = time.time()
+    params = stack_layer_params_hybrid(
+        params,
+        scale_store_dtype=jnp.bfloat16,
+        sync_per_leaf=True,
+        consume=True,
+    )
+    if isinstance(params.get("lm_head"), QuantizedTensor):
+        params["lm_head"] = prepare_lm_head(
+            params["lm_head"], scale_store_dtype=jnp.bfloat16
+        )
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "block_until_ready") and leaf.ndim:
+            np.asarray(jax.device_get(leaf[(0,) * (leaf.ndim - 1)][:1]))
+    log(f"[bench] {name}: hybrid-stacked in {time.time() - t0:.1f}s")
+    detail = {}
+    roofline = chip_bw() / bpt
+    for b in (1, 8) if with_batch8 else (1,):
+        ring = b == 1 and steps % 8 == 0 and jax.default_backend() != "cpu"
+        cache = make_cache(cfg, b, max_seq, quantized_kv=True, ring=ring)
+        token = jnp.ones((b, 1), jnp.int32)
+        pos0 = jnp.int32(prefill_len)
+
+        def run_once():
+            t0 = time.time()
+            toks, _ = decode_loop(params, cfg, token, cache, pos0, steps)
+            np.asarray(toks[:, -1])
+            return time.time() - t0
+
+        t0 = time.time()
+        run_once()
+        log(f"[bench] {name} b{b} compile+first {time.time() - t0:.1f}s")
+        best = min(max(run_once() - rtt, 1e-9) for _ in range(3))
+        tok_s = steps * b / best
+        if b == 1:
+            detail[f"{name}_tokens_per_s"] = round(tok_s, 1)
+            detail[f"{name}_topk_roofline_frac"] = round(tok_s / roofline, 4)
+            log(
+                f"[bench] {name}: {tok_s:.1f} tok/s = "
+                f"{tok_s / roofline:.1%} of top-k roofline {roofline:.0f}"
+            )
+        else:
+            detail[f"{name}_batch{b}_tokens_per_s"] = round(tok_s, 1)
+            log(f"[bench] {name} batch{b}: {tok_s:.1f} tok/s/chip")
+            # A/B: expert-id-sort dedup OFF (weight stream reverts to
+            # once-per-selection) — flag is read at trace time
+            try:
+                os.environ["QLLM_TPU_MOE_SORT"] = "0"
+                decode_loop.clear_cache()
+                t0 = time.time()
+                run_once()
+                log(
+                    f"[bench] {name} b{b} nosort compile+first "
+                    f"{time.time() - t0:.1f}s"
+                )
+                best_ns = min(max(run_once() - rtt, 1e-9) for _ in range(3))
+                detail[f"{name}_batch{b}_nosort_tokens_per_s"] = round(
+                    steps * b / best_ns, 1
+                )
+                log(
+                    f"[bench] {name} batch{b} dedup-off: "
+                    f"{steps * b / best_ns:.1f} tok/s/chip"
+                )
+            finally:
+                os.environ.pop("QLLM_TPU_MOE_SORT", None)
+                decode_loop.clear_cache()
+        del cache
+    del params
+    return detail
+
+
 def main():
     t_start = time.time()
     # honor JAX_PLATFORMS=cpu even though the image's sitecustomize
@@ -287,6 +389,7 @@ def main():
             params,
             scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
             sync_per_leaf=backend != "cpu",
+            consume=True,  # free original per-layer buffers progressively
         )
     else:
         params = stack_layer_params(
@@ -405,6 +508,7 @@ def main():
             best8 = min(max(run8() - rtt, 1e-9) for _ in range(3))
             batch8_tok_s = round(steps * b8 / best8, 1)
             log(f"[bench] batch8: {batch8_tok_s} tok/s/chip")
+            del cache8, run8
         except Exception as e:  # pragma: no cover
             log(f"[bench] batch8 sweep failed: {e}")
 
@@ -529,6 +633,7 @@ def main():
         finally:
             os.environ.pop("QLLM_TPU_W4A8", None)
             decode_loop.clear_cache()
+            cache32 = run32 = None
 
     # practical streaming ceiling: the paper HBM number is not reachable
     # for this access pattern — measure a read-only pass over the byte-
@@ -547,6 +652,36 @@ def main():
             )
         except Exception as e:  # pragma: no cover
             log(f"[bench] stream ceiling measurement failed: {e}")
+
+    # MoE slab suite inside the DEFAULT run (VERDICT r4 #1/#6): the
+    # driver's fixed `python bench.py` must capture the mixtral/qwen3moe
+    # top-k decode numbers, not just builder sessions with
+    # QLLM_BENCH_MODEL set. Free the dense-model state first — the
+    # mixtral slab is ~6 GB and both would not co-reside on a 16 GB chip.
+    moe_detail = {}
+    if (
+        not is_moe
+        and model == "7b"
+        and batch == 1
+        and backend != "cpu"
+        and os.environ.get("QLLM_BENCH_MOE", "1") != "0"
+    ):
+        import gc
+
+        from qllm_tpu.models.decode_loop import decode_loop as _dl
+
+        del params, cache
+        _dl.clear_cache()
+        gc.collect()
+        for moe_name, with_b8 in (("mixtral", True), ("qwen3moe", False)):
+            try:
+                moe_detail.update(
+                    bench_moe_slab(moe_name, steps, rtt, with_batch8=with_b8)
+                )
+            except Exception as e:  # pragma: no cover
+                log(f"[bench] {moe_name} slab failed: {e}")
+            _dl.clear_cache()
+            gc.collect()
 
     roofline = chip_bw() / bpt * batch  # batch amortizes weight reads
     target = 0.8 * roofline
@@ -572,6 +707,7 @@ def main():
             **w4a8_detail,
             "quantized_lm_head": q_head,
             "moe_topk_roofline": is_moe or None,
+            **moe_detail,
             "practical_stream_GBps": stream_gbps,
             "practical_ceiling_tokens_per_s": (
                 round(stream_gbps * 1e9 / bpt * batch, 1) if stream_gbps else None

@@ -1221,7 +1221,12 @@ def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
     xf = x.reshape(S, D)
     wf = top_w.reshape(S, k)
     ids_u = top_ids.reshape(S * k)
-    if S > 1:  # B=1: top-k ids are distinct by construction — no dedup
+    import os as _os
+
+    # B=1: top-k ids are distinct by construction — no dedup. The env
+    # gate exists for A/B measurement of the sort's weight-stream dedup
+    # (tools/ab_moe_dedup.py, bench batched-MoE detail), not for serving
+    if S > 1 and _os.environ.get("QLLM_TPU_MOE_SORT", "1") != "0":
         order = jnp.argsort(ids_u)  # stable: ties keep selection order
         ids = jnp.take(ids_u, order)
         x_rows = jnp.take(xf, order // k, axis=0)  # row s -> k selections
@@ -1242,7 +1247,10 @@ def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
         "down_proj", ids, act_fn(cfg.hidden_act, gate) * up
     )  # [S*k, D] in sorted order
     if order is not None:
-        ye = jnp.take(ye_s, jnp.argsort(order), axis=0)  # undo the sort
+        # undo the sort: scatter-built inverse permutation (one scatter
+        # instead of a second full argsort in the per-step XLA glue)
+        inv = jnp.zeros_like(order).at[order].set(jnp.arange(order.size))
+        ye = jnp.take(ye_s, inv, axis=0)
     else:
         ye = ye_s
     out = jnp.sum(

@@ -654,27 +654,52 @@ def stack_layer_params_hybrid(
     scale_store_dtype=jnp.float32,
     fuse_projections: bool = True,
     sync_per_leaf: bool = False,
+    consume: bool = False,
 ) -> Dict[str, Any]:
     """Serving prep for MoE/MLA models (per-layer list in, hybrid
     layers-dict out). Homogeneous entries stack to [L] leaves with the
     usual serving prep; ``experts_stacked`` stays a per-layer list;
     heterogeneous entries (qwen-moe's dense mlp_only layers, deepseek's
     first_k_dense layer) stay per-layer lists served by the plain
-    kernel. models.llama.forward dispatches to forward_hybrid."""
+    kernel. models.llama.forward dispatches to forward_hybrid.
+
+    ``consume``: same HBM/host discipline as stack_layer_params — the
+    caller passes ownership; source per-layer entries are deleted as
+    each stacked copy lands, so originals free progressively instead of
+    doubling resident memory for the whole prep."""
     from .moe import has_stackable_experts, stack_experts
 
+    src_layers = params.get("layers")
     if has_stackable_experts(params):
         params = stack_experts(
             params,
             planar=planar,
             scale_store_dtype=scale_store_dtype,
             sync_per_leaf=sync_per_leaf,
+            consume=consume,
         )
     layers = params["layers"]
     if not isinstance(layers, list):
         raise ValueError("hybrid stacking expects per-layer (list) params")
+    # every dict generation that can still hold a ref to a source
+    # tensor: the caller's originals, the stack_experts copies, and
+    # (below) the fused-projection copies — consume must pop from all
+    consume_dicts = [
+        list(src_layers) if isinstance(src_layers, list) else [],
+        list(layers),
+    ]
     if fuse_projections:
         layers = [_fuse_layer_projections(lp) for lp in layers]
+        consume_dicts.append(list(layers))
+        if consume:
+            # drop the unfused q/k/v (gate/up) originals now: the fused
+            # copies hold the only refs the serving path needs
+            for gen in consume_dicts[:2]:
+                for lp, flp in zip(gen, layers):
+                    if flp is not lp:
+                        for nm in list(lp.keys()):
+                            if nm not in flp:
+                                lp.pop(nm)
 
     keys = []
     for lp in layers:
@@ -682,6 +707,13 @@ def stack_layer_params_hybrid(
             if k not in keys:
                 keys.append(k)
     slp: Dict[str, Any] = {}
+
+    def _consume_key(k):
+        if consume:
+            for gen in consume_dicts:
+                for lp in gen:
+                    lp.pop(k, None)
+
     for k in keys:
         vals = [lp.get(k) for lp in layers]
         if k == "experts_stacked" or any(v is None for v in vals):
@@ -708,6 +740,7 @@ def stack_layer_params_hybrid(
                         _sync_one(sv.qweight)
                     sse[nm] = sv
                 slp[k] = sse
+                _consume_key(k)
                 continue
             slp[k] = vals
             continue
@@ -722,11 +755,13 @@ def stack_layer_params_hybrid(
             if sync_per_leaf:
                 _sync_one(v.qweight)
             slp[k] = v
+            _consume_key(k)
             continue
         if all(
             hasattr(v, "shape") and v.shape == vals[0].shape for v in vals
         ):
             slp[k] = jnp.stack(vals)
+            _consume_key(k)
         else:
             slp[k] = vals
     out = dict(params)

@@ -71,6 +71,7 @@ def main():
             params,
             scale_store_dtype=jnp.bfloat16 if scales_bf16 else jnp.float32,
             sync_per_leaf=True,
+            consume=True,
         )
     else:
         params = stack_layer_params(
