@@ -51,6 +51,83 @@ def random_quantized_tensor(
     )
 
 
+def random_mla_moe_params(
+    cfg: ModelConfig,
+    key: jax.Array,
+    bits: int = 4,
+    group_size: int = 32,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Random W-quantized deepseek-v2-shaped params: MLA attention
+    (q-lora + kv latent projections), ``first_k_dense_replace`` dense
+    layers, then MoE layers with routed experts + always-on shared
+    experts. The shape family the reference quantizes via
+    get_deepseek_v2_layers (sequential_layes_awq_config.py)."""
+    D, V = cfg.hidden_size, cfg.vocab_size
+    H = cfg.num_attention_heads
+    dn, dr, dv = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    qk_hd = dn + dr
+    E, moe_i = cfg.num_local_experts, cfg.moe_intermediate_size
+    keys = iter(jax.random.split(key, 4 + cfg.num_hidden_layers * (9 + 3 * E)))
+
+    def qt(K, N):
+        return random_quantized_tensor(next(keys), K, N, bits, group_size)
+
+    layers = []
+    for li in range(cfg.num_hidden_layers):
+        lp = {
+            "input_layernorm": jnp.ones((D,), dtype),
+            "post_attention_layernorm": jnp.ones((D,), dtype),
+            "kv_a_proj_with_mqa": qt(D, cfg.kv_lora_rank + dr),
+            "kv_a_layernorm": jnp.ones((cfg.kv_lora_rank,), dtype),
+            "kv_b_proj": qt(cfg.kv_lora_rank, H * (dn + dv)),
+            "o_proj": qt(H * dv, D),
+        }
+        if cfg.q_lora_rank:
+            lp["q_a_proj"] = qt(D, cfg.q_lora_rank)
+            lp["q_a_layernorm"] = jnp.ones((cfg.q_lora_rank,), dtype)
+            lp["q_b_proj"] = qt(cfg.q_lora_rank, H * qk_hd)
+        else:
+            lp["q_proj"] = qt(D, H * qk_hd)
+        if li < cfg.first_k_dense_replace or not E:
+            for name, (Kf, Nf) in {
+                "gate_proj": (D, cfg.intermediate_size),
+                "up_proj": (D, cfg.intermediate_size),
+                "down_proj": (cfg.intermediate_size, D),
+            }.items():
+                lp[name] = qt(Kf, Nf)
+        else:
+            lp["router"] = (
+                jax.random.normal(next(keys), (D, E), jnp.float32) * 0.02
+            )
+            lp["experts"] = [
+                {
+                    "gate_proj": qt(D, moe_i),
+                    "up_proj": qt(D, moe_i),
+                    "down_proj": qt(moe_i, D),
+                }
+                for _ in range(E)
+            ]
+            if cfg.n_shared_experts:
+                si = moe_i * cfg.n_shared_experts
+                lp["shared_experts"] = {
+                    "gate_proj": qt(D, si),
+                    "up_proj": qt(D, si),
+                    "down_proj": qt(si, D),
+                }
+        layers.append(lp)
+    return {
+        "embed_tokens": (
+            jax.random.normal(next(keys), (V, D), dtype) * 0.02
+        ).astype(dtype),
+        "layers": layers,
+        "norm": jnp.ones((D,), dtype),
+        "lm_head": (
+            jax.random.normal(next(keys), (D, V), dtype) * 0.02
+        ).astype(dtype),
+    }
+
+
 def random_quantized_params(
     cfg: ModelConfig,
     key: jax.Array,

@@ -185,3 +185,54 @@ def test_tp_engine_serves_moe():
     eng.run()
     for r, ref in zip(reqs, refs):
         assert r.output == ref, (r.output, ref)
+
+
+def test_tp_mla_random_params_matches_single_device():
+    """The dryrun_multichip MLA path (random deepseek-v2-shaped params,
+    utils.testing.random_mla_moe_params) must be token-exact vs the
+    single-device stacked-experts decode — the same contract the
+    HF-checkpoint MLA TP test pins, here on the exact geometry the
+    driver's MULTICHIP artifact runs."""
+    from qllm_tpu.utils.testing import random_mla_moe_params
+
+    tp = 4
+    cfg = ModelConfig(
+        vocab_size=512,
+        hidden_size=64 * tp,
+        intermediate_size=64 * tp,
+        num_hidden_layers=2,
+        num_attention_heads=2 * tp,
+        num_key_value_heads=2 * tp,
+        head_dim=48,
+        max_position_embeddings=128,
+        arch="deepseek_v2",
+        attn_type="mla",
+        rope_style="gptj",
+        rotary_dim=16,
+        q_lora_rank=64,
+        kv_lora_rank=64,
+        qk_nope_head_dim=32,
+        qk_rope_head_dim=16,
+        v_head_dim=32,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        moe_router="deepseek",
+        norm_topk_prob=True,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        moe_intermediate_size=64 * tp,
+    )
+    qparams = random_mla_moe_params(cfg, jax.random.key(2), group_size=32)
+    steps, batch = 5, 2
+    sp = stack_experts(qparams, lane_quantum=1, planar=False)
+    cache = make_cache(cfg, batch, 64, quantized_kv=True)
+    token = jnp.ones((batch, 1), jnp.int32)
+    ref, _ = decode_loop(sp, cfg, token, cache, jnp.int32(0), steps)
+
+    mesh = make_mesh(dp=2, tp=tp)
+    tp_params = prepare_tp_moe_params(qparams, cfg, tp=tp)
+    cache2 = make_cache(cfg, batch, 64, quantized_kv=True)
+    tp_params, cache2 = place_tp(tp_params, cache2, mesh)
+    fn = make_tp_moe_decode_loop(cfg, mesh, tp_params, cache2, steps)
+    toks, _ = fn(tp_params, token, cache2, jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
