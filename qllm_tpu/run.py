@@ -89,9 +89,13 @@ def define_basic_args() -> argparse.ArgumentParser:
         "--w4a8",
         action="store_true",
         help=(
-            "serve with per-token int8 activations (integer-rate MXU "
-            "dots) — large-batch compute-bound regime; ~1%% extra "
-            "relative error vs W4A16"
+            "EXPERIMENTAL: serve with per-token int8 activations "
+            "(integer-rate MXU dots). Isolated-kernel decode win "
+            "(-19%% at M=32) has not translated end-to-end anywhere "
+            "measured: batch-32 decode is attention/KV-bound (w4a16 "
+            "1353 vs w4a8 1354 tok/s) and prefill measured 7x SLOWER "
+            "on gateup (gated decode-only). ~1%% extra relative error "
+            "vs W4A16"
         ),
     )
     p.add_argument(

@@ -69,8 +69,12 @@ class ServeConfig:
     speculative: bool = False
     spec_gamma: int = 4
     spec_ngram: int = 2
-    # W4A8: per-token int8 activations into the full-K planar kernel
-    # (integer-rate MXU dots) — for large-batch compute-bound serving.
+    # W4A8 (EXPERIMENTAL): per-token int8 activations into the full-K
+    # planar kernel (integer-rate MXU dots). The isolated kernel wins
+    # (-19% at M=32) but no measured end-to-end regime benefits yet:
+    # batch-32 decode is attention/KV-bound (w4a16 1353.0 vs w4a8
+    # 1354.5 tok/s, BENCH_r04) and prefill measured 7x slower on
+    # gateup (tools/ab_a8_prefill.py) — the flag is gated decode-only.
     # Sets QLLM_TPU_W4A8 process-wide at engine construction (the flag
     # is read at kernel trace time), so don't mix w4a8 and non-w4a8
     # engines in one process. ~1% extra relative error vs W4A16.
