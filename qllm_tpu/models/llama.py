@@ -902,6 +902,29 @@ def _block_attn_mlp(
                     "cache; create the cache with ring=False here"
                 )
             cache = cache.update(layer_idx, k, v, pos)
+            if _flash_prefill_ok(cfg, T, hd) and cache.quantized:
+                # chunked-admission/cached prefill reads the INT8 cache
+                # tensors directly (cache-native layout): half the KV
+                # bytes in-kernel and none of layer_kv's dequant +
+                # double-transpose XLA glue
+                from ..ops.pallas_attention import prefill_attention_flash
+
+                kr, vr, ks, vs = cache.layer_kv_raw(layer_idx)
+                attn = prefill_attention_flash(
+                    q,
+                    kr,
+                    vr,
+                    0 if pos is None else pos,
+                    cfg.n_rep,
+                    softcap=cfg.attn_logit_softcap,
+                    window=_prefill_window(cfg, layer_idx, kr.shape[2]),
+                    kv_native=True,
+                    kv_scales=(ks, vs),
+                    out_dtype=h.dtype,
+                ).astype(h.dtype)
+                return _finish_block(
+                    pv, cfg, h, x, attn.reshape(B, T, H * hd), cache
+                )
             k_all, v_all = cache.layer_kv(layer_idx, dtype=h.dtype)
             if _flash_prefill_ok(cfg, T, hd):
                 from ..ops.pallas_attention import prefill_attention_flash
@@ -914,6 +937,7 @@ def _block_attn_mlp(
                     cfg.n_rep,
                     softcap=cfg.attn_logit_softcap,
                     window=_prefill_window(cfg, layer_idx, k_all.shape[1]),
+                    out_dtype=h.dtype,
                 ).astype(h.dtype)
             else:
                 attn = _attention(
@@ -930,6 +954,7 @@ def _block_attn_mlp(
             cfg.n_rep,
             softcap=cfg.attn_logit_softcap,
             window=_prefill_window(cfg, layer_idx, k.shape[1]),
+            out_dtype=h.dtype,
         ).astype(h.dtype)
     else:
         attn = _attention(q, k, v, mask, cfg.n_rep, cfg.attn_logit_softcap)

@@ -69,14 +69,34 @@ def _experts_homogeneous(experts) -> bool:
     return True
 
 
+def _raw_prestacked(lp) -> bool:
+    """A layer carrying raw (un-prepped) [E]-leading stacked expert
+    tensors — testing.random_quantized_params(experts_prestacked=True)
+    emits these; stack_experts must still run the serving prep."""
+    est = lp.get("experts_stacked") if isinstance(lp, dict) else None
+    return (
+        isinstance(est, dict)
+        and "experts" not in lp
+        and any(
+            isinstance(v, QuantizedTensor)
+            and not v.planar
+            and not v.zeros_prefolded
+            for v in est.values()
+        )
+    )
+
+
 def has_stackable_experts(params: Dict[str, Any]) -> bool:
     layers = params.get("layers")
     if not isinstance(layers, list):
         return False
     return any(
-        isinstance(lp, dict)
-        and "experts" in lp
-        and _experts_homogeneous(lp["experts"])
+        (
+            isinstance(lp, dict)
+            and "experts" in lp
+            and _experts_homogeneous(lp["experts"])
+        )
+        or _raw_prestacked(lp)
         for lp in layers
     )
 
@@ -113,6 +133,30 @@ def stack_experts(
         return params
     new_layers = []
     for lp in layers:
+        if _raw_prestacked(lp):
+            # pre-stacked raw [E]-leading entries: same serving prep
+            # (adaptive lane quantum, planar relayout, zero pre-fold),
+            # no per-expert re-stack needed
+            est = {}
+            for n, v in lp["experts_stacked"].items():
+                if isinstance(v, QuantizedTensor) and not v.planar:
+                    q = (
+                        lane_quantum
+                        if v.out_features >= 4 * max(lane_quantum, 1)
+                        else min(lane_quantum, 128)
+                    )
+                    v = prepare_stacked_tensor(
+                        v, q, planar, scale_store_dtype
+                    )
+                    if sync_per_leaf:
+                        _sync_one(v.qweight)
+                est[n] = v
+            nlp = dict(lp)
+            if consume:
+                lp["experts_stacked"] = None
+            nlp["experts_stacked"] = est
+            new_layers.append(nlp)
+            continue
         if not (
             isinstance(lp, dict)
             and "experts" in lp

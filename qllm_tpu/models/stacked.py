@@ -277,12 +277,27 @@ def prepare_stacked_tensor(
             )
         )
     ):
-        qweight = jnp.stack(
-            [
-                planarize_packed(qweight[i], node.in_features)
-                for i in range(qweight.shape[0])
-            ]
-        )
+        # planar relayout of the whole stack: the Pallas repack kernel
+        # does it in one read+write pass over the packed words
+        # (ops.pallas_repack); the jnp reference unpacks every nibble
+        # to uint32 — an 8x-inflated HBM transient that made the
+        # 128-expert qwen3-moe slab prep stream ~100 s — so it runs
+        # chunked, as the fallback only
+        from ..ops.pallas_repack import planarize_packed_pallas
+
+        pq = planarize_packed_pallas(qweight, node.in_features)
+        if pq is not None:
+            qweight = pq
+        else:
+            L = qweight.shape[0]
+            per_slice = node.in_features * qweight.shape[-1] * 4
+            ch = max(1, min(L, (1 << 29) // max(per_slice, 1)))
+            qweight = jnp.concatenate(
+                [
+                    planarize_packed(qweight[i : i + ch], node.in_features)
+                    for i in range(0, L, ch)
+                ]
+            )
         is_planar = True
     # pre-fold the zero-point term: the decode-loop correction is
     # y -= xsum @ (zeros * scales); computing that product per
@@ -448,9 +463,13 @@ class StackedLayerView:
         v = self.lp.get(name)
         if v is None or isinstance(v, QuantizedTensor):
             return v
-        if name == "shared_experts" and isinstance(v, dict):
-            # [L]-stacked shared-expert leaves: served via apply_shared
-            # (a truthy presence marker for _mlp_from_view)
+        if name in ("shared_experts", "experts_stacked") and isinstance(
+            v, dict
+        ):
+            # [L]-stacked shared-expert leaves (apply_shared) / full
+            # [L*E]-stacked expert leaves (apply_expert[s_grouped] bias
+            # ids by l * _moe_stride): truthy presence markers for
+            # _mlp_from_view
             return v
         return v[self.l]
 
@@ -490,20 +509,29 @@ class StackedLayerView:
             return y[..., s[part] : s[part + 1]]
         return self._apply_name(name, x)
 
+    def _expert_stack(self, name):
+        """(expert weight stack, id bias) for this layer: per-layer
+        [E]-stacks have bias 0; the full [L*E] stack (one concat leaf
+        for the whole model — the lax.scan MoE path) biases by
+        l * _moe_stride."""
+        est = self.lp.get("experts_stacked")
+        if isinstance(est, dict):
+            return est[name], self.l * self.lp["_moe_stride"]
+        return est[self.l][name], 0
+
     def apply_expert(self, name, e, x):
-        """Hybrid MoE layers: [E]-stacked expert weights live per layer
-        (self.get returns layer l's stack); same contract as
-        llama.LayerView.apply_expert."""
+        """MoE layers: [E]- or [L*E]-stacked expert weights; same
+        contract as llama.LayerView.apply_expert."""
         from .moe import expert_linear
 
-        return expert_linear(self.get("experts_stacked")[name], e, x)
+        w, bias = self._expert_stack(name)
+        return expert_linear(w, bias + e, x)
 
     def apply_experts_grouped(self, name, ids, x_rows):
         from .moe import grouped_expert_linear
 
-        return grouped_expert_linear(
-            self.get("experts_stacked")[name], ids, x_rows
-        )
+        w, bias = self._expert_stack(name)
+        return grouped_expert_linear(w, bias + ids, x_rows)
 
     def apply_shared(self, name, x):
         """Shared experts in hybrid params: [L]-stacked (dict of
@@ -764,6 +792,60 @@ def stack_layer_params_hybrid(
             _consume_key(k)
         else:
             slp[k] = vals
+
+    # full [L*E] expert stacking: when every layer's (already prepped)
+    # expert stack is homogeneous and nothing else stayed per-layer,
+    # concatenate the per-layer [E]-stacks into ONE [L*E]-leading stack
+    # per name. The grouped kernel selects weight blocks by a traced id
+    # (scalar prefetch), so the scan body just biases ids by l*E — the
+    # whole MoE model then runs forward_stacked's lax.scan (one
+    # compiled layer body, no per-layer python-loop XLA glue) instead
+    # of forward_hybrid.
+    ests = slp.get("experts_stacked")
+    if (
+        isinstance(ests, list)
+        and all(isinstance(e, dict) for e in ests)
+        and not any(
+            isinstance(v, list)
+            for k2, v in slp.items()
+            if k2 != "experts_stacked"
+        )
+    ):
+        names = sorted(ests[0].keys())
+
+        def _meta(qt):
+            return (
+                qt.bits,
+                qt.group_size,
+                qt.sym,
+                qt.in_features,
+                qt.out_features,
+                qt.planar,
+                qt.zeros_prefolded,
+                tuple(qt.qweight.shape),
+                qt.scales.dtype,
+            )
+
+        if all(
+            sorted(e.keys()) == names
+            and all(
+                isinstance(e[nm], QuantizedTensor)
+                and e[nm].perm is None
+                and _meta(e[nm]) == _meta(ests[0][nm])
+                for nm in names
+            )
+            for e in ests
+        ):
+            full = {}
+            for nm in names:
+                full[nm] = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs), *[e[nm] for e in ests]
+                )
+                if sync_per_leaf:
+                    _sync_one(full[nm].qweight)
+            slp["experts_stacked"] = full
+            slp["_moe_stride"] = int(ests[0][names[0]].qweight.shape[0])
+
     out = dict(params)
     out["layers"] = slp
     return out

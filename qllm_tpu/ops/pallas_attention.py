@@ -701,28 +701,115 @@ def decode_attention_pallas(
 # --------------------------------------------------------------------------
 
 
-def _flash_prefill_kernel(
+def _flash_qk(q_ref, k_ref, ks_ref, n_rep: int, softcap: float):
+    """[R, bs] f32 scores for one (q-tile, kv-block). int8 K's per-key
+    scale folds into the score COLUMNS (the decode-kernel pattern,
+    _attn_kernel) so no [bs, d] dequant materializes."""
+    d = q_ref.shape[-1]
+    R = q_ref.shape[1] * n_rep
+    q = q_ref[0, :, 0].reshape(R, d)  # row r: query t = r // n_rep
+    k = k_ref[0, 0]  # [bs, d] bf16 or int8
+    if ks_ref is not None:
+        k = k.astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, bs]
+    if ks_ref is not None:
+        scores = scores * ks_ref[0, 0]  # [1, bs] per-key scale
+    if softcap:
+        # gemma2: cap*tanh(logits/cap) on the TRUE logits (after the
+        # int8-K scale fold), BEFORE the causal mask
+        scores = softcap * jnp.tanh(scores * (1.0 / softcap))
+    return scores
+
+
+def _flash_mask(scores, it, s, pos, s_valid, win, bq: int, bs: int, n_rep: int):
+    row_t = it * bq + jax.lax.broadcasted_iota(
+        jnp.int32, scores.shape, 0
+    ) // n_rep
+    col = s * bs + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    row_pos = pos + row_t
+    valid = (col <= row_pos) & (col < s_valid) & (col > row_pos - win)
+    return jnp.where(valid, scores, _NEG)
+
+
+def _flash_pv(p, v_ref, vs_ref):
+    """p @ V with int8 V's per-key scale folded into the probs."""
+    if vs_ref is not None:
+        p = p * vs_ref[0, 0]
+    v = v_ref[0, 0]  # [bs, d]
+    if vs_ref is not None:
+        v = v.astype(jnp.bfloat16)
+    return jnp.dot(
+        p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
+    )
+
+
+def _flash_prefill_kernel_1kv(
     pos_ref,  # scalar prefetch: [B] query position offsets
     svalid_ref,  # scalar prefetch: [1] true key count (S before padding)
     win_ref,  # scalar prefetch: [1] sliding window (S+1 = off)
     q_ref,  # [1, bq, 1, n_rep, d] bf16 (pre-scaled by 1/sqrt(d))
-    k_ref,  # [1, 1, bs, d] bf16 (cache-native [B, Hkv, S, d] layout)
-    v_ref,  # [1, 1, bs, d] bf16
-    o_ref,  # [1, bq, 1, n_rep, d] f32
-    m_ref,  # scratch [R, 1] f32 running max, R = bq * n_rep
-    den_ref,  # scratch [R, 1] f32
-    acc_ref,  # scratch [R, d] f32
-    *,
+    k_ref,  # [1, 1, bs, d] bf16|int8 (cache-native [B, Hkv, S, d])
+    v_ref,
+    *refs,  # ([ks_ref, vs_ref] int8 KV), o_ref
     bq: int,
     bs: int,
     n_rep: int,
     softcap: float = 0.0,
 ):
+    """Whole-S-in-one-block prefill attention (Sp == bs — every shape
+    up to S=2048 with the default key blocks). No online-softmax state:
+    softmax is computed locally and the normalized tile emitted
+    directly, removing the scratch init/correct/emit passes the general
+    kernel pays per step (the structural gap vs jax's flash single-step
+    path measured at T=512)."""
+    if len(refs) == 3:
+        ks_ref, vs_ref, o_ref = refs
+    else:
+        (o_ref,) = refs
+        ks_ref = vs_ref = None
+    b = pl.program_id(0)
+    it = pl.program_id(2)
+    d = q_ref.shape[-1]
+    pos = pos_ref[b]
+
+    scores = _flash_qk(q_ref, k_ref, ks_ref, n_rep, softcap)
+    scores = _flash_mask(
+        scores, it, 0, pos, svalid_ref[0], win_ref[0], bq, bs, n_rep
+    )
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    den = jnp.sum(p, axis=1, keepdims=True)
+    out = _flash_pv(p, v_ref, vs_ref)
+    o_ref[0, :, 0] = (out / den).reshape(bq, n_rep, d).astype(o_ref.dtype)
+
+
+def _flash_prefill_kernel(
+    pos_ref,  # scalar prefetch: [B] query position offsets
+    svalid_ref,  # scalar prefetch: [1] true key count (S before padding)
+    win_ref,  # scalar prefetch: [1] sliding window (S+1 = off)
+    q_ref,  # [1, bq, 1, n_rep, d] bf16 (pre-scaled by 1/sqrt(d))
+    k_ref,  # [1, 1, bs, d] bf16|int8 (cache-native [B, Hkv, S, d] layout)
+    v_ref,  # [1, 1, bs, d]
+    *refs,  # ([ks_ref, vs_ref] int8 KV), o_ref, then scratch m/den/acc
+    bq: int,
+    bs: int,
+    n_rep: int,
+    softcap: float = 0.0,
+):
+    if len(refs) == 6:
+        ks_ref, vs_ref, o_ref, m_ref, den_ref, acc_ref = refs
+    else:
+        o_ref, m_ref, den_ref, acc_ref = refs
+        ks_ref = vs_ref = None
     b = pl.program_id(0)
     it = pl.program_id(2)
     s = pl.program_id(3)
     ns = pl.num_programs(3)
-    R = bq * n_rep
     d = q_ref.shape[-1]
     pos = pos_ref[b]
     s_valid = svalid_ref[0]
@@ -740,31 +827,17 @@ def _flash_prefill_kernel(
         corr = jnp.exp(m_old - m_new)
         p = jnp.exp(scores - m_new)
         den_ref[:] = den_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0]  # [bs, d]
-        acc_ref[:] = acc_ref[:] * corr + jnp.dot(
-            p.astype(jnp.bfloat16), v, preferred_element_type=jnp.float32
-        )
+        acc_ref[:] = acc_ref[:] * corr + _flash_pv(p, v_ref, vs_ref)
         m_ref[:] = m_new
-
-    def qk():
-        q = q_ref[0, :, 0].reshape(R, d)  # row r: query t = r // n_rep
-        k = k_ref[0, 0]  # [bs, d]
-        scores = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [R, bs]
-        if softcap:
-            # gemma2: cap*tanh(logits/cap) BEFORE the causal mask
-            scores = softcap * jnp.tanh(scores * (1.0 / softcap))
-        return scores
 
     # tile classification (VPU passes over [R, bs] dominate this kernel;
     # interior tiles — every key visible to every query — skip the two
     # iotas, compares, and where). ``win`` adds sliding-window
     # semantics: key s visible to query at absolute p iff p - s < win;
     # window-off calls pass win = S+1, making the window terms no-ops.
+    # Invisible tiles also skip the HBM fetch: the kv index maps clamp
+    # the block index to the visible range, so skipped grid steps remap
+    # to an already-resident block and Pallas elides the copy.
     first_q = pos + it * bq  # earliest query position in the tile
     max_q = first_q + (bq - 1)
     last_k = s * bs + bs - 1
@@ -777,43 +850,59 @@ def _flash_prefill_kernel(
 
     @pl.when(visible & interior)
     def _():
-        update(qk())
+        update(_flash_qk(q_ref, k_ref, ks_ref, n_rep, softcap))
 
     @pl.when(visible & jnp.logical_not(interior))
     def _():
-        scores = qk()
-        row_t = it * bq + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 0
-        ) // n_rep
-        col = s * bs + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        row_pos = pos + row_t
-        valid = (
-            (col <= row_pos) & (col < s_valid) & (col > row_pos - win)
+        scores = _flash_qk(q_ref, k_ref, ks_ref, n_rep, softcap)
+        update(
+            _flash_mask(scores, it, s, pos, s_valid, win, bq, bs, n_rep)
         )
-        update(jnp.where(valid, scores, _NEG))
 
     @pl.when(s == ns - 1)
     def _():
-        o_ref[0, :, 0] = (acc_ref[:] / den_ref[:]).reshape(bq, n_rep, d)
+        o_ref[0, :, 0] = (
+            (acc_ref[:] / den_ref[:]).reshape(bq, n_rep, d)
+        ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_rep", "softcap"))
+@functools.partial(
+    jax.jit, static_argnames=("n_rep", "softcap", "kv_native", "out_dtype")
+)
 def prefill_attention_flash(
     q: jax.Array,  # [B, T, H, d]
-    k: jax.Array,  # [B, S, Hkv, d]
-    v: jax.Array,  # [B, S, Hkv, d]
+    k: jax.Array,  # [B, S, Hkv, d] (or [B, Hkv, S, d] when kv_native)
+    v: jax.Array,
     pos,  # scalar or [B]: query t sits at absolute position pos + t
     n_rep: int,
     softcap: float = 0.0,
     window: jax.Array = None,  # traced int32 sliding window (None = off)
+    kv_native: bool = False,  # k/v already in cache layout [B, Hkv, S, d]
+    kv_scales=None,  # (k_scale, v_scale) [B, Hkv, S] f32 -> int8 K/V
+    out_dtype=None,  # None = f32 (back-compat); serving passes bf16
 ) -> jax.Array:
     """Blockwise causal prefill attention, numerics matching
     models.llama._attention with build_mask's causal(+offset) mask:
-    key s is visible to query t iff s <= pos + t. Output [B, T, H, d]
-    f32. T and S are padded to block multiples internally (extra rows
-    are sliced off, extra key columns masked)."""
+    key s is visible to query t iff s <= pos + t. Output [B, T, H, d].
+    T and S are padded to block multiples internally (extra rows are
+    sliced off, extra key columns masked).
+
+    ``kv_native`` + ``kv_scales``: the chunked-admission/cached prefill
+    path feeds the INT8 KV cache tensors directly (layer_kv_raw layout)
+    — the kernel reads half the KV bytes and the XLA dequant +
+    double-transpose glue of layer_kv disappears (scales fold into
+    score columns / probs, the decode-kernel pattern).
+
+    Whole-S-in-one-key-block shapes take a scratchless single-step
+    kernel (softmax computed locally per q-tile); larger S runs the
+    online-softmax kernel whose kv index maps CLAMP invisible blocks to
+    the visible range, so above-diagonal (and out-of-window) grid steps
+    skip both compute and the HBM block copy."""
     B, T, H, d = q.shape
-    S, Hkv = k.shape[1], k.shape[2]
+    if kv_native:
+        S, Hkv = k.shape[2], k.shape[1]
+    else:
+        S, Hkv = k.shape[1], k.shape[2]
     import os as _os
 
     bq = int(
@@ -838,6 +927,7 @@ def prefill_attention_flash(
     bs = min(bs, -(-S // 128) * 128)
     Tp = -(-T // bq) * bq
     Sp = -(-S // bs) * bs
+    ns = Sp // bs
     qg = (q.astype(jnp.float32) * (d**-0.5)).astype(jnp.bfloat16)
     qg = qg.reshape(B, T, Hkv, n_rep, d)
     if Tp != T:
@@ -845,8 +935,15 @@ def prefill_attention_flash(
     # kernel-side K/V layout is cache-native [B, Hkv, S, d]: Mosaic
     # requires the last two block dims (>=8-sublane, 128-lane) — an
     # [S, Hkv] ordering cannot tile per-head
-    kb = k.astype(jnp.bfloat16).transpose(0, 2, 1, 3)
-    vb = v.astype(jnp.bfloat16).transpose(0, 2, 1, 3)
+    if kv_native:
+        kb, vb = k, v
+        if kv_scales is None:
+            kb = kb.astype(jnp.bfloat16)
+            vb = vb.astype(jnp.bfloat16)
+    else:
+        assert kv_scales is None, "int8 kv_scales require kv_native layout"
+        kb = k.astype(jnp.bfloat16).transpose(0, 2, 1, 3)
+        vb = v.astype(jnp.bfloat16).transpose(0, 2, 1, 3)
     if Sp != S:
         pad = ((0, 0), (0, 0), (0, Sp - S), (0, 0))
         kb = jnp.pad(kb, pad)
@@ -858,31 +955,72 @@ def prefill_attention_flash(
         lambda b, h, it, s, pos, sv, w: (b, it, h, 0, 0),
         memory_space=pltpu.VMEM,
     )
+
+    def _s_eff(b, it, s, pos, w):
+        # clamp to this q-tile's visible kv-block range: invisible grid
+        # steps re-map to an already-resident block (no HBM copy); the
+        # kernel's `visible` predicate (on the ORIGINAL s) skips compute
+        hi = jnp.minimum(
+            jax.lax.div(pos[b] + it * bq + bq - 1, bs), ns - 1
+        )
+        lo = jnp.maximum(jax.lax.div(pos[b] + it * bq - w[0] + 1, bs), 0)
+        return jnp.clip(s, jnp.minimum(lo, hi), hi)
+
     kvspec = pl.BlockSpec(
         (1, 1, bs, d),
-        lambda b, h, it, s, pos, sv, w: (b, h, s, 0),
+        lambda b, h, it, s, pos, sv, w: (b, h, _s_eff(b, it, s, pos, w), 0),
         memory_space=pltpu.VMEM,
     )
+    inputs = [qg, kb, vb]
+    in_specs = [qspec, kvspec, kvspec]
+    if kv_scales is not None:
+        ksc, vsc = kv_scales
+        ksc = ksc.astype(jnp.float32).reshape(B, Hkv, 1, S)
+        vsc = vsc.astype(jnp.float32).reshape(B, Hkv, 1, S)
+        if Sp != S:
+            spad = ((0, 0), (0, 0), (0, 0), (0, Sp - S))
+            ksc = jnp.pad(ksc, spad)
+            vsc = jnp.pad(vsc, spad)
+        sspec = pl.BlockSpec(
+            (1, 1, 1, bs),
+            lambda b, h, it, s, pos, sv, w: (
+                b,
+                h,
+                0,
+                _s_eff(b, it, s, pos, w),
+            ),
+            memory_space=pltpu.VMEM,
+        )
+        inputs += [ksc, vsc]
+        in_specs += [sspec, sspec]
     R = bq * n_rep
+    odt = jnp.float32 if out_dtype is None else out_dtype
+    kern = functools.partial(
+        _flash_prefill_kernel_1kv if ns == 1 else _flash_prefill_kernel,
+        bq=bq,
+        bs=bs,
+        n_rep=n_rep,
+        softcap=softcap,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, Hkv, Tp // bq, Sp // bs),
-        in_specs=[qspec, kvspec, kvspec],
+        grid=(B, Hkv, Tp // bq, ns),
+        in_specs=in_specs,
         out_specs=qspec,
-        scratch_shapes=[
-            pltpu.VMEM((R, 1), jnp.float32),
-            pltpu.VMEM((R, 1), jnp.float32),
-            pltpu.VMEM((R, d), jnp.float32),
-        ],
+        scratch_shapes=(
+            []
+            if ns == 1
+            else [
+                pltpu.VMEM((R, 1), jnp.float32),
+                pltpu.VMEM((R, 1), jnp.float32),
+                pltpu.VMEM((R, d), jnp.float32),
+            ]
+        ),
     )
     out = pl.pallas_call(
-        functools.partial(
-            _flash_prefill_kernel, bq=bq, bs=bs, n_rep=n_rep, softcap=softcap
-        ),
+        kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (B, Tp, Hkv, n_rep, d), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, Hkv, n_rep, d), odt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 "parallel",
@@ -898,9 +1036,7 @@ def prefill_attention_flash(
         jnp.asarray(
             [S + 1 if window is None else window], jnp.int32
         ).reshape(1),
-        qg,
-        kb,
-        vb,
+        *inputs,
     )
     return out[:, :T].reshape(B, T, H, d)
 

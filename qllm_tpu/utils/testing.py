@@ -51,6 +51,45 @@ def random_quantized_tensor(
     )
 
 
+def random_stacked_expert_tensor(
+    key: jax.Array,
+    n_experts: int,
+    in_features: int,
+    out_features: int,
+    bits: int = 4,
+    group_size: int = 128,
+    scale: float = 0.01,
+) -> QuantizedTensor:
+    """A raw [E]-leading stacked expert QuantizedTensor in ONE RNG call
+    per leaf — what tree-stacking E random_quantized_tensor results
+    yields, minus the E-fold dispatch cost (generating a 128-expert
+    qwen3-moe slab expert-by-expert is ~80 s of tunnel round trips;
+    this is 3 device calls per layer entry)."""
+    K, N, E = in_features, out_features, n_experts
+    if bits in (2, 4, 8):
+        rows = K // (32 // bits)
+    else:
+        rows = bits * K // 32
+    k1, k2 = jax.random.split(key)
+    qweight = jax.random.bits(k1, (E, rows, N), jnp.uint32)
+    G = 1 if group_size == -1 else K // group_size
+    scales = (
+        jax.random.uniform(k2, (E, G, N), jnp.float32, 0.5, 1.5) * scale
+    ).astype(jnp.float16)
+    zeros = jnp.full((E, G, N), (1 << bits) / 2.0, jnp.float16)
+    return QuantizedTensor(
+        qweight=qweight,
+        scales=scales,
+        zeros=zeros,
+        perm=None,
+        bits=bits,
+        group_size=group_size,
+        in_features=K,
+        out_features=N,
+        sym=False,
+    )
+
+
 def random_mla_moe_params(
     cfg: ModelConfig,
     key: jax.Array,
@@ -135,10 +174,18 @@ def random_quantized_params(
     group_size: int = 128,
     dtype=jnp.bfloat16,
     quantize_lm_head: bool = False,
+    experts_prestacked: bool = False,
 ) -> Dict[str, Any]:
     """Random W-quantized model params with dense embed/norm (and, when
     ``quantize_lm_head``, a packed lm_head — the serving option the
-    reference lacks; it reads the dense head every decode step)."""
+    reference lacks; it reads the dense head every decode step).
+
+    ``experts_prestacked``: emit each MoE layer's experts as raw
+    [E]-leading stacked tensors (gateup pre-fused) under
+    ``experts_stacked`` instead of a per-expert list — 2 RNG calls per
+    layer instead of 3*E (models.moe.stack_experts preps them in
+    place). Bench/profile-scale use; quantize/save paths want the
+    per-expert list."""
     D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     H, Hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
     shapes = {
@@ -152,7 +199,8 @@ def random_quantized_params(
     }
     E = cfg.num_local_experts
     moe_names = [n for n in LINEAR_NAMES if n not in ("gate_proj", "up_proj", "down_proj")] if E else LINEAR_NAMES
-    n_per_layer = len(moe_names) + (3 * E if E else 0)
+    n_exp_keys = (2 if experts_prestacked else 3 * E) if E else 0
+    n_per_layer = len(moe_names) + n_exp_keys
     keys = jax.random.split(key, cfg.num_hidden_layers * n_per_layer + 3)
     ki = 0
     layers = []
@@ -167,7 +215,20 @@ def random_quantized_params(
                 keys[ki], Kf, Nf, bits, group_size
             )
             ki += 1
-        if E:
+        if E and experts_prestacked:
+            lp["router"] = (
+                jax.random.normal(keys[-3], (D, E), jnp.float32) * 0.02
+            )
+            lp["experts_stacked"] = {
+                "gateup_proj": random_stacked_expert_tensor(
+                    keys[ki], E, D, 2 * I, bits, group_size
+                ),
+                "down_proj": random_stacked_expert_tensor(
+                    keys[ki + 1], E, I, D, bits, group_size
+                ),
+            }
+            ki += 2
+        elif E:
             # MoE layer: dense router + E quantized expert MLPs (the
             # shapes HF MixtralSparseMoeBlock carries)
             lp["router"] = (

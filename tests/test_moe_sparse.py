@@ -115,9 +115,16 @@ def test_engine_auto_stacks_moe():
     eng = ContinuousBatchingEngine(
         qparams, MOE_CFG, ServeConfig(max_batch=2, max_seq=32)
     )
-    # hybrid stacking: layers-dict with per-layer expert stacks
+    # hybrid stacking: layers-dict; homogeneous models get the full
+    # [L*E] expert stack (dict + _moe_stride — the lax.scan MoE path)
     assert isinstance(eng.params["layers"], dict)
-    assert isinstance(eng.params["layers"]["experts_stacked"], list)
+    est = eng.params["layers"]["experts_stacked"]
+    assert isinstance(est, dict)
+    assert (
+        eng.params["layers"]["_moe_stride"] == MOE_CFG.num_local_experts
+    )
+    E_total = next(iter(est.values())).qweight.shape[0]
+    assert E_total == MOE_CFG.num_local_experts * MOE_CFG.num_hidden_layers
     assert "experts" not in eng.params["layers"]
     # original params untouched (save paths keep the per-expert list)
     assert "experts" in qparams["layers"][0]
@@ -191,9 +198,9 @@ def test_heterogeneous_experts_keep_dense_path():
 
 
 def test_hybrid_stacking_matches_dense():
-    """Hybrid MoE stacking ([L]-stacked attention + per-layer expert
-    stacks, python-loop forward) must reproduce the dense per-layer
-    path's greedy tokens exactly."""
+    """Hybrid MoE stacking ([L]-stacked attention + full [L*E] expert
+    stack, lax.scan forward) must reproduce the dense per-layer path's
+    greedy tokens exactly."""
     from qllm_tpu.models import greedy_generate
     from qllm_tpu.models.stacked import stack_layer_params_hybrid
 
@@ -202,7 +209,9 @@ def test_hybrid_stacking_matches_dense():
         {**qparams, "layers": [dict(lp) for lp in qparams["layers"]]}
     )
     assert not isinstance(hp["layers"], list)
-    assert isinstance(hp["layers"]["experts_stacked"], list)
+    # homogeneous layers: full [L*E] stack served by the scan body
+    assert isinstance(hp["layers"]["experts_stacked"], dict)
+    assert hp["layers"]["_moe_stride"] == MOE_CFG.num_local_experts
     prompt = jnp.asarray([[1, 4, 2, 8]], jnp.int32)
     a = greedy_generate(qparams, MOE_CFG, prompt, max_new_tokens=8)
     b = greedy_generate(hp, MOE_CFG, prompt, max_new_tokens=8)

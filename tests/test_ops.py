@@ -62,3 +62,27 @@ def test_kv_cache_unquantized():
     kd, vd = cache.layer_kv(0)
     assert float(kd[0, 0, 0, 0]) == 1.0
     assert float(vd[0, 1, 0, 0]) == 2.0
+
+
+def test_planarize_pallas_matches_reference():
+    """ops.pallas_repack.planarize_packed_pallas (one-pass word-level
+    repack) must be bit-exact vs quant.qtensor.planarize_packed (the
+    unpack/repack jnp reference) across stacked and 2-D shapes."""
+    from qllm_tpu.ops.pallas_repack import planarize_packed_pallas
+    from qllm_tpu.quant.qtensor import planarize_packed
+
+    rng = np.random.default_rng(0)
+    for shape, K in [
+        ((3, 512 // 8, 384), 512),
+        ((5, 2048 // 8, 1536), 2048),
+        ((11008 // 8, 4096), 11008),
+    ]:
+        qw = jnp.asarray(rng.integers(0, 2**32, shape, dtype=np.uint32))
+        out = planarize_packed_pallas(qw, K)
+        assert out is not None
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(planarize_packed(qw, K))
+        )
+    # unservable shape (lane width not 128-aligned) falls back
+    qw = jnp.asarray(rng.integers(0, 2**32, (64, 100), dtype=np.uint32))
+    assert planarize_packed_pallas(qw, 512) is None

@@ -685,3 +685,67 @@ def test_chunked_decode_window_matches_oneshot(monkeypatch):
         )
     )
     np.testing.assert_allclose(chunked, one_shot, atol=3e-3, rtol=3e-3)
+
+
+@pytest.mark.parametrize("force_bs", [0, 128])  # 0: single-kv-step; 128: ns>1
+def test_flash_prefill_int8_native_matches_dequant(monkeypatch, force_bs):
+    """The cached-prefill int8 path (kv_native + kv_scales: the kernel
+    reads the raw cache tensors and folds the per-key scales into score
+    columns / probs) must match the dequantize-then-flash path on the
+    SAME quantized cache contents — both attend over identical values,
+    so only bf16 rounding separates them."""
+    from qllm_tpu.ops.pallas_attention import prefill_attention_flash
+
+    if force_bs:
+        monkeypatch.setenv("QLLM_TPU_FLASH_BS", str(force_bs))
+    B, T, S, Hkv, n_rep, d = 2, 64, 256, 2, 2, 128
+    H = Hkv * n_rep
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, T, H, d)), jnp.float32)
+    k8 = jnp.asarray(rng.integers(-127, 128, (B, Hkv, S, d)), jnp.int8)
+    v8 = jnp.asarray(rng.integers(-127, 128, (B, Hkv, S, d)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, Hkv, S)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, Hkv, S)), jnp.float32)
+    pos = jnp.asarray([100, 37], jnp.int32)
+
+    out8 = prefill_attention_flash(
+        q, k8, v8, pos, n_rep, kv_native=True, kv_scales=(ks, vs)
+    )
+    kf = (k8.astype(jnp.float32) * ks[..., None]).transpose(0, 2, 1, 3)
+    vf = (v8.astype(jnp.float32) * vs[..., None]).transpose(0, 2, 1, 3)
+    ref = prefill_attention_flash(q, kf, vf, pos, n_rep)
+    np.testing.assert_allclose(
+        np.asarray(out8), np.asarray(ref), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_model_cached_prefill_int8_flash_matches_xla(monkeypatch):
+    """Full-model chunked-admission prefill (T>1 with a QUANTIZED cache)
+    through the int8-native flash route vs the XLA mask path on the
+    same cache — logits must agree."""
+    from qllm_tpu.models.llama import ModelConfig, forward, init_params
+    from qllm_tpu.models.generate import make_cache
+
+    cfg = ModelConfig(
+        vocab_size=512,
+        hidden_size=256,
+        intermediate_size=512,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = init_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 48)), jnp.int32)
+
+    cache = make_cache(cfg, 2, 64, quantized_kv=True)
+    monkeypatch.setenv("QLLM_TPU_FORCE_PALLAS_ATTN", "1")
+    monkeypatch.setenv("QLLM_TPU_PREFILL_FLASH_MIN_T", "8")
+    lc, _ = forward(params, cfg, tokens, cache, pos=jnp.int32(0))
+    monkeypatch.delenv("QLLM_TPU_FORCE_PALLAS_ATTN")
+    monkeypatch.delenv("QLLM_TPU_PREFILL_FLASH_MIN_T")
+    lc_ref, _ = forward(params, cfg, tokens, cache, pos=jnp.int32(0))
+    np.testing.assert_allclose(
+        np.asarray(lc), np.asarray(lc_ref), atol=5e-2, rtol=5e-2
+    )

@@ -50,11 +50,12 @@ def main():
         bits=4,
         group_size=128,
         quantize_lm_head=os.environ.get("QLLM_PROF_QLMHEAD", "1") != "0",
+        experts_prestacked=cfg.num_local_experts > 0,
     )
     _last = params["layers"][-1]
     _last_w = (
-        _last["experts"][-1]["down_proj"]
-        if "experts" in _last
+        _last["experts_stacked"]["down_proj"]
+        if "experts_stacked" in _last
         else _last["down_proj"]
     )
     jax.block_until_ready(_last_w.qweight)
