@@ -716,6 +716,29 @@ class LayerView:
             self.lp["experts_stacked"][name], ids, x_rows
         )
 
+    def fused_expert_mlp(self, ids, x_rows, cfg):
+        """Whole expert MLP in one fused kernel launch when eligible
+        (ops.pallas_qmm.qmatmul_grouped_experts_fused); None -> caller
+        runs the per-projection grouped path. TP views don't override
+        (row-sharded down needs its own psum point)."""
+        est = self.lp.get("experts_stacked") or {}
+        gu, dn = est.get("gateup_proj"), est.get("down_proj")
+        from ..ops.pallas_qmm import (
+            grouped_fused_ok,
+            qmatmul_grouped_experts_fused,
+        )
+        from ..quant.qtensor import QuantizedTensor
+
+        if not (
+            isinstance(gu, QuantizedTensor)
+            and isinstance(dn, QuantizedTensor)
+            and grouped_fused_ok(gu, dn, x_rows.shape[0], cfg.hidden_act)
+        ):
+            return None
+        return qmatmul_grouped_experts_fused(
+            x_rows, gu, dn, ids, act=cfg.hidden_act
+        )
+
     def apply_shared(self, name, x):
         """Shared-expert linear (deepseek/qwen2-moe always-on MLP).
         The stacked serving view overrides this to ride the tuned
@@ -1110,6 +1133,32 @@ def _layer_forward(
     )
 
 
+def _routing_topk(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """lax.top_k semantics (descending values, ties -> lowest index),
+    optionally via k unrolled argmax+mask passes (QLLM_TPU_TOPK_ITER=1).
+
+    MEASURED NEGATIVE on-chip and off by default: the unrolled argmax
+    reduces do NOT fuse under the layer scan — 8 extra launches/layer
+    took qwen3-moe decode from ~1950 to ~1300 tok/s, far worse than
+    the single 18.7 us/token sort that lax.top_k lowers to. Kept as an
+    A/B lever only."""
+    import os as _os
+
+    E = x.shape[-1]
+    if k > 8 or E > 512 or _os.environ.get("QLLM_TPU_TOPK_ITER", "0") != "1":
+        return jax.lax.top_k(x, k)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    vals, ids = [], []
+    cur = x
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1)  # ties -> lowest index, like top_k
+        v = jnp.max(cur, axis=-1)
+        vals.append(v)
+        ids.append(i)
+        cur = jnp.where(idx == i[..., None], -jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(ids, axis=-1)
+
+
 def _router_topk(
     pv, cfg: ModelConfig, x: jax.Array
 ) -> Tuple[jax.Array, jax.Array]:
@@ -1135,12 +1184,12 @@ def _router_topk(
             G = cfg.n_group
             gs = scores.reshape(*scores.shape[:-1], G, E // G)
             gmax = jnp.max(gs, axis=-1)  # [B, T, G]
-            _, gidx = jax.lax.top_k(gmax, cfg.topk_group)
+            _, gidx = _routing_topk(gmax, cfg.topk_group)
             gmask = jnp.sum(
                 jax.nn.one_hot(gidx, G, dtype=scores.dtype), axis=-2
             )  # [B, T, G]
             scores = (gs * gmask[..., None]).reshape(scores.shape)
-        top_w, top_ids = jax.lax.top_k(scores, k)
+        top_w, top_ids = _routing_topk(scores, k)
         # HF DeepseekV2MoEGate renormalizes only when top_k > 1, but
         # Qwen2Moe/Qwen3Moe renormalize unconditionally — with k=1 that
         # sets the weight to 1.0 instead of the softmax probability.
@@ -1152,7 +1201,7 @@ def _router_topk(
         else:
             top_w = top_w * jnp.float32(cfg.routed_scaling_factor)
     else:
-        top_w, top_ids = jax.lax.top_k(router_logits, k)
+        top_w, top_ids = _routing_topk(router_logits, k)
         top_w = jax.nn.softmax(top_w, axis=-1)  # HF: softmax over the top-k
     return top_w, top_ids
 
@@ -1259,18 +1308,29 @@ def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
         order = None
         ids = ids_u
         x_rows = jnp.repeat(xf, k, axis=0)
-    if pv.get("experts_stacked") is not None and "gateup_proj" in pv.get(
-        "experts_stacked"
-    ):
-        gu = pv.apply_experts_grouped("gateup_proj", ids, x_rows)
-        ii = gu.shape[-1] // 2
-        gate, up = gu[..., :ii], gu[..., ii:]
-    else:
-        gate = pv.apply_experts_grouped("gate_proj", ids, x_rows)
-        up = pv.apply_experts_grouped("up_proj", ids, x_rows)
-    ye_s = pv.apply_experts_grouped(
-        "down_proj", ids, act_fn(cfg.hidden_act, gate) * up
-    )  # [S*k, D] in sorted order
+    ye_s = None
+    if order is None:
+        # B=1: the whole expert MLP in ONE fused launch (gateup ->
+        # act -> down; ops.pallas_qmm.qmatmul_grouped_experts_fused)
+        # when the stacks qualify — batched decode keeps the sorted
+        # 2-launch path (the fused kernel's per-selection phase walk
+        # would forfeit the same-expert weight-stream dedup)
+        fused = getattr(pv, "fused_expert_mlp", None)
+        if fused is not None:
+            ye_s = fused(ids, x_rows, cfg)
+    if ye_s is None:
+        if pv.get("experts_stacked") is not None and "gateup_proj" in pv.get(
+            "experts_stacked"
+        ):
+            gu = pv.apply_experts_grouped("gateup_proj", ids, x_rows)
+            ii = gu.shape[-1] // 2
+            gate, up = gu[..., :ii], gu[..., ii:]
+        else:
+            gate = pv.apply_experts_grouped("gate_proj", ids, x_rows)
+            up = pv.apply_experts_grouped("up_proj", ids, x_rows)
+        ye_s = pv.apply_experts_grouped(
+            "down_proj", ids, act_fn(cfg.hidden_act, gate) * up
+        )  # [S*k, D] in sorted order
     if order is not None:
         # undo the sort: scatter-built inverse permutation (one scatter
         # instead of a second full argsort in the per-step XLA glue)
@@ -1526,9 +1586,20 @@ def forward(
                 "stacked-layer forward requires a KV cache; use the "
                 "per-layer (list) params for cacheless scoring"
             )
-        if any(isinstance(v, list) for v in params["layers"].values()):
+        import os as _os
+
+        if any(isinstance(v, list) for v in params["layers"].values()) or (
+            "_moe_stride" in params["layers"]
+            and _os.environ.get("QLLM_TPU_MOE_SCAN", "0") != "1"
+        ):
             # hybrid MoE/MLA stacking (stack_layer_params_hybrid):
-            # [L]-stacked attention + per-layer expert stacks
+            # [L]-stacked attention + per-layer or full [L*E] expert
+            # stacks, python-loop forward. The loop is the MoE serving
+            # DEFAULT: measured 5.3% faster than the lax.scan body for
+            # B=1 decode on the qwen3-moe slab (1938 vs 1836 tok/s —
+            # scan's dynamic layer indexing costs ~29 us/token here);
+            # QLLM_TPU_MOE_SCAN=1 opts into scan (one compiled layer
+            # body — much faster compiles for many-layer models)
             from .stacked import forward_hybrid
 
             return forward_hybrid(params, cfg, token_ids, cache, pos)

@@ -533,6 +533,34 @@ class StackedLayerView:
         w, bias = self._expert_stack(name)
         return grouped_expert_linear(w, bias + ids, x_rows)
 
+    def fused_expert_mlp(self, ids, x_rows, cfg):
+        """Whole expert MLP (gateup -> act -> down) in one kernel
+        launch when the fused grouped kernel serves these stacks;
+        None -> caller runs the per-projection grouped path."""
+        est = self.lp.get("experts_stacked")
+        est_l = est if isinstance(est, dict) else est[self.l]
+        if "gateup_proj" not in est_l or "down_proj" not in est_l:
+            return None
+        gu, dn = est_l["gateup_proj"], est_l["down_proj"]
+        from ..ops.pallas_qmm import (
+            grouped_fused_ok,
+            qmatmul_grouped_experts_fused,
+        )
+        from ..quant.qtensor import QuantizedTensor
+
+        if not (
+            isinstance(gu, QuantizedTensor)
+            and isinstance(dn, QuantizedTensor)
+            and grouped_fused_ok(gu, dn, x_rows.shape[0], cfg.hidden_act)
+        ):
+            return None
+        bias = (
+            self.l * self.lp["_moe_stride"] if isinstance(est, dict) else 0
+        )
+        return qmatmul_grouped_experts_fused(
+            x_rows, gu, dn, bias + ids, act=cfg.hidden_act
+        )
+
     def apply_shared(self, name, x):
         """Shared experts in hybrid params: [L]-stacked (dict of
         stacked QTs, tuned kernel) or per-layer list (heterogeneous)."""

@@ -340,29 +340,37 @@ def tune_stacked(
     n_hi = n_lo + max(256, int(0.4 / est))
 
     def make_loop(bn, bk):
-        def one(i, acc):
-            y = pq._qmm_2d_stacked(
-                x + acc[:, :1],  # serial dependency across reps
-                (i % L).astype(jnp.int32),
-                stacked.qweight,
-                stacked.scales,
-                stacked.zeros,
-                bits,
-                g,
-                K,
-                N,
-                planar=stacked.planar,
-                prefolded=True,
-                fuse_corr=stacked.planar,
-                bn_opt=bn,
-                bk_opt=bk,
-            )
-            return acc + 1e-9 * jnp.sum(y)[None, None]
+        # the weight stack rides as jit ARGUMENTS, not closure consts:
+        # closed-over arrays lower to HLO literals, and a 2048x32768 L=8
+        # stack made the remote_compile request body exceed the proxy's
+        # limit (HTTP 413) — the failure that killed the r4 lm_head sweep
+        def run(x0, n, qw, sc, zr):
+            def one(i, acc):
+                y = pq._qmm_2d_stacked(
+                    x0 + acc[:, :1],  # serial dependency across reps
+                    (i % L).astype(jnp.int32),
+                    qw,
+                    sc,
+                    zr,
+                    bits,
+                    g,
+                    K,
+                    N,
+                    planar=stacked.planar,
+                    prefolded=True,
+                    fuse_corr=stacked.planar,
+                    bn_opt=bn,
+                    bk_opt=bk,
+                )
+                return acc + 1e-9 * jnp.sum(y)[None, None]
 
-        return jax.jit(
-            lambda x0, n: jax.lax.fori_loop(
+            return jax.lax.fori_loop(
                 0, n, one, jnp.zeros((1, 1), jnp.float32)
             )
+
+        jitted = jax.jit(run)
+        return lambda x0, n: jitted(
+            x0, n, stacked.qweight, stacked.scales, stacked.zeros
         )
 
     bn_cands = [b for b in (256, 512, 1024) if N % b == 0] or [0]

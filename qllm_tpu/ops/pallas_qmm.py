@@ -2208,3 +2208,239 @@ def qmatmul_pnp_stacked(
     if N2_buf != N2:
         y2 = y2[:, :N2]
     return hn, y2.astype(jnp.bfloat16)
+
+
+# --------------------------------------------------------------------------
+# Fused grouped expert MLP (decode): gateup -> act -> down in ONE launch.
+#
+# The 2-launch grouped path pays a pipeline fill per launch; at small
+# per-expert widths (qwen3-moe I=768: 2.4 MB/expert) the fill is a
+# visible fraction of the stream (experts profiled at 84% of the
+# measured ceiling). Phases run per SELECTION: the down weight block's
+# index map clamps to block 0 during the gateup phases, so its first
+# block prefetches under gateup compute, and the activation never
+# round-trips HBM. B=1-decode-only: phase-minor ordering re-walks the
+# expert's blocks per selection, which would forfeit the sorted-dedup
+# copy-skip batched decode relies on (models.llama._moe_sparse).
+# --------------------------------------------------------------------------
+
+
+def _qmm_kernel_grouped_fused(
+    ids_ref,  # scalar prefetch [n]
+    x_ref,  # [8, K1] bf16/f32 (selection's row + 7 zero rows)
+    gqw_ref,  # [1, K1/8, K2] planar u32 (gate block, then up block)
+    gs_ref,  # [1, G1, K2]
+    gz_ref,  # [1, G1, K2] prefolded zs
+    dqw_ref,  # [1, K2/8, bn2] (down block)
+    ds_ref,  # [1, G2, bn2]
+    dz_ref,  # [1, G2, bn2]
+    o_ref,  # out [8, bn2] f32
+    act_scr,  # scratch [8, K2] f32
+    *,
+    K1: int,
+    K2: int,
+    g: int,
+    act: str,
+):
+    del ids_ref
+    p = pl.program_id(1)
+    M = x_ref.shape[0]
+
+    def fullk(xv, qw_ref, s_ref, z_ref, K, out_w):
+        Gh = (K // 2) // g
+        qw = pltpu.bitcast(qw_ref[0], jnp.int32)
+        v_lo = pltpu.bitcast(qw & jnp.int32(0x0F0F0F0F), jnp.int8).astype(
+            jnp.float32
+        )
+        v_hi = pltpu.bitcast(
+            jax.lax.shift_right_logical(qw, jnp.int32(4))
+            & jnp.int32(0x0F0F0F0F),
+            jnp.int8,
+        ).astype(jnp.float32)
+        sc = s_ref[0].astype(jnp.float32)
+        zs = z_ref[0].astype(jnp.float32)
+        acc = jnp.zeros((M, out_w), jnp.float32)
+        for half, v in ((0, v_lo), (1, v_hi)):
+            base = half * Gh
+            off = half * (K // 2)
+            for gi in range(Gh):
+                xg = xv[:, off + gi * g : off + (gi + 1) * g]
+                d = jnp.dot(
+                    xg,
+                    v[gi * g : (gi + 1) * g],
+                    preferred_element_type=jnp.float32,
+                )
+                xsum = jnp.sum(xg, axis=1, keepdims=True)
+                acc = (
+                    acc
+                    + d * sc[base + gi : base + gi + 1, :]
+                    - xsum * zs[base + gi : base + gi + 1, :]
+                )
+        return acc
+
+    @pl.when(p == 0)  # gate half
+    def _():
+        act_scr[...] = fullk(
+            x_ref[:].astype(jnp.float32), gqw_ref, gs_ref, gz_ref, K1, K2
+        )
+
+    @pl.when(p == 1)  # up half; apply the gate activation
+    def _():
+        up = fullk(
+            x_ref[:].astype(jnp.float32), gqw_ref, gs_ref, gz_ref, K1, K2
+        )
+        gt = act_scr[...]
+        if act == "gelu":
+            a = (
+                0.5
+                * gt
+                * (
+                    1.0
+                    + jnp.tanh(0.7978845608 * (gt + 0.044715 * gt * gt * gt))
+                )
+            )
+        else:  # silu
+            a = gt * jax.lax.logistic(gt)
+        act_scr[...] = a * up
+
+    @pl.when(p >= 2)  # down blocks
+    def _():
+        o_ref[...] = fullk(act_scr[...], dqw_ref, ds_ref, dz_ref, K2, o_ref.shape[-1])
+
+
+def grouped_fused_ok(
+    gu: QuantizedTensor, dn: QuantizedTensor, n: int, act: str
+) -> bool:
+    """Eligibility for qmatmul_grouped_experts_fused: B=1-scale
+    selection counts, silu/gelu gate, small-I experts (the full-K
+    dequant planes for both matmuls must fit VMEM), matching planar
+    serving preps."""
+    K1, K2 = gu.in_features, dn.in_features
+    if act not in ("silu", "gelu"):
+        return False
+    if n > 16 or gu.out_features != 2 * K2 or K2 > 1024:
+        return False
+    if gu.qweight.shape[-1] % K2:
+        return False  # bn1 = K2 must tile the (possibly padded) buffer
+    g1 = K1 if gu.group_size == -1 else gu.group_size
+    g2 = K2 if dn.group_size == -1 else dn.group_size
+    if g1 != g2:
+        return False
+    for qt, K in ((gu, K1), (dn, K2)):
+        if not (
+            qt.bits == 4
+            and qt.planar
+            and qt.zeros_prefolded
+            and qt.perm is None
+            and planar_full_ok(K, g1)
+        ):
+            return False
+    if jax.default_backend() == "cpu":
+        if not os.environ.get("QLLM_TPU_FORCE_STACKED_KERNEL"):
+            return False
+    elif gu.scales.dtype == jnp.float32 or dn.scales.dtype == jnp.float32:
+        return False
+    # MEASURED NEGATIVE, default OFF: on v5e at the qwen3-moe geometry
+    # (K1=2048, I=768, n=8) the fused launch ran 40.4 us/block vs the
+    # 2-launch grouped path's 32.6 (615 GB/s) — the per-selection phase
+    # walk's wide gate/up blocks stream worse than the selection-minor
+    # 2-launch pattern, the same verdict as the dense pnp fusion
+    # (reports/ceiling_r4.md). Kept parity-tested as an A/B lever.
+    return os.environ.get("QLLM_TPU_MOE_FUSED", "0") == "1"
+
+
+def qmatmul_grouped_experts_fused(
+    x_rows: jax.Array,  # [n, K1]
+    gu_stacked: QuantizedTensor,  # [E]-stacked fused gate|up prep
+    dn_stacked: QuantizedTensor,  # [E]-stacked down prep
+    expert_ids: jax.Array,  # [n] int32 (traced)
+    act: str = "silu",
+) -> jax.Array:  # [n, N2] bf16
+    """y[i] = act_fn(x[i] @ GU[ids[i]]) @ DN[ids[i]] — the whole expert
+    MLP for every selection in ONE pallas_call."""
+    K1, K2 = gu_stacked.in_features, dn_stacked.in_features
+    N2 = dn_stacked.out_features
+    N2_buf = dn_stacked.qweight.shape[-1]
+    g = K1 if gu_stacked.group_size == -1 else gu_stacked.group_size
+    G1, G2 = K1 // g, K2 // g
+    n = x_rows.shape[0]
+    bn2 = _grouped_bn(K2, N2_buf)
+    n2 = N2_buf // bn2
+    x8 = jnp.pad(x_rows[:, None, :], ((0, 0), (0, 7), (0, 0))).reshape(
+        8 * n, K1
+    )
+    in_specs = [
+        pl.BlockSpec(
+            (8, K1), lambda i, p, ids: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, K1 // 8, K2),
+            lambda i, p, ids: (ids[i], 0, jnp.minimum(p, 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G1, K2),
+            lambda i, p, ids: (ids[i], 0, jnp.minimum(p, 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G1, K2),
+            lambda i, p, ids: (ids[i], 0, jnp.minimum(p, 1)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, K2 // 8, bn2),
+            lambda i, p, ids: (ids[i], 0, jnp.maximum(p - 2, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G2, bn2),
+            lambda i, p, ids: (ids[i], 0, jnp.maximum(p - 2, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, G2, bn2),
+            lambda i, p, ids: (ids[i], 0, jnp.maximum(p - 2, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, 2 + n2),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (8, bn2),
+            lambda i, p, ids: (i, jnp.maximum(p - 2, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((8, K2), jnp.float32)],
+    )
+    x_dt = (
+        jnp.bfloat16
+        if os.environ.get("QLLM_TPU_X_BF16", "1") != "0"
+        else jnp.float32
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _qmm_kernel_grouped_fused, K1=K1, K2=K2, g=g, act=act
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8 * n, N2_buf), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(
+        expert_ids.astype(jnp.int32),
+        x8.astype(x_dt),
+        gu_stacked.qweight,
+        gu_stacked.scales,
+        gu_stacked.zeros,
+        dn_stacked.qweight,
+        dn_stacked.scales,
+        dn_stacked.zeros,
+    )
+    out = out.reshape(n, 8, N2_buf)[:, 0]
+    if N2_buf != N2:
+        out = out[:, :N2]
+    return out.astype(jnp.bfloat16)

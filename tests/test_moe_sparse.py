@@ -363,3 +363,69 @@ def test_hybrid_stacking_shared_experts():
     a = greedy_generate(qparams, cfg, prompt, max_new_tokens=8)
     b = greedy_generate(hp, cfg, prompt, max_new_tokens=8)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grouped_fused_kernel_matches_two_launch(monkeypatch):
+    """qmatmul_grouped_experts_fused (whole expert MLP in one launch —
+    measured slower on-chip, so default-off, but kept as an A/B lever)
+    must match the 2-launch grouped path."""
+    import jax.tree_util as tu
+
+    from qllm_tpu.models.stacked import prepare_stacked_tensor
+    from qllm_tpu.ops.pallas_qmm import (
+        grouped_fused_ok,
+        qmatmul_grouped_experts,
+        qmatmul_grouped_experts_fused,
+    )
+    from qllm_tpu.quant.qtensor import quantize_tensor
+
+    monkeypatch.setenv("QLLM_TPU_FORCE_STACKED_KERNEL", "1")
+    monkeypatch.setenv("QLLM_TPU_MOE_FUSED", "1")
+    rng = np.random.default_rng(0)
+    E, K1, K2 = 4, 512, 256
+    gus = [
+        quantize_tensor(
+            jnp.asarray(
+                rng.normal(size=(K1, 2 * K2)).astype(np.float32) * 0.05
+            ),
+            bits=4,
+            group_size=128,
+        )
+        for _ in range(E)
+    ]
+    dns = [
+        quantize_tensor(
+            jnp.asarray(rng.normal(size=(K2, K1)).astype(np.float32) * 0.05),
+            bits=4,
+            group_size=128,
+        )
+        for _ in range(E)
+    ]
+    gu = prepare_stacked_tensor(
+        tu.tree_map(lambda *xs: jnp.stack(xs), *gus),
+        lane_quantum=128,
+        planar=True,
+        scale_store_dtype=jnp.bfloat16,
+    )
+    dn = prepare_stacked_tensor(
+        tu.tree_map(lambda *xs: jnp.stack(xs), *dns),
+        lane_quantum=128,
+        planar=True,
+        scale_store_dtype=jnp.bfloat16,
+    )
+    n = 4
+    x = jnp.asarray(rng.normal(size=(n, K1)).astype(np.float32))
+    ids = jnp.asarray([0, 2, 2, 3], jnp.int32)
+    assert grouped_fused_ok(gu, dn, n, "silu")
+    y = qmatmul_grouped_experts_fused(x, gu, dn, ids, act="silu")
+    g2 = qmatmul_grouped_experts(x, gu, ids)
+    gate, up = g2[:, :K2], g2[:, K2:]
+    act = (
+        gate.astype(jnp.float32) * jax.nn.sigmoid(gate.astype(jnp.float32))
+    ) * up.astype(jnp.float32)
+    yref = qmatmul_grouped_experts(act.astype(jnp.bfloat16), dn, ids)
+    ref = np.asarray(yref, np.float32)
+    err = np.max(np.abs(np.asarray(y, np.float32) - ref)) / np.max(
+        np.abs(ref)
+    )
+    assert err < 0.02, err
