@@ -429,3 +429,33 @@ def test_grouped_fused_kernel_matches_two_launch(monkeypatch):
         np.abs(ref)
     )
     assert err < 0.02, err
+
+
+def test_hybrid_numerics_bound():
+    """Serving-scale numerics contract (reports/hybrid_numerics_r5.md):
+    the shipping prep's per-step logits median rel err vs the
+    conservative per-layer path stays within the committed bound, and
+    the MoE hybrid path keeps teacher-forced greedy agreement on the
+    CI shapes (on-chip: mixtral:4 agreement 1.0, p50 0.015)."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "hybrid_numerics",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "hybrid_numerics.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["hybrid_numerics"] = spec.loader.exec_module(mod) or mod
+    import faulthandler
+
+    faulthandler.cancel_dump_traceback_later()  # the tool arms one
+    r = mod.measure("tinymoe", 16)
+    assert r["logits_rel_err_p50"] <= 0.05, r
+    assert r["greedy_agreement"] >= 0.85, r
+    r2 = mod.measure("tiny", 16)
+    assert r2["logits_rel_err_p50"] <= 0.05, r2
