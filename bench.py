@@ -332,12 +332,14 @@ def bench_moe_slab(name, steps, rtt, with_batch8=False):
                 os.environ["QLLM_TPU_MOE_SORT"] = "0"
                 decode_loop.clear_cache()
                 t0 = time.time()
-                run_once()
+                run_once(steps)
                 log(
                     f"[bench] {name} b{b} nosort compile+first "
                     f"{time.time() - t0:.1f}s"
                 )
-                best_ns = min(max(run_once() - rtt, 1e-9) for _ in range(3))
+                best_ns = min(
+                    max(run_once(steps) - rtt, 1e-9) for _ in range(3)
+                )
                 detail[f"{name}_batch{b}_nosort_tokens_per_s"] = round(
                     steps * b / best_ns, 1
                 )
@@ -345,6 +347,9 @@ def bench_moe_slab(name, steps, rtt, with_batch8=False):
                     f"[bench] {name} batch{b} dedup-off: "
                     f"{steps * b / best_ns:.1f} tok/s/chip"
                 )
+            except Exception as e:  # pragma: no cover
+                # partial failure must not discard the slab's numbers
+                log(f"[bench] {name} b{b} nosort A/B failed: {e}")
             finally:
                 os.environ.pop("QLLM_TPU_MOE_SORT", None)
                 decode_loop.clear_cache()

@@ -707,13 +707,13 @@ class LayerView:
 
         return expert_linear(self.lp["experts_stacked"][name], e, x)
 
-    def apply_experts_grouped(self, name, ids, x_rows):
+    def apply_experts_grouped(self, name, ids, x_rows, x_shared=False):
         """Batched per-selection expert matmul: y[i] = x_rows[i] @
         W[ids[i]] (ONE grouped-kernel launch when eligible)."""
         from .moe import grouped_expert_linear
 
         return grouped_expert_linear(
-            self.lp["experts_stacked"][name], ids, x_rows
+            self.lp["experts_stacked"][name], ids, x_rows, x_shared
         )
 
     def fused_expert_mlp(self, ids, x_rows, cfg):
@@ -1319,15 +1319,24 @@ def _moe_sparse(pv, cfg: ModelConfig, x: jax.Array, k: int) -> jax.Array:
         if fused is not None:
             ye_s = fused(ids, x_rows, cfg)
     if ye_s is None:
+        # B=1 (order None): the k selections all read the SAME
+        # activation row — the grouped kernel takes one shared x block
+        xs = order is None
         if pv.get("experts_stacked") is not None and "gateup_proj" in pv.get(
             "experts_stacked"
         ):
-            gu = pv.apply_experts_grouped("gateup_proj", ids, x_rows)
+            gu = pv.apply_experts_grouped(
+                "gateup_proj", ids, x_rows, x_shared=xs
+            )
             ii = gu.shape[-1] // 2
             gate, up = gu[..., :ii], gu[..., ii:]
         else:
-            gate = pv.apply_experts_grouped("gate_proj", ids, x_rows)
-            up = pv.apply_experts_grouped("up_proj", ids, x_rows)
+            gate = pv.apply_experts_grouped(
+                "gate_proj", ids, x_rows, x_shared=xs
+            )
+            up = pv.apply_experts_grouped(
+                "up_proj", ids, x_rows, x_shared=xs
+            )
         ye_s = pv.apply_experts_grouped(
             "down_proj", ids, act_fn(cfg.hidden_act, gate) * up
         )  # [S*k, D] in sorted order

@@ -255,13 +255,15 @@ def stack_experts(
 
 
 def grouped_expert_linear(
-    w, ids: jax.Array, x_rows: jax.Array
+    w, ids: jax.Array, x_rows: jax.Array, x_shared: bool = False
 ) -> jax.Array:
     """y[i] = x_rows[i] @ W[ids[i]] for [E]-stacked expert weights —
     ONE kernel launch for every (token, expert) selection when the
     grouped Pallas kernel's constraints hold
     (ops.pallas_qmm.qmatmul_grouped_experts); otherwise a static
-    per-selection loop of indexed matmuls (exact same math)."""
+    per-selection loop of indexed matmuls (exact same math).
+    ``x_shared``: all rows of x_rows are the same row (B=1 top-k) —
+    the kernel reads one shared x block."""
     n = x_rows.shape[0]
     if isinstance(w, QuantizedTensor):
         from ..ops.pallas_qmm import (
@@ -270,7 +272,9 @@ def grouped_expert_linear(
         )
 
         if grouped_experts_ok(w):
-            return qmatmul_grouped_experts(x_rows, w, ids)
+            return qmatmul_grouped_experts(
+                x_rows, w, ids, x_shared=x_shared
+            )
         return jnp.concatenate(
             [expert_linear(w, ids[i], x_rows[i : i + 1]) for i in range(n)]
         )

@@ -527,11 +527,11 @@ class StackedLayerView:
         w, bias = self._expert_stack(name)
         return expert_linear(w, bias + e, x)
 
-    def apply_experts_grouped(self, name, ids, x_rows):
+    def apply_experts_grouped(self, name, ids, x_rows, x_shared=False):
         from .moe import grouped_expert_linear
 
         w, bias = self._expert_stack(name)
-        return grouped_expert_linear(w, bias + ids, x_rows)
+        return grouped_expert_linear(w, bias + ids, x_rows, x_shared)
 
     def fused_expert_mlp(self, ids, x_rows, cfg):
         """Whole expert MLP (gateup -> act -> down) in one kernel

@@ -98,7 +98,12 @@ def _save() -> None:
 
 
 def _m_regime(M: int) -> str:
-    return "decode" if M <= 32 else "prefill"
+    # long-context prefill gets its own bucket: the best (bn, bk) at
+    # M=2048 can differ from M=512's (compute-vs-VMEM balance shifts);
+    # lookup falls back prefill_long -> prefill on a miss
+    if M <= 32:
+        return "decode"
+    return "prefill" if M < 1024 else "prefill_long"
 
 
 def _key(kind: str, K: int, N: int, bits: int, g: int, M: int) -> str:
@@ -130,6 +135,14 @@ def lookup(
     hit = _shipped().get(key)
     if hit is not None:
         return hit
+    if key.endswith(":prefill_long"):
+        # untuned long-context shape: the M=512-tuned prefill pick
+        # beats the static heuristics
+        hit = _MEM.get(key[: -len("_long")]) or _shipped().get(
+            key[: -len("_long")]
+        )
+        if hit is not None:
+            return hit
     if os.environ.get("QLLM_TPU_AUTOTUNE") != "1":
         return (0, 0)
     import jax

@@ -1844,9 +1844,15 @@ def qmatmul_grouped_experts(
     x_rows: jax.Array,  # [n, K] — one activation row per selection
     qt_stacked: QuantizedTensor,  # [E]-stacked planar serving prep
     expert_ids: jax.Array,  # [n] int32 (traced)
+    x_shared: bool = False,  # every selection reads x_rows[0] (B=1)
 ) -> jax.Array:  # [n, N] bf16
     """y[i] = x_rows[i] @ dequant(stack[expert_ids[i]]) — all
-    selections in ONE pallas_call (see module comment above)."""
+    selections in ONE pallas_call (see module comment above).
+
+    ``x_shared``: B=1 decode repeats ONE activation row across its k
+    selections; the kernel then reads a single [8, K] x block for the
+    whole launch instead of a padded [8n, K] copy (skips the pad
+    materialization and the per-step x refetch)."""
     K, N = qt_stacked.in_features, qt_stacked.out_features
     N_buf = qt_stacked.qweight.shape[-1]
     g = K if qt_stacked.group_size == -1 else qt_stacked.group_size
@@ -1866,11 +1872,16 @@ def qmatmul_grouped_experts(
     # 8-row x block (its row + 7 zeros). The MXU pads sub-8-row operands
     # to 8 sublanes anyway, so the extra rows cost nothing; rows 1..7 of
     # each output block are discarded below.
-    x8 = jnp.pad(x_rows[:, None, :], ((0, 0), (0, 7), (0, 0))).reshape(
-        8 * n, K
-    )
+    if x_shared:
+        x8 = jnp.pad(x_rows[:1], ((0, 7), (0, 0)))  # one [8, K] block
+        x_map = lambda j, i, ids: (0, 0)  # noqa: E731
+    else:
+        x8 = jnp.pad(x_rows[:, None, :], ((0, 0), (0, 7), (0, 0))).reshape(
+            8 * n, K
+        )
+        x_map = lambda j, i, ids: (i, 0)  # noqa: E731
     in_specs = [
-        pl.BlockSpec((8, K), lambda j, i, ids: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, K), x_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(
             (1, K // 8, bn),
             lambda j, i, ids: (ids[i], 0, j),

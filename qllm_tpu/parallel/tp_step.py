@@ -686,13 +686,13 @@ class TPMoeLayerView:
             w = _localize_qt(w)  # stacked [E] metadata -> local shard
         return expert_linear(w, e, x)
 
-    def apply_experts_grouped(self, name, ids, x_rows):
+    def apply_experts_grouped(self, name, ids, x_rows, x_shared=False):
         from ..models.moe import grouped_expert_linear
 
         w = self.lp["experts_stacked"][name]
         if isinstance(w, QuantizedTensor):
             w = _localize_qt(w)
-        return grouped_expert_linear(w, ids, x_rows)
+        return grouped_expert_linear(w, ids, x_rows, x_shared)
 
     def apply_shared(self, name, x):
         # shared experts stay replicated under TP (see moe_tp_pspecs)
