@@ -567,16 +567,36 @@ def main():
                     rng.integers(1, cfg.vocab_size, (1, T)), jnp.int32
                 )
 
-                def run_p():
+                # slope timing (RTT-immune): a T=512 prefill is ~45 ms
+                # — the same order as the tunnel round trip, and
+                # single-shot MFU numbers swung 0.65<->0.77 run to run.
+                # Chain n SERIALLY-DEPENDENT prefill reps in one jit
+                # (params as ARGUMENTS — closure consts lower to HLO
+                # literals and hit the remote-compile body limit).
+                @jax.jit
+                def prefill_reps(p, toks, cache, n):
+                    def body(i, acc):
+                        t2 = toks + (acc * 0.0).astype(jnp.int32)
+                        lg, _ = prefill(p, cfg, t2, cache)
+                        return acc + 1e-9 * jnp.sum(lg[:, :1])
+
+                    return jax.lax.fori_loop(
+                        0, n, body, jnp.zeros((), jnp.float32)
+                    )
+
+                def run_p(n):
                     t0 = time.time()
-                    lg, _ = prefill(params, cfg, toks_p, cache_p)
-                    np.asarray(lg[0, :1])
+                    np.asarray(
+                        prefill_reps(params, toks_p, cache_p, jnp.int32(n))
+                    )
                     return time.time() - t0
 
                 t0 = time.time()
-                run_p()
+                run_p(3)
                 log(f"[bench] prefill T={T} compile+first {time.time() - t0:.1f}s")
-                best_p = min(max(run_p() - rtt, 1e-9) for _ in range(3))
+                t1 = min(run_p(1) for _ in range(3))
+                t3 = min(run_p(3) for _ in range(3))
+                best_p = max(t3 - t1, 1e-9) / 2
                 tok_s_p = T / best_p
                 # matmul flops (2N per token) + causal attention
                 # (QK^T + PV: 2 * T^2/2 * nh*hd * 2 per layer)
